@@ -1,0 +1,64 @@
+"""Declared-query registry behind __spark_entry__.py.
+
+Every implemented operator/query registers itself here via the ``query``
+decorator; ``__spark_entry__.queries()`` / ``oracle_sql()`` read these dicts.
+A query is a ``Callable[[SparkSession, str], DataFrame]`` taking
+``(spark, sf_dir)``; its oracle is ANSI SQL DuckDB runs over the same
+parquet tables (views: region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Parity rules (see SURVEY.md §7 risk register):
+- alias every computed column identically in Spark and SQL;
+- money/metric aggregates: exact DECIMAL arithmetic internally, cast to
+  DOUBLE at the output boundary (bit-identical across engines; a double
+  SUM would differ in final ulps by accumulation order);
+- int-ish computed columns cast to BIGINT on both sides;
+- any LIMIT/top-k query carries a total-order sort key (ties broken).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_MODULES = [
+    "etl_airflow_adventureworks_spark.plans.kpis",
+    "etl_airflow_adventureworks_spark.plans.star",
+    "etl_airflow_adventureworks_spark.operators.relational",
+    "etl_airflow_adventureworks_spark.operators.dedup",
+    "etl_airflow_adventureworks_spark.operators.similarity",
+    "etl_airflow_adventureworks_spark.operators.sessionize",
+    "etl_airflow_adventureworks_spark.operators.textops",
+    "etl_airflow_adventureworks_spark.operators.multimodal",
+]
+
+_loaded = False
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as declared query ``name`` with optional DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every registering module (idempotent)."""
+    global _loaded
+    if _loaded:
+        return
+    for mod in _MODULES:
+        importlib.import_module(mod)
+    _loaded = True
