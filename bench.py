@@ -1,0 +1,96 @@
+"""Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Baseline context (BASELINE.md): the reference's single recorded run does the
+full fact pipeline (121k rows) in ~12.6 s single-process pandas; its 10 KPIs
+have no published timings. Here the same shapes run on Spark local[N] over
+sf0.1 (~600k lineitem rows, ~5x the reference fact table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from etl_airflow_adventureworks_spark import registry  # noqa: E402
+from etl_airflow_adventureworks_spark.session import get_spark  # noqa: E402
+
+#: headline set — populated as operators land; filtered by availability.
+HEADLINE = [
+    "kpi01_gross_revenue",
+    "kpi02_net_revenue",
+    "kpi04_total_volume",
+    "kpi05_top5_products",
+    "kpi06_sales_by_category",
+    "kpi07_sales_by_country",
+    "kpi08_seasonality",
+    "kpi09_top10_suppliers",
+    "kpi10_avg_ticket",
+    "etl_fact_sales",
+    "etl_dim_customer_geo",
+    "ext_exact_dedup_docs",
+    "ext_minhash_neardup",
+    "ext_ann_cosine_topk",
+    "ext_token_stats",
+    "ext_session_gap",
+]
+
+#: large-result queries are consumed with count() instead of collect() —
+#: benching the compute, not driver materialization.
+COUNT_ONLY = {"etl_fact_sales", "etl_dim_customer_geo", "ext_exact_dedup_docs"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+    registry.load_all()
+
+    # JVM / codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
