@@ -1,0 +1,47 @@
+"""Sinks (SURVEY.md §2 ops 5-6).
+
+Reference: TRUNCATE-and-load into Postgres with chunked inserts
+(dags/etl_fato_vendas.py:111-122). Spark-first mapping: overwrite-mode
+parquet writes (same idempotence contract — a re-run fully replaces the
+table) and a JDBC sink with batched writes for a kept-Postgres deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    coalesce_to: int | None = None,
+) -> None:
+    """Idempotent overwrite write (op 5). ``partition_by`` drives partition
+    pruning for downstream scans (e.g. fact partitioned by year); at 100 TB
+    this is the layout decision that replaces the reference's b-tree indexes
+    (create_dw_tables.sql:68-72, SURVEY.md §4)."""
+    if coalesce_to:
+        df = df.coalesce(coalesce_to)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 5000,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC sink with chunked batches (op 6; to_sql chunksize=5000,
+    dags/etl_fato_vendas.py:121). Spark writes one batch stream per
+    partition — ``repartition(n)`` upstream to bound connection count.
+    Requires a JDBC driver jar on the classpath (not in this image)."""
+    opts = {"truncate": "true", "batchsize": str(batchsize), **(properties or {})}
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(**opts).mode(
+        mode
+    ).save()
