@@ -1,3 +1,176 @@
-"""Sessionization / event-window operators over the events table."""
+"""Sessionization / event-window / JSON operators over events (E5, E6).
+
+Charter extension: the reference has no streaming or event semantics
+(SURVEY.md §2.8); the driver's events table (event_id, ts, user_id,
+event_type, value, props) exists for exactly this. Batch forms here are
+oracle-checked; the Structured Streaming twins live in ``streaming.events``.
+
+Scale notes: gap-sessionization is one shuffle on user_id; the window
+functions reuse that partitioning (no second shuffle). Event-time windows
+aggregate with map-side partials. Monetary-style SUMs over the double
+``value`` column go through decimal(18,6) pinning for order-independence
+(same reasoning as functions.money).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+#: exact, order-independent sum over the double `value` column.
+_VAL_SPARK = "CAST(value AS DECIMAL(18,6))"
+_VAL_DUCK = "CAST(value AS DECIMAL(18,6))"
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "ext_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (E6): get_json_object on the props string —
+    native, codegen'd, no UDF."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@query(
+    "ext_event_window_1h",
+    oracle=f"""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
+           CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) + 3600 AS BIGINT) AS window_end_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_VAL_DUCK}) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ext_event_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (E5): batch form of the
+    streaming groupBy(window(ts, '1 hour')) — identical semantics, so the
+    DuckDB time_bucket oracle checks the streaming math too. Window bounds
+    surface as epoch seconds (exact integers; raw nanosecond timestamps
+    don't round-trip identically across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr(_VAL_SPARK)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("window_start_s"),
+            F.unix_timestamp(F.col("window.end")).cast("long").alias("window_end_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ext_session_gap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us, event_id, value,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           CAST(max(ts_us) - min(ts_us) AS DOUBLE) / 1000000.0 AS duration_sec,
+           CAST(SUM({_VAL_DUCK}) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def ext_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (E5): lag-gap flag + running sum over a
+    user-partitioned window, then per-session aggregates — the classic
+    batch sessionizer (SURVEY.md §2.9 E5, pyspark_guide 'Sessionization').
+    One shuffle on user_id; both windows and the final groupBy reuse it."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("duration_sec"),
+        F.sum(F.expr(_VAL_SPARK)).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "ext_event_type_funnel",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           CAST(SUM({_VAL_DUCK}) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+             AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ext_event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation funnel per user (E5 shape): pivot-style
+    counts via FILTER/CASE aggregates — single shuffle, no per-type scans."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return ev.groupBy("user_id").agg(
+        cnt("view"),
+        cnt("click"),
+        cnt("purchase"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.expr(_VAL_SPARK)))
+        .cast("double")
+        .alias("purchase_value"),
+    )

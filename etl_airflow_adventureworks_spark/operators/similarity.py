@@ -1,3 +1,125 @@
-"""Similarity search over embedding columns: brute-force cosine top-k, LSH-bucketed ANN."""
+"""Similarity search over the embeddings table (SURVEY.md §2.9 E3).
+
+Two paths, per the charter:
+- exact brute-force top-k cosine — the correctness baseline: broadcast the
+  (tiny) query set against the full collection, fold dot products in
+  codegen, TakeOrdered top-k per query. At 100 TB this is one scan of the
+  collection with zero shuffle of it (queries broadcast).
+- LSH-bucketed approximate top-k — the scale path: 8 signed random
+  hyperplanes → 256 buckets; query probes only its own bucket
+  (documented recall tradeoff; multiprobe = flip low-margin bits would
+  raise recall at the same shuffle shape).
+
+Vector math is all native expressions (functions.vectors) — no UDFs.
+"""
 
 from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot, to_double_array
+from ..registry import query
+from ..sources import load_table
+
+TOP_K = 5
+N_QUERIES = 3  # query set = vec_id < 3
+
+# deterministic random hyperplanes for LSH (fixed seed, 8 planes x 64 dims)
+_rng = random.Random(7)
+N_PLANES = 8
+PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(N_PLANES)]
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "array(" + ", ".join(f"{x!r}D" for x in p) + ")"
+
+
+def lsh_bucket_expr(vec_col: str) -> str:
+    """Signed-hyperplane bucket id: bit i = sign(v · plane_i) (0..255)."""
+    bits = " + ".join(
+        f"(CASE WHEN {dot(vec_col, _plane_sql(p))} > 0.0D THEN {1 << i}L ELSE 0L END)"
+        for i, p in enumerate(PLANES)
+    )
+    return f"({bits})"
+
+
+_SQL_COS = (
+    "list_dot_product(q.v, e.v)"
+    " / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))"
+)
+
+
+@query(
+    "ext_ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERIES})
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             round({_SQL_COS}, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({_SQL_COS}, 6) DESC, e.vec_id)
+               AS rn
+      FROM q JOIN e ON q.vec_id <> e.vec_id
+    )
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (E3 baseline): broadcast the query
+    vectors, one scan of the collection, window top-k per query ranked on
+    the rounded similarity (total order via vec_id tie-break)."""
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{to_double_array('embedding')} AS v"
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos_r = F.round(F.expr(cosine("qv", "v")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_r.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+@query("ext_ann_lsh_topk")  # approximate (bucket recall) → rows-only check
+def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (E3 scale path): 8 signed random
+    hyperplanes partition the collection into 256 buckets; each query only
+    scores its own bucket. The bucket id is the shuffle/partition key — at
+    100 TB the collection is written bucketed on it and a query touches
+    1/256th of the data. Deterministic planes (seed 7)."""
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{to_double_array('embedding')} AS v"
+    )
+    e = e.selectExpr("vec_id", "v", f"{lsh_bucket_expr('v')} AS bucket")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos_r = F.round(F.expr(cosine("qv", "v")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        e.join(
+            F.broadcast(q),
+            (F.col("qbucket") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_r.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("query_id", "rn")
+        .drop("rn")
+    )

@@ -1,3 +1,242 @@
-"""Text analysis operators: tokenization, language-ID, quality scoring, fingerprinting."""
+"""Text-analysis operators over the documents table (SURVEY.md §2.9 E4).
+
+Charter extension (BASELINE.json north_star): the text layer a large-scale
+training-data pipeline needs — tokenization/term stats, language-ID
+(stopword-hit heuristic), quality scoring, document fingerprinting. All
+implemented as native Catalyst expressions (split/filter/transform/aggregate
+— no Python in the hot path) so they stay inside whole-stage codegen and
+scale linearly with no shuffle except the declared aggregations.
+
+Determinism: every score is derived from integer counts via IEEE double
+ops on bit-identical operands, so DuckDB oracles match exactly.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+#: whitespace tokenization — single definition used by Spark and oracle.
+_TOK_SPARK = r"split(trim(text), '\\s+')"
+_TOK_DUCK = r"string_split_regex(trim(text), '\s+')"
+
+#: small per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Data, not locale.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "que", "y", "en", "un", "es", "los", "se", "por"],
+    "fr": ["le", "la", "et", "un", "est", "pour", "que", "dans", "les", "une"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break preference
+
+
+def _sw_array_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+@query(
+    "ext_token_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)
+             AS avg_token_len,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+    FROM toks
+    """,
+)
+def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (E4): whitespace+regex tokens, type-token ratio, mean
+    token length. Pure per-row expressions — no shuffle at all."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_TOK_SPARK} AS t")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(t) AS BIGINT) AS n_tokens",
+            "CAST(size(array_distinct(t)) AS BIGINT) AS n_unique",
+            "CAST(aggregate(transform(t, x -> length(x)), 0L, (acc, x) -> acc + x) AS DOUBLE)"
+            " / size(t) AS avg_token_len",
+            "CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS ttr",
+        )
+    )
+
+
+@query(
+    "ext_term_frequency",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOK_DUCK}) AS token FROM documents)
+    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM toks
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+)
+def ext_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency, top-20 (E4 shape: split→explode→
+    groupBy, SURVEY.md E4). One shuffle on token; partial aggregation
+    happens map-side so the explode never materializes corpus-wide."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"explode({_TOK_SPARK}) AS token")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def _lang_pred_case(score_col: dict[str, str]) -> str:
+    """Chained >=-CASE over scores in preference order — identical text in
+    Spark SQL and DuckDB SQL, so predictions agree exactly."""
+    clauses = []
+    for i, lang in enumerate(_LANG_ORDER):
+        others = [score_col[o] for o in _LANG_ORDER[i + 1 :]]
+        cond = " AND ".join(f"{score_col[lang]} >= {o}" for o in others) or "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@query(
+    "ext_lang_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOK_DUCK} AS t FROM documents),
+    scores AS (
+      SELECT doc_id, lang,
+        {", ".join(
+            f"CAST(len(list_filter(t, x -> list_contains({_sw_array_sql(lang)}, x))) AS BIGINT)"
+            f" AS score_{lang}"
+            for lang in _LANG_ORDER
+        )}
+      FROM toks
+    )
+    SELECT doc_id, lang AS lang_declared,
+           {_lang_pred_case({lang: f"score_{lang}" for lang in _LANG_ORDER})} AS lang_pred,
+           {", ".join(f"score_{lang}" for lang in _LANG_ORDER)}
+    FROM scores
+    """,
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (E4): per-language stopword hit counts, argmax
+    with a fixed preference order. Native higher-order functions — the whole
+    classifier is one codegen'd projection."""
+    score_exprs = [
+        f"CAST(size(filter(t, x -> array_contains(array({', '.join(repr(w) for w in STOPWORDS[lang])}), x))) AS BIGINT) AS score_{lang}"
+        for lang in _LANG_ORDER
+    ]
+    scored = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "lang", f"{_TOK_SPARK} AS t")
+        .selectExpr("doc_id", "lang", *score_exprs)
+    )
+    pred = _lang_pred_case({lang: f"score_{lang}" for lang in _LANG_ORDER})
+    return scored.selectExpr(
+        "doc_id",
+        "lang AS lang_declared",
+        f"{pred} AS lang_pred",
+        *[f"score_{lang}" for lang in _LANG_ORDER],
+    )
+
+
+@query(
+    "ext_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {_TOK_DUCK} AS toks,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             length(text) AS len_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_punct AS DOUBLE) / len_text AS punct_ratio,
+           CAST(len(list_filter(toks, x -> list_contains({_sw_array_sql("en")}, x)))
+                AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           (CASE WHEN len(toks) >= 10 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(n_punct AS DOUBLE) / len_text < 0.1 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_sw_array_sql("en")}, x)))
+                         AS DOUBLE) / len(toks) BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
+                   THEN 0.25 ELSE 0.0 END) AS quality
+    FROM t
+    """,
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (E4): length / punctuation / stopword-ratio /
+    lexical-diversity heuristics combined into a [0,1] score — the classic
+    pretraining-data filter shape (C4/Gopher-style rules) as one projection."""
+    en = f"array({', '.join(repr(w) for w in STOPWORDS['en'])})"
+    return (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            f"{_TOK_SPARK} AS toks",
+            "length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS n_punct",
+            "length(text) AS len_text",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(size(toks) AS BIGINT) AS n_tokens",
+            "CAST(n_punct AS DOUBLE) / len_text AS punct_ratio",
+            f"CAST(size(filter(toks, x -> array_contains({en}, x))) AS DOUBLE) / size(toks)"
+            " AS stopword_ratio",
+            "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) AS ttr",
+            f"""(CASE WHEN size(toks) >= 10 THEN 0.25 ELSE 0.0 END
+             + CASE WHEN CAST(n_punct AS DOUBLE) / len_text < 0.1 THEN 0.25 ELSE 0.0 END
+             + CASE WHEN CAST(size(filter(toks, x -> array_contains({en}, x))) AS DOUBLE)
+                         / size(toks) BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
+             + CASE WHEN CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) > 0.3
+                    THEN 0.25 ELSE 0.0 END) AS quality""",
+        )
+    )
+
+
+#: k-shingle construction — i in 0..max(len-k,0), join of slice(i+1, k).
+#: Clamped slices make short docs yield one partial shingle in both engines.
+_SHINGLES_SPARK = (
+    "transform(sequence(0, greatest(size(t) - {k}, 0)),"
+    " i -> concat_ws(' ', slice(t, i + 1, {k})))"
+)
+_SHINGLES_DUCK = (
+    "[array_to_string(t[i + 1 : i + {k}], ' ')"
+    " for i in range(0, greatest(len(t) - {k}, 0) + 1)]"
+)
+
+
+@query(
+    "ext_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {_TOK_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           list_min(list_transform({_SHINGLES_DUCK.format(k=3)}, s -> md5(s)))
+             AS min_shingle_hash
+    FROM toks
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (E4): full-content md5 plus a min-hash over
+    3-token shingles (a 1-permutation MinHash — the rolling-window
+    fingerprint used for near-dup candidate keys)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "text", f"{_TOK_SPARK} AS t")
+        .selectExpr(
+            "doc_id",
+            "md5(text) AS content_hash",
+            f"array_min(transform({_SHINGLES_SPARK.format(k=3)}, s -> md5(s)))"
+            " AS min_shingle_hash",
+        )
+    )

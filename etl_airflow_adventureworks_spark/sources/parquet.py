@@ -11,6 +11,7 @@ keeps pushdown intact (no eager cache, no schema-mangling reads).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Every driver-provided testdata table (TESTDATA.md).
 TABLES = (
@@ -28,9 +29,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata table. Parquet embeds the schema — no inference race."""
+    """Scan one testdata table. Parquet embeds the schema — no inference race.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader refuses by default; we read nanos as long (runtime legacy
+    conf) and floor-divide to microseconds — exact integer arithmetic, no
+    double rounding (SparkSession TimestampType is µs everywhere).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,88 @@
+"""Structured Streaming over the events table (SURVEY.md §2.8 [EXT]).
+
+The reference has no streaming; the charter maps the events table to
+Structured Streaming: readStream → watermarked windowed aggregations /
+session windows / custom stateful ops → writeStream. Batch twins of the
+window math live in ``operators.sessionize`` and are DuckDB-oracle-checked;
+these builders produce the *same plans* against an unbounded source.
+
+Local testing drives a parquet directory through the memory sink with
+``processAllAvailable()`` (pyspark_guide §Structured Streaming); in
+production the source swaps to Kafka with identical downstream plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events schema as stored (ts is TIMESTAMP(NANOS) parquet → read as long).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.parquet)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded scan of the events table (one-file-per-trigger so a local
+    run exercises multiple micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of
+    ext_event_window_1h (late data beyond the watermark is dropped;
+    state is bounded by watermark horizon × window count)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-merged) per user — the streaming twin of
+    the batch lag-gap sessionizer ext_session_gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drive a streaming plan to completion over a static source: memory
+    sink + processAllAvailable (synchronous; test-only)."""
+    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,55 @@
+"""Tests for the rows-only dedup/similarity operators (no SQL oracle):
+determinism across runs and recall against the oracle-checked exact twin."""
+
+from __future__ import annotations
+
+from conftest import SF_ORACLE
+
+import __spark_entry__ as entrymod
+
+
+def _rows(spark, name, sf=SF_ORACLE):
+    return entrymod.queries()[name](spark, sf).collect()
+
+
+def test_minhash_recall_vs_exact(spark):
+    exact = {(r["doc_a"], r["doc_b"]) for r in _rows(spark, "ext_ngram_jaccard")}
+    mh = {(r["doc_a"], r["doc_b"]) for r in _rows(spark, "ext_minhash_neardup")}
+    assert len(exact) > 0, "testdata should contain planted near-dup pairs"
+    # no false positives (candidates are exact-verified)
+    assert mh <= exact
+    # LSH recall at 16x2 banding: near-dups at j≈0.9 are ~always caught;
+    # borderline j≈0.3 pairs may miss (P≈0.78). Require ≥60% overall.
+    assert len(mh) >= 0.6 * len(exact), f"recall too low: {len(mh)}/{len(exact)}"
+
+
+def test_minhash_deterministic(spark):
+    a = _rows(spark, "ext_minhash_neardup")
+    b = _rows(spark, "ext_minhash_neardup")
+    assert a == b
+
+
+def test_simhash_pairs_sane(spark):
+    rows = _rows(spark, "ext_simhash_neardup")
+    # deterministic + symmetric-free (a < b) + bounded hamming
+    assert all(r["doc_a"] < r["doc_b"] and 0 <= r["hamming"] <= 12 for r in rows)
+    assert rows == _rows(spark, "ext_simhash_neardup")
+
+
+def test_ann_lsh_subset_of_exact_scores(spark):
+    # every LSH result must carry the same similarity the exact path computes
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in _rows(spark, "ext_ann_cosine_topk")
+    }
+    lsh = _rows(spark, "ext_ann_lsh_topk")
+    assert len(lsh) > 0
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cos_sim"] - exact[key]) < 1e-9
+    # per-query result count ≤ TOP_K
+    from collections import Counter
+
+    counts = Counter(r["query_id"] for r in lsh)
+    assert all(v <= 5 for v in counts.values())

@@ -1,0 +1,48 @@
+"""Streaming ⇄ batch equivalence: the streaming window plans must produce
+exactly the batch results over the same (static) events data."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+import __spark_entry__ as entrymod
+from etl_airflow_adventureworks_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return se.stream_events(spark, SF_SMOKE)
+
+
+def test_windowed_counts_match_batch(spark, events_stream):
+    se.run_to_memory(se.windowed_counts(events_stream), "win_out")
+    got = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = entrymod.queries()["ext_event_window_1h"](spark, SF_SMOKE).collect()
+    want = {(r["window_start_s"], r["event_type"]): r["n_events"] for r in batch}
+    assert got == want
+
+
+def test_session_windows_match_batch_gap_sessions(spark, events_stream):
+    se.run_to_memory(se.session_windows(events_stream), "sess_out")
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = entrymod.queries()["ext_session_gap"](spark, SF_SMOKE).collect()
+    want = {(r["user_id"], r["session_start_us"]): r["n_events"] for r in batch}
+    assert got == want
+
+
+def test_append_mode_with_watermark_smoke(spark, events_stream):
+    # append mode only emits windows the watermark has passed; over a static
+    # source the final windows stay open — smoke-check it runs and emits a
+    # subset of the complete-mode result.
+    se.run_to_memory(se.windowed_counts(events_stream), "win_append", "append")
+    appended = spark.sql("SELECT * FROM win_append").collect()
+    complete = spark.sql("SELECT * FROM win_out").collect()
+    assert len(appended) <= len(complete)
