@@ -434,6 +434,43 @@ def op35_money_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_distinct_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregate (capability beyond the reference,
+    which has no DISTINCT aggregates — SURVEY.md §2.4 note). Spark plans
+    a two-phase expand+agg; at scale prefer ext_approx_distinct."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("ext_approx_distinct")  # HLL sketch is engine-specific → rows-only
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (the 100 TB path: one pass, no
+    expand, mergeable sketches; rsd 1%). Engine-specific sketch values, so
+    no cross-engine oracle — the exact twin is ext_distinct_counts."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers_approx"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "op36_surrogate_key",
     oracle="""
     SELECT CAST(row_number() OVER (ORDER BY r_name) AS BIGINT) AS sk_region,

@@ -1,0 +1,53 @@
+"""Incremental upsert / SCD emulation without a lakehouse format.
+
+The reference refreshes tables only by TRUNCATE+reload (SURVEY.md op 5).
+A production warehouse also needs incremental merge; without Delta/Iceberg
+jars (not in this image), MERGE INTO is emulated with the classic
+anti-join + union (SCD type 1) and a validity-interval rewrite (SCD type 2)
+— pure DataFrame ops, shuffle only on the business key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd1_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Type-1 merge: updates win; unmatched current rows survive.
+    ``updates ∪ (current ⟕̸ updates)`` — one shuffle on the key."""
+    survivors = current.join(updates.select(key), key, "left_anti")
+    return updates.unionByName(survivors)
+
+
+def scd2_upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    effective_col: str = "valid_from",
+    end_col: str = "valid_to",
+    ts_col: str = "change_ts",
+) -> DataFrame:
+    """Type-2 merge: close the open interval of changed keys
+    (valid_to ← change_ts) and append the new open-interval versions.
+
+    ``current`` carries (key, attrs..., valid_from, valid_to[null=open]);
+    ``updates`` carries (key, attrs..., change_ts).
+    """
+    upd_keys = updates.select(key, F.col(ts_col))
+    closed = (
+        current.join(F.broadcast(upd_keys), key, "inner")
+        .filter(F.col(end_col).isNull())
+        .withColumn(end_col, F.col(ts_col))
+        .drop(ts_col)
+    )
+    untouched = current.join(upd_keys.select(key), key, "left_anti")
+    still_closed = (
+        current.filter(F.col(end_col).isNotNull())
+        .join(upd_keys.select(key), key, "left_semi")
+    )
+    new_versions = (
+        updates.withColumnRenamed(ts_col, effective_col)
+        .withColumn(end_col, F.lit(None).cast("timestamp"))
+    )
+    return untouched.unionByName(still_closed).unionByName(closed).unionByName(new_versions)

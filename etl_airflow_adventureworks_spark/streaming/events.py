@@ -78,6 +78,39 @@ def session_windows(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total, emitted once per micro-batch (update mode).
+
+    This is the charter's 'custom stateful operator' path — state the
+    built-in window aggs can't express (a monotonically updated per-key
+    accumulator surfaced every batch). State is two numbers per user:
+    bounded, no watermark needed. The worker function is self-contained
+    (local imports only) so Python workers need no repo sys.path.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a streaming plan to completion over a static source: memory
     sink + processAllAvailable (synchronous; test-only)."""

@@ -38,6 +38,32 @@ def test_session_windows_match_batch_gap_sessions(spark, events_stream):
     assert got == want
 
 
+def test_stateful_running_totals(spark, events_stream):
+    # custom applyInPandasWithState operator: final per-user totals must
+    # equal the batch groupBy (update mode emits the running value each
+    # micro-batch; with one input file there is exactly one batch)
+    se.run_to_memory(se.running_user_totals(events_stream), "state_out", "update")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            # latest emission per user
+            "SELECT user_id, n_events, total_value FROM state_out"
+        ).collect()
+    }
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 6))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_append_mode_with_watermark_smoke(spark, events_stream):
     # append mode only emits windows the watermark has passed; over a static
     # source the final windows stay open — smoke-check it runs and emits a
