@@ -45,6 +45,7 @@ HEADLINE = [
     "ext_ann_cosine_topk",
     "ext_embedding_neardup",
     "ext_token_stats",
+    "ext_bpe_token_count",
     "ext_lang_id",
     "ext_quality_score",
     "ext_session_gap",
@@ -60,6 +61,7 @@ COUNT_ONLY = {
     "etl_dim_customer_geo",
     "ext_exact_dedup_docs",
     "ext_token_stats",
+    "ext_bpe_token_count",
     "ext_lang_id",
     "ext_quality_score",
     "ext_session_gap",
@@ -75,7 +77,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
+    # local-bench knob: the testdata tables are single ~10 MB parquet files,
+    # which the 128 MB default split turns into single-task scans; 8 MB
+    # splits let local[N] parallelize them. A real cluster keeps the default
+    # (its files are rowgroup-sized already).
+    spark = get_spark(
+        app_name="bench",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
+    )
     registry.load_all()
 
     # JVM / codegen warmup outside the timed region

@@ -19,6 +19,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: canonical money type, mirroring the reference DDL.
+#:
+#: Why not integer cents (≈5× faster locally)? A long-cents SUM overflows
+#: int64 around 9.2e16 currency units — reachable at 100 TB row counts
+#: (6e11 rows × 1e5 avg value × 1e4 sub-cent scale). Decimal sums widen to
+#: 38 digits and stay exact AND order-independent at any scale; the 5×
+#: constant on the aggregation input is dwarfed by scan+shuffle in real
+#: deployments.
 MONEY = "decimal(18,2)"
 
 

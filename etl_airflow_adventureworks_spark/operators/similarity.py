@@ -99,6 +99,39 @@ def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ext_ann_lsh_multiprobe")  # approximate → rows-only check
+def ext_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH top-k: each query probes its own bucket plus the 8
+    Hamming-distance-1 buckets (one sign-bit flip each) — ~9/256 of the
+    collection instead of 1/256, with substantially higher recall at the
+    same shuffle shape (the standard multiprobe tradeoff)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr("vec_id", f"{to_double_array('embedding')} AS v")
+        .selectExpr("vec_id", "v", f"{norm('v')} AS nrm", f"{lsh_bucket_expr('v')} AS bucket")
+    )
+    probes = ", ".join(["qb"] + [f"CAST(qb ^ {1 << i} AS BIGINT)" for i in range(N_PLANES)])
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .selectExpr("vec_id AS query_id", "v AS qv", "nrm AS qnrm", "bucket AS qb")
+        .selectExpr("query_id", "qv", "qnrm", f"explode(array({probes})) AS qbucket")
+    )
+    cos_r = F.round(F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        e.join(
+            F.broadcast(q),
+            (F.col("qbucket") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_r.alias("cos_sim"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("query_id", "rn")
+        .drop("rn")
+    )
+
+
 @query("ext_ann_lsh_topk")  # approximate (bucket recall) → rows-only check
 def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (E3 scale path): 8 signed random

@@ -203,6 +203,36 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer regex (GPT-2-style, ASCII simplification):
+#: contractions, optional-space letter runs, digit runs, punctuation runs.
+#: Same pattern text compiles identically under Java regex (Spark) and
+#: RE2 (DuckDB) — alternation + character classes only.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "ext_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len({_TOK_DUCK}) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def ext_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish (E4 charter: 'whitespace + a BPE-ish
+    regex'): a GPT-2-style pre-tokenizer pattern counted next to the
+    whitespace count — the cost-estimation signal for LLM data budgeting.
+    regexp_extract_all is codegen'd; no Python tokenizer in the loop."""
+    return load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CAST(size(regexp_extract_all(text, \"{BPE_PATTERN}\", 0)) AS BIGINT)"
+        " AS n_bpe_tokens",
+        f"CAST(size({_TOK_SPARK}) AS BIGINT) AS n_ws_tokens",
+    )
+
+
 #: k-shingle construction — i in 0..max(len-k,0), join of slice(i+1, k).
 #: Clamped slices make short docs yield one partial shingle in both engines.
 _SHINGLES_SPARK = (

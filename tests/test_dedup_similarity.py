@@ -36,6 +36,21 @@ def test_simhash_pairs_sane(spark):
     assert rows == _rows(spark, "ext_simhash_neardup")
 
 
+def test_multiprobe_recall_at_least_single_probe(spark):
+    exact_top = {
+        (r["query_id"], r["neighbor_id"]) for r in _rows(spark, "ext_ann_cosine_topk")
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"]) for r in _rows(spark, "ext_ann_lsh_topk")
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _rows(spark, "ext_ann_lsh_multiprobe")
+    }
+    # multiprobe must recall at least as many true top-k pairs as single-probe
+    assert len(multi & exact_top) >= len(single & exact_top)
+
+
 def test_ann_lsh_subset_of_exact_scores(spark):
     # every LSH result must carry the same similarity the exact path computes
     exact = {
