@@ -352,19 +352,26 @@ def op29_name_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op30_datetime_parse",
     oracle="""
     SELECT o_orderkey,
-           strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts
+           CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                               '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS ts_epoch
     FROM orders
     """,
 )
 def op30_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String→timestamp parse (op 30; pd.to_datetime of
     '2011-05-31 00:00:00' strings, etl_fato_vendas.py:33-34), exercised as a
-    format→parse round trip."""
+    format→parse round trip. Surfaced as epoch seconds: raw timestamps
+    render with different pandas datetime64 resolutions per engine."""
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.to_timestamp(
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
-        ).alias("ts"),
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                "yyyy-MM-dd HH:mm:ss",
+            )
+        )
+        .cast("long")
+        .alias("ts_epoch"),
     )
 
 

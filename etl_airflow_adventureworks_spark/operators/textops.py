@@ -164,7 +164,7 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(toks, x -> list_contains({_sw_array_sql("en")}, x)))
                 AS DOUBLE) / len(toks) AS stopword_ratio,
            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
-           (CASE WHEN len(toks) >= 10 THEN 0.25 ELSE 0.0 END
+           (CASE WHEN len(toks) >= 10 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
             + CASE WHEN CAST(n_punct AS DOUBLE) / len_text < 0.1 THEN 0.25 ELSE 0.0 END
             + CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_sw_array_sql("en")}, x)))
                          AS DOUBLE) / len(toks) BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
@@ -193,12 +193,12 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(size(filter(toks, x -> array_contains({en}, x))) AS DOUBLE) / size(toks)"
             " AS stopword_ratio",
             "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) AS ttr",
-            f"""(CASE WHEN size(toks) >= 10 THEN 0.25 ELSE 0.0 END
-             + CASE WHEN CAST(n_punct AS DOUBLE) / len_text < 0.1 THEN 0.25 ELSE 0.0 END
+            f"""(CASE WHEN size(toks) >= 10 THEN 0.25D ELSE 0.0D END
+             + CASE WHEN CAST(n_punct AS DOUBLE) / len_text < 0.1 THEN 0.25D ELSE 0.0D END
              + CASE WHEN CAST(size(filter(toks, x -> array_contains({en}, x))) AS DOUBLE)
-                         / size(toks) BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
+                         / size(toks) BETWEEN 0.05 AND 0.6 THEN 0.25D ELSE 0.0D END
              + CASE WHEN CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) > 0.3
-                    THEN 0.25 ELSE 0.0 END) AS quality""",
+                    THEN 0.25D ELSE 0.0D END) AS quality""",
         )
     )
 

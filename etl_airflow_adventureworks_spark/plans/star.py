@@ -57,7 +57,7 @@ _SQL_MONTH_PT_OF = lambda col: (  # noqa: E731
     )
     SELECT CAST(year(data_completa)*10000 + month(data_completa)*100
                 + day(data_completa) AS BIGINT) AS sk_tempo,
-           data_completa,
+           strftime(data_completa, '%Y-%m-%d') AS data_completa,
            CAST(year(data_completa) AS BIGINT) AS ano,
            CAST(month(data_completa) AS BIGINT) AS mes,
            {_SQL_MONTH_PT_OF("data_completa")} AS nome_mes,
@@ -86,7 +86,10 @@ def etl_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             yyyymmdd_key(d).cast("long").alias("sk_tempo"),
-            d,
+            # ISO string at the boundary: pandas renders Spark DATE as
+            # python date objects but DuckDB DATE as datetime64 — a raw
+            # dtype mismatch under strict value-hash compares
+            F.date_format(d, "yyyy-MM-dd").alias("data_completa"),
             F.year(d).cast("long").alias("ano"),
             F.month(d).cast("long").alias("mes"),
             month_name_pt(F.month(d)).alias("nome_mes"),
