@@ -478,6 +478,67 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_rollup_revenue",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS ano,
+           CAST(quarter(o_orderdate) AS BIGINT) AS trimestre,
+           CAST(SUM({{net}}) AS DOUBLE) AS net_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY ROLLUP(1, 2)
+    """.format(
+        net="CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    ),
+)
+def ext_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP(year, quarter) — grouping-set
+    capability beyond the reference (SURVEY.md §2.4: none there). One
+    expand+aggregate pass; the year and grand-total rows carry NULL group
+    keys identically in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .rollup(
+            F.year("o_orderdate").cast("long").alias("ano"),
+            F.quarter("o_orderdate").cast("long").alias("trimestre"),
+        )
+        .agg(
+            dsum(net_amount("l_extendedprice", "l_discount"), "net_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "ext_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def ext_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT set operations (capability beyond the reference —
+    SURVEY.md §2.6: none there): rich customers ∪ big spenders ∖ one
+    segment. Distinct set semantics, single column, hash-based."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey")
+    )
+    big = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    # subtract == EXCEPT DISTINCT, matching SQL's left-assoc (A∪B)∖C
+    return rich.union(big).distinct().subtract(auto)
+
+
+@query(
     "op36_surrogate_key",
     oracle="""
     SELECT CAST(row_number() OVER (ORDER BY r_name) AS BIGINT) AS sk_region,
