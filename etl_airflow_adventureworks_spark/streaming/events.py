@@ -111,6 +111,44 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_upsert_to_parquet(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> "object":
+    """Exactly-once incremental load: foreachBatch merges each micro-batch's
+    per-user aggregates into a parquet state table via SCD1 upsert — the
+    streaming→warehouse ingestion pattern (pyspark_guide: 'For exactly-once
+    sinks: foreachBatch'). Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from ..operators.upsert import scd1_upsert
+
+    per_batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # update-mode emissions are CUMULATIVE per key (streaming state holds
+        # the running aggregate), so the merge is a plain SCD1 replace.
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # detach from stream plan
+        try:
+            current = spark.read.parquet(out_path)
+        except Exception:
+            current = None
+        if current is None:
+            batch_df.write.mode("overwrite").parquet(out_path)
+        else:
+            merged = scd1_upsert(current, batch_df, "user_id").localCheckpoint(eager=True)
+            merged.write.mode("overwrite").parquet(out_path)
+
+    return (
+        per_batch.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(merge)
+        .start()
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a streaming plan to completion over a static source: memory
     sink + processAllAvailable (synchronous; test-only)."""

@@ -36,6 +36,22 @@ def test_simhash_pairs_sane(spark):
     assert rows == _rows(spark, "ext_simhash_neardup")
 
 
+def test_blas_neardup_matches_catalyst(spark):
+    # the applyInPandas/BLAS variant must find the same pairs with the
+    # same (rounded) similarities as the oracle-checked Catalyst form
+    cat = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in _rows(spark, "ext_embedding_neardup")
+    }
+    blas = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in _rows(spark, "ext_embedding_neardup_blas")
+    }
+    assert set(cat) == set(blas)
+    for k in cat:
+        assert abs(cat[k] - blas[k]) <= 1e-6
+
+
 def test_multiprobe_recall_at_least_single_probe(spark):
     exact_top = {
         (r["query_id"], r["neighbor_id"]) for r in _rows(spark, "ext_ann_cosine_topk")

@@ -64,6 +64,31 @@ def test_stateful_running_totals(spark, events_stream):
     assert got == want
 
 
+def test_foreachbatch_upsert_sink(spark, events_stream, tmp_path):
+    out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    q = se.stream_upsert_to_parquet(events_stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["v"], 6))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_append_mode_with_watermark_smoke(spark, events_stream):
     # append mode only emits windows the watermark has passed; over a static
     # source the final windows stay open — smoke-check it runs and emits a
