@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, norm, to_double_array
@@ -112,9 +112,13 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join —
-    the scalable exact algorithm: explode distinct shingles, shuffle on
-    shingle (never a cross join), count shared shingles per pair, then
-    |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold."""
+    explode distinct shingles, shuffle on shingle (never a cross join),
+    count shared shingles per pair, then |A∩B|/(|A|+|B|-|A∩B|) ≥ t.
+
+    On Zipfian corpora prefer ``ngram_jaccard_prefix_filtered`` (same exact
+    result, candidates from rare prefix shingles only); on this synthetic
+    tiny-vocab corpus the naive join is faster because no shingle is rare.
+    """
     sh = _shingle_sets(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     # array_compact barrier: see minhash_signatures (explode would otherwise
@@ -132,6 +136,47 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED exact Jaccard join (AllPairs-style) — the 100 TB
+    candidate-generation strategy for realistic (Zipfian) corpora:
+
+    1. global shingle order = (document frequency asc, shingle): rare first;
+    2. each doc indexes only its first |A| − ⌈t·|A|⌉ + 1 shingles in that
+       order — any pair with Jaccard ≥ t MUST share a prefix shingle
+       (overlap ≥ ⌈t·|A|⌉, pigeonhole on the sorted sets), so candidate
+       generation skips the common-shingle quadratic blowup;
+    3. candidates verify with the FULL exact Jaccard via array_intersect.
+
+    Result-identical to ext_ngram_jaccard (asserted in tests)."""
+    sh = _shingle_sets(spark, sf_dir)
+    inv = sh.select("doc_id", F.explode(F.array_compact("shingles")).alias("s"))
+    df_rank = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(df_rank, "s")
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1)
+        .select("doc_id", "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -36,6 +36,23 @@ def test_simhash_pairs_sane(spark):
     assert rows == _rows(spark, "ext_simhash_neardup")
 
 
+def test_prefix_filtered_jaccard_exact(spark):
+    # AllPairs prefix filtering must return EXACTLY the naive join's pairs
+    from etl_airflow_adventureworks_spark.operators.dedup import (
+        ngram_jaccard_prefix_filtered,
+    )
+
+    naive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _rows(spark, "ext_ngram_jaccard")
+    }
+    pf = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_prefix_filtered(spark, SF_ORACLE).collect()
+    }
+    assert naive == pf
+
+
 def test_blas_neardup_matches_catalyst(spark):
     # the applyInPandas/BLAS variant must find the same pairs with the
     # same (rounded) similarities as the oracle-checked Catalyst form
