@@ -18,6 +18,7 @@ Parity rules (see SURVEY.md §7 risk register):
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 
@@ -43,13 +44,24 @@ _loaded = False
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` as declared query ``name`` with optional DuckDB oracle."""
+    """Register ``fn`` as declared query ``name`` with optional DuckDB oracle.
+
+    Every registered query runs under session timeZone=UTC (runtime-set on
+    the caller's session): DuckDB timestamps are UTC-naive, so a driver
+    session in any other zone would shift every date-derived value
+    (pyspark_guide §Pitfalls). Harmless when already UTC.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
