@@ -29,6 +29,7 @@ from etl_airflow_adventureworks_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "kpi01_gross_revenue",
     "kpi02_net_revenue",
+    "kpi03_total_discount",
     "kpi04_total_volume",
     "kpi05_top5_products",
     "kpi06_sales_by_category",

@@ -146,6 +146,61 @@ def ext_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_asof_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    attributed AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_us
+      FROM ev
+    )
+    SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+           last_view_us,
+           CAST(ts_us - last_view_us AS DOUBLE) / 1000000.0 AS view_to_purchase_sec
+    FROM attributed
+    WHERE event_type = 'purchase'
+    """,
+)
+def ext_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of attribution (the as-of-join shape, pyspark_guide §Common OLAP
+    patterns): each purchase matched to the user's most recent PRIOR view.
+    Because both sides live in one event stream, the as-of join collapses
+    to a last_value(... IGNORE NULLS) window — one shuffle on user_id, no
+    range join needed. Purchases with no prior view keep NULL (left as-of
+    semantics)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.withColumn(
+        "last_view_us",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts_us")), ignorenulls=True
+        ).over(w),
+    )
+    return attributed.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "last_view_us",
+        ((F.col("ts_us") - F.col("last_view_us")).cast("double") / 1e6).alias(
+            "view_to_purchase_sec"
+        ),
+    )
+
+
+@query(
     "ext_event_type_funnel",
     oracle=f"""
     SELECT user_id,
