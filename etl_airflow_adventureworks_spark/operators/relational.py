@@ -478,6 +478,52 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS DOUBLE) AS min_val,
+           CAST(max(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+           COUNT(DISTINCT o_orderkey),
+           CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE)
+    FROM orders
+    """,
+)
+def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (ETL audit surface the reference does by eye,
+    README.md:62 'validadas via SQL'): per-column row/null/distinct/min/max
+    in ONE scan — all three columns' aggregates computed in a single pass
+    then unpivoted, instead of one scan per column."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS (col, n_null, n_distinct, min_val, max_val)",
+    ).select("col", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
+
+
+@query(
     "ext_rollup_revenue",
     oracle=f"""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS ano,

@@ -34,6 +34,10 @@ KPI_SQL: dict[str, str] = {
         " AS gross_revenue FROM lineitem"
     ),
     "kpi02_net_revenue": f"SELECT CAST(SUM({_NET}) AS DOUBLE) AS net_revenue FROM lineitem",
+    "kpi03_total_discount": (
+        "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_discount FROM lineitem"
+    ),
     "kpi04_total_volume": (
         "SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty FROM lineitem"
     ),
@@ -41,6 +45,18 @@ KPI_SQL: dict[str, str] = {
         SELECT p_name, CAST(SUM({_NET}) AS DOUBLE) AS net_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_name ORDER BY net_revenue DESC, p_name LIMIT 5
+    """,
+    "kpi06_sales_by_category": f"""
+        SELECT p_brand AS category, CAST(SUM({_NET}) AS DOUBLE) AS net_revenue,
+               COUNT(*) AS n_sales
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY net_revenue DESC, category
+    """,
+    "kpi09_top10_suppliers": f"""
+        SELECT s_name, CAST(SUM({_NET}) AS DOUBLE) AS net_revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_name IS NOT NULL
+        GROUP BY s_name ORDER BY net_revenue DESC, s_name LIMIT 10
     """,
     "kpi07_sales_by_country": f"""
         SELECT n_name AS country, CAST(SUM({_NET}) AS DOUBLE) AS net_revenue
