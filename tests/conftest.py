@@ -11,8 +11,11 @@ if str(REPO) not in sys.path:
 
 from etl_airflow_adventureworks_spark.session import get_spark  # noqa: E402
 
+import os
+
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# override to stress parity at another scale: SPARK_GRAFT_ORACLE_SF=sf0.1
+SF_ORACLE = f"/root/testdata/{os.environ.get('SPARK_GRAFT_ORACLE_SF', 'sf0.01')}"
 
 
 @pytest.fixture(scope="session")
