@@ -478,6 +478,57 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (12 × 50k buckets, top-clamped) — the profiling
+    aggregate for distribution audits. Bucket = floor division, identical
+    IEEE ops both engines, exact integer ids."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr("CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT)").alias(
+                "bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "ext_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines sort and
+    linearly interpolate — identical up to float rounding, pinned at 4
+    decimals). The 100 TB path is percentile_approx (one-pass sketch);
+    this exact form is the audit twin."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+@query(
     "ext_table_profile",
     oracle="""
     SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
