@@ -78,6 +78,17 @@ def session_windows(
     )
 
 
+def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id — the ingestion-side twin of the
+    batch E1 dedup: duplicates arriving within the watermark horizon are
+    dropped with BOUNDED state (dropDuplicatesWithinWatermark evicts ids
+    older than the watermark; plain dropDuplicates would grow state
+    forever on an unbounded stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     event count + value total, emitted once per micro-batch (update mode).

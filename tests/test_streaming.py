@@ -64,6 +64,19 @@ def test_stateful_running_totals(spark, events_stream):
     assert got == want
 
 
+def test_streaming_dedup(spark, events_stream):
+    se.run_to_memory(se.deduped_stream(events_stream), "dedup_out", "append")
+    n_stream = spark.sql("SELECT COUNT(DISTINCT event_id) n FROM dedup_out").collect()[0]["n"]
+    total = spark.sql("SELECT COUNT(*) n FROM dedup_out").collect()[0]["n"]
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    n_batch = (
+        load_table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+    )
+    assert n_stream == n_batch
+    assert total == n_stream  # no duplicate ids emitted
+
+
 def test_foreachbatch_upsert_sink(spark, events_stream, tmp_path):
     out, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
     q = se.stream_upsert_to_parquet(events_stream, out, ckpt)
