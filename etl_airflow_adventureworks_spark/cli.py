@@ -1,0 +1,79 @@
+"""Command-line entry points — the spark-submit-able surface.
+
+A reference user ran Airflow DAGs + DBeaver SQL; the migration path here:
+
+    python -m etl_airflow_adventureworks_spark.cli build-star \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/warehouse
+    python -m etl_airflow_adventureworks_spark.cli kpi kpi05_top5_products \
+        --sf-dir /root/testdata/sf0.01
+    python -m etl_airflow_adventureworks_spark.cli query ext_minhash_neardup \
+        --sf-dir /root/testdata/sf0.01 --limit 10
+
+The same module works under ``spark-submit`` (it only getOrCreates).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_airflow_adventureworks_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-star", help="materialize the star-schema warehouse")
+    b.add_argument("--sf-dir", required=True)
+    b.add_argument("--out", required=True)
+
+    k = sub.add_parser("kpi", help="run a KPI by SQL text (DBeaver-style)")
+    k.add_argument("name")
+    k.add_argument("--sf-dir", required=True)
+    k.add_argument("--limit", type=int, default=20)
+
+    q = sub.add_parser("query", help="run any declared query by name")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", required=True)
+    q.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list", help="list declared queries")
+
+    args = p.parse_args(argv)
+
+    from .registry import QUERIES, load_all
+
+    load_all()
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"cli:{args.cmd}")
+    if args.cmd == "build-star":
+        from .plans.pipeline import build_star
+
+        counts = build_star(spark, args.sf_dir, args.out)
+        for table, n in counts.items():
+            print(f"{table}: {n} rows")
+        return 0
+    if args.cmd == "kpi":
+        from .plans.kpis_sql import KPI_SQL, run_kpi_sql
+
+        if args.name not in KPI_SQL:
+            print(f"unknown KPI {args.name!r}; one of {sorted(KPI_SQL)}", file=sys.stderr)
+            return 2
+        run_kpi_sql(spark, args.sf_dir, args.name).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "query":
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r} (see `list`)", file=sys.stderr)
+            return 2
+        QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,19 @@
+"""CLI surface tests (argument handling; heavy paths covered elsewhere)."""
+
+from __future__ import annotations
+
+from etl_airflow_adventureworks_spark.cli import main
+
+
+def test_list_and_errors(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "kpi05_top5_products" in out and "ext_minhash_neardup" in out
+    assert main(["kpi", "nope", "--sf-dir", "/x"]) == 2
+    assert main(["query", "nope", "--sf-dir", "/x"]) == 2
+
+
+def test_query_runs(spark, capsys):
+    # reuses the session via getOrCreate inside the CLI
+    assert main(["query", "op26_topk", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "o_totalprice" in capsys.readouterr().out
