@@ -33,6 +33,8 @@ _MODULES = [
     "etl_airflow_adventureworks_spark.plans.kpis",
     "etl_airflow_adventureworks_spark.plans.star",
     "etl_airflow_adventureworks_spark.operators.relational",
+    "etl_airflow_adventureworks_spark.operators.functions_suite",
+    "etl_airflow_adventureworks_spark.operators.asof",
     "etl_airflow_adventureworks_spark.operators.dedup",
     "etl_airflow_adventureworks_spark.operators.similarity",
     "etl_airflow_adventureworks_spark.operators.sessionize",
