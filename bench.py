@@ -52,6 +52,10 @@ HEADLINE = [
     "ext_session_gap",
     "ext_event_window_1h",
     "ext_json_extract",
+    "ext_asof_attribution",
+    "ext_window_suite",
+    "ext_rollup_revenue",
+    "ext_distinct_counts",
     "ext_multimodal_features",
 ]
 
@@ -68,6 +72,10 @@ COUNT_ONLY = {
     "ext_session_gap",
     "ext_event_window_1h",
     "ext_json_extract",
+    "ext_asof_attribution",
+    "ext_window_suite",
+    "ext_rollup_revenue",
+    "ext_distinct_counts",
     "ext_multimodal_features",
 }
 

@@ -7,9 +7,10 @@ The LLM-pipeline dedup ladder over ``documents``:
                self-join (the scalable exact algorithm: shuffle on shingle,
                never a cross join); DuckDB-oracle-checked.
 - MinHash    — 32-permutation signatures, 16 bands × 2 rows LSH banding,
-               band-key self-join for candidates, exact-Jaccard verify (E2).
-- SimHash    — 64-bit fingerprints from token multisets, 16-bit band join,
-               Hamming-distance filter.
+               in-bucket pair expansion for candidates, exact-Jaccard
+               verify (E2).
+- SimHash    — 64-bit fingerprints from token multisets, 16-bit band
+               buckets, Hamming ≤ 3 filter.
 - embedding  — blocked exact cosine over the embeddings table (label
                blocking ≈ cluster blocking; the shuffle key is the block).
 

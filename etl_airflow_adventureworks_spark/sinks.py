@@ -16,17 +16,26 @@ def write_table(
     path: str,
     partition_by: list[str] | None = None,
     coalesce_to: int | None = None,
+    fmt: str = "parquet",
+    compression: str | None = None,
 ) -> None:
     """Idempotent overwrite write (op 5). ``partition_by`` drives partition
     pruning for downstream scans (e.g. fact partitioned by year); at 100 TB
     this is the layout decision that replaces the reference's b-tree indexes
-    (create_dw_tables.sql:68-72, SURVEY.md §4)."""
+    (create_dw_tables.sql:68-72, SURVEY.md §4).
+
+    ``fmt``: parquet (default) / orc / json — same overwrite contract.
+    ``compression``: e.g. 'zstd' for parquet/orc (better ratio than the
+    default snappy at similar scan speed — the 100 TB storage-bill knob).
+    """
     if coalesce_to:
         df = df.coalesce(coalesce_to)
-    w = df.write.mode("overwrite")
+    w = df.write.mode("overwrite").format(fmt)
+    if compression:
+        w = w.option("compression", compression)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    w.save(path)
 
 
 def write_jdbc(
