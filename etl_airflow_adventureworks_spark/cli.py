@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", required=True)
     q.add_argument("--limit", type=int, default=20)
 
+    r = sub.add_parser(
+        "ref-kpi", help="run one of the reference's literal KPIs over a built warehouse"
+    )
+    r.add_argument("name")
+    r.add_argument("--warehouse", required=True)
+    r.add_argument("--limit", type=int, default=20)
+
     sub.add_parser("list", help="list declared queries")
 
     args = p.parse_args(argv)
@@ -65,6 +72,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown KPI {args.name!r}; one of {sorted(KPI_SQL)}", file=sys.stderr)
             return 2
         run_kpi_sql(spark, args.sf_dir, args.name).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "ref-kpi":
+        from .plans.reference_kpis import REFERENCE_KPI_SQL, run_reference_kpi
+
+        if args.name not in REFERENCE_KPI_SQL:
+            print(
+                f"unknown reference KPI {args.name!r}; one of {sorted(REFERENCE_KPI_SQL)}",
+                file=sys.stderr,
+            )
+            return 2
+        run_reference_kpi(spark, args.warehouse, args.name).show(
+            args.limit, truncate=False
+        )
         return 0
     if args.cmd == "query":
         if args.name not in QUERIES:

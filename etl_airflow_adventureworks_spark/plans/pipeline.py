@@ -74,6 +74,10 @@ def fact_from_warehouse(spark: SparkSession, sf_dir: str, out_dir: str) -> DataF
             "sk_vendedor",
             yyyymmdd_key(F.col("o_orderdate")).cast("long").alias("sk_tempo"),
             F.col("l_quantity").cast("long").alias("qtd_vendida"),
+            # unit price recovered from the extended amount (the reference
+            # fact stores valor_unitario, create_dw_tables.sql:62) so the
+            # reference's KPI 1 runs verbatim over the warehouse
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("valor_unitario"),
             discount_amount("l_extendedprice", "l_discount")
             .cast("double")
             .alias("valor_desconto"),
