@@ -575,6 +575,88 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_semi_anti_join",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                THEN 'active' ELSE 'dormant' END AS status
+    FROM customer
+    """,
+)
+def ext_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join capability (pyspark_guide: left_semi ≡ EXISTS,
+    left_anti ≡ NOT EXISTS): customers split into active (semi) and
+    dormant (anti) against orders, unioned back. Each side is one
+    broadcast-able existence join — no row multiplication ever."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    active = customer.join(orders, "c_custkey", "left_semi").withColumn(
+        "status", F.lit("active")
+    )
+    dormant = customer.join(orders, "c_custkey", "left_anti").withColumn(
+        "status", F.lit("dormant")
+    )
+    return active.unionByName(dormant)
+
+
+@query(
+    "ext_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ext_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) via the native pivot() API with an EXPLICIT value
+    list — without it Spark runs an extra distinct scan to discover values,
+    which at 100 TB is a full pass you didn't ask for."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "ext_cube_revenue",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS ano,
+           o_orderpriority,
+           CAST(SUM({{net}}) AS DOUBLE) AS net_revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY CUBE(1, 2)
+    """.format(
+        net="CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    ),
+)
+def ext_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, priority) — all four grouping sets in one
+    expand+aggregate pass (2^n expansion is the cost model: fine for 2-3
+    dims, use explicit grouping sets beyond that)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .cube(
+            F.year("o_orderdate").cast("long").alias("ano"),
+            F.col("o_orderpriority"),
+        )
+        .agg(dsum(net_amount("l_extendedprice", "l_discount"), "net_revenue"))
+    )
+
+
+@query(
     "ext_rollup_revenue",
     oracle=f"""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS ano,
