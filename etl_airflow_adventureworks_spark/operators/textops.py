@@ -204,6 +204,30 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_group_cap_sample",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 20
+    """,
+)
+def ext_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group downsampling (training-data mixture control):
+    at most 20 documents per source, keeping the lowest doc_ids — the
+    reproducible alternative to sampleBy() when dataset cards must be
+    re-derivable. One shuffle on the group key; rank-and-filter."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+@query(
     "ext_tfidf_top_terms",
     oracle=f"""
     WITH toks AS (SELECT doc_id, unnest({_TOK_DUCK}) AS term FROM documents),
