@@ -204,6 +204,41 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_interleave_sources",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY rn, source, doc_id) AS BIGINT)
+             AS position
+    FROM ranked
+    """,
+)
+def ext_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleaving of sources — the training-order
+    mixture shuffle (one example per source per round) as pure rank
+    arithmetic: position = rank of (round, source). Reproducible by
+    construction, unlike a seeded shuffle; skew note: the global final
+    row_number is a single-partition sort — for billion-row corpora emit
+    (rn, source) as the sort key and let the sink's range partitioner
+    produce the order instead."""
+    from pyspark.sql import Window
+
+    w_src = Window.partitionBy("source").orderBy("doc_id")
+    w_all = Window.orderBy("rn", "source", "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w_src))
+        .withColumn("position", F.row_number().over(w_all).cast("long"))
+        .drop("rn")
+    )
+
+
+@query(
     "ext_group_cap_sample",
     oracle="""
     SELECT doc_id, source FROM documents
