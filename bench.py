@@ -27,36 +27,41 @@ from etl_airflow_adventureworks_spark.session import get_spark  # noqa: E402
 
 #: headline set — populated as operators land; filtered by availability.
 HEADLINE = [
-    "kpi01_gross_revenue",
-    "kpi02_net_revenue",
-    "kpi03_total_discount",
-    "kpi04_total_volume",
+    "kpi_globals",  # r01: kpi01+kpi02+kpi03+kpi04+kpi10 (now one pass)
     "kpi05_top5_products",
     "kpi06_sales_by_category",
     "kpi07_sales_by_country",
     "kpi08_seasonality",
     "kpi09_top10_suppliers",
-    "kpi10_avg_ticket",
     "etl_fact_sales",
     "etl_dim_customer_geo",
+    "etl_dim_locality",
+    "op_join_shapes",
     "ext_exact_dedup_docs",
     "ext_ngram_jaccard",
     "ext_minhash_neardup",
     "ext_simhash_neardup",
     "ext_ann_cosine_topk",
+    "ext_ann_lsh_topk",
     "ext_embedding_neardup",
     "ext_token_stats",
     "ext_bpe_token_count",
     "ext_lang_id",
     "ext_quality_score",
+    "ext_tfidf_top_terms",
+    "ext_fingerprint",
+    "ext_interleave_sources",
+    "ext_group_cap_sample",
     "ext_session_gap",
     "ext_event_window_1h",
     "ext_json_extract",
     "ext_asof_attribution",
+    "ext_event_funnel_pivot",
     "ext_window_suite",
-    "ext_rollup_revenue",
+    "ext_grouping_sets",  # r01: ext_rollup_revenue (+cube, one pass)
     "ext_distinct_counts",
     "ext_multimodal_features",
+    "ext_stream_window_equiv",
 ]
 
 #: large-result queries are consumed with count() instead of collect() —
@@ -64,17 +69,23 @@ HEADLINE = [
 COUNT_ONLY = {
     "etl_fact_sales",
     "etl_dim_customer_geo",
+    "op_join_shapes",
     "ext_exact_dedup_docs",
     "ext_token_stats",
     "ext_bpe_token_count",
     "ext_lang_id",
     "ext_quality_score",
+    "ext_tfidf_top_terms",
+    "ext_fingerprint",
+    "ext_interleave_sources",
+    "ext_group_cap_sample",
     "ext_session_gap",
     "ext_event_window_1h",
     "ext_json_extract",
     "ext_asof_attribution",
+    "ext_event_funnel_pivot",
     "ext_window_suite",
-    "ext_rollup_revenue",
+    "ext_grouping_sets",
     "ext_distinct_counts",
     "ext_multimodal_features",
 }
@@ -103,7 +114,7 @@ def main() -> None:
     # codegen shapes the headline queries use (steady-state measurement;
     # JIT warmup is not the thing under test)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    registry.QUERIES["kpi02_net_revenue"](
+    registry.QUERIES["kpi_globals"](
         spark, sf_dir
     ).collect()  # warms lineitem scan + decimal agg codegen paths
 

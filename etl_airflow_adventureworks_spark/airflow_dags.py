@@ -27,7 +27,13 @@ except ImportError:
     PythonOperator = None
     HAS_AIRFLOW = False
 
-DIM_TASKS = ("etl_dim_date", "etl_dim_part", "etl_dim_customer_geo", "etl_dim_supplier")
+DIM_TASKS = (
+    "etl_dim_date",
+    "etl_dim_part",
+    "etl_dim_customer_geo",
+    "etl_dim_supplier",
+    "etl_dim_locality",
+)
 
 
 def _run_dim(name: str) -> int:

@@ -27,11 +27,29 @@ def asof_join(
 ) -> DataFrame:
     """Backward as-of join. ``on``: orderable column in both sides; ``by``:
     entity key in both sides. Right's non-key columns surface with
-    ``suffix``. Left rows with no earlier right row keep NULLs."""
+    ``suffix``. Left rows with no earlier right row keep NULLs.
+
+    Raises ValueError on column-name collisions: a shared non-key column
+    would appear twice in the tagged union, and a left column already named
+    ``<rightcol><suffix>`` would collide with the suffixed output — both
+    silently corrupt results otherwise."""
     types = {f.name: f.dataType.simpleString() for f in left.schema.fields}
     rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
     lcols = list(left.columns)
     rvals = [c for c in right.columns if c not in (on, by)]
+    shared = set(rvals) & set(lcols)
+    if shared:
+        raise ValueError(
+            f"asof_join: non-key column(s) {sorted(shared)} exist on both "
+            f"sides; rename one side before joining"
+        )
+    suffixed = {f"{c}{suffix}" for c in [on] + rvals}
+    clash = suffixed & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join: left column(s) {sorted(clash)} collide with the "
+            f"suffixed right output; pick a different suffix"
+        )
     out_schema = ", ".join(
         [f"{c} {types[c]}" for c in lcols]
         + [f"{on}{suffix} {rtypes[on]}"]

@@ -89,9 +89,9 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ext_ngram_jaccard",
-    oracle=f"""
+#: DuckDB oracle for exact shingle-Jaccard pairs (shared by the declared
+#: prefix-filtered query and the naive library twin — same exact result).
+_NGRAM_JACCARD_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_DUCK} AS shingles
       FROM (SELECT doc_id, {_TOK_DUCK} AS t FROM documents)
@@ -109,16 +109,19 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
-    """,
-)
-def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join —
-    explode distinct shingles, shuffle on shingle (never a cross join),
-    count shared shingles per pair, then |A∩B|/(|A|+|B|-|A∩B|) ≥ t.
+"""
 
-    On Zipfian corpora prefer ``ngram_jaccard_prefix_filtered`` (same exact
-    result, candidates from rare prefix shingles only); on this synthetic
-    tiny-vocab corpus the naive join is faster because no shingle is rare.
+
+def ngram_jaccard_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the NAIVE inverted-index
+    self-join — explode distinct shingles, shuffle on shingle (never a cross
+    join), count shared shingles per pair, then |A∩B|/(|A|+|B|-|A∩B|) ≥ t.
+
+    Library twin of the declared ``ext_ngram_jaccard`` (prefix-filtered):
+    result-identical (asserted in tests), slightly faster on this synthetic
+    tiny-vocab corpus, but quadratic in candidate pairs on Zipfian corpora
+    where common shingles collide — the declared query uses the
+    prefix-filtered form because that one survives 100 TB.
     """
     sh = _shingle_sets(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
@@ -142,7 +145,8 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("ext_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
+def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PREFIX-FILTERED exact Jaccard join (AllPairs-style) — the 100 TB
     candidate-generation strategy for realistic (Zipfian) corpora:
 
@@ -153,7 +157,9 @@ def ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame
        generation skips the common-shingle quadratic blowup;
     3. candidates verify with the FULL exact Jaccard via array_intersect.
 
-    Result-identical to ext_ngram_jaccard (asserted in tests)."""
+    Result-identical to ``ngram_jaccard_naive`` (asserted in tests), which
+    is marginally faster on this tiny-vocab synthetic corpus but quadratic
+    on Zipfian data — the declared query is the scale-safe form."""
     sh = _shingle_sets(spark, sf_dir)
     inv = sh.select("doc_id", F.explode(F.array_compact("shingles")).alias("s"))
     df_rank = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -350,16 +356,32 @@ def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_embedding_neardup_blas")  # float reassociation in BLAS → rows-only
-def ext_embedding_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via applyInPandas + numpy BLAS: per label block,
-    normalize the block matrix once and take the upper triangle of G=V·Vᵀ.
+_EMBEDDING_NEARDUP_ORACLE = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+"""
+
+
+@query("ext_embedding_neardup", oracle=_EMBEDDING_NEARDUP_ORACLE)
+def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via applyInPandas + numpy BLAS — the PRIMARY path:
+    per label block, compute dot products and per-vector norms with one
+    dgemm (G = V·Vᵀ) and divide by the norm outer product — the same
+    cos = dot/(|a||b|) operation order as the DuckDB oracle and the
+    Catalyst twin, so the rounded values match bit-for-bit.
 
     This is the charter's vectorized-Pandas-UDF path where built-ins
-    genuinely lose: the Catalyst twin (ext_embedding_neardup, oracle-checked)
-    folds 64 interpreted multiplies per pair; BLAS does the whole block as
-    one dgemm — ~10× at sf0.1 and widening with block size. Arrow-batched,
-    one shuffle on the block key, worker closure self-contained."""
+    genuinely lose: the Catalyst twin (``embedding_neardup_exact``, below,
+    result-identical-tested) folds 64 interpreted multiplies per pair; BLAS
+    does the whole block as one dgemm — ~10× at sf0.1 and widening with
+    block size. Arrow-batched, one shuffle on the block key (n² only within
+    a block, never globally), worker closure self-contained."""
     import pandas as pd
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -370,15 +392,19 @@ def ext_embedding_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = _np.argsort(ids)
         ids, v = ids[order], v[order]
-        v /= _np.linalg.norm(v, axis=1, keepdims=True)
+        # dot/(|a||b|) with np.dot per element pair — mirrors the oracle's
+        # operation order exactly (normalize-then-multiply would introduce
+        # a different rounding path and can flip a 6-decimal rounding)
         g = v @ v.T
+        nrm = _np.sqrt((v * v).sum(axis=1))
         a_idx, b_idx = _np.triu_indices(len(ids), k=1)
-        keep = g[a_idx, b_idx] >= 0.35
+        cos = g[a_idx, b_idx] / (nrm[a_idx] * nrm[b_idx])
+        keep = cos >= 0.35
         return _pd.DataFrame(
             {
                 "vec_a": ids[a_idx[keep]],
                 "vec_b": ids[b_idx[keep]],
-                "cos_sim": _np.round(g[a_idx, b_idx][keep], 6),
+                "cos_sim": _np.round(cos[keep], 6),
             }
         )
 
@@ -386,27 +412,15 @@ def ext_embedding_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .groupBy("label")
         .applyInPandas(block_pairs, schema="vec_a long, vec_b long, cos_sim double")
-        .orderBy("vec_a", "vec_b")
     )
 
 
-@query(
-    "ext_embedding_neardup",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
-    """,
-)
-def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by cluster label: exact
-    cosine within blocks only — the blocked-dedup shape (block key = the
-    shuffle key; n² only within a block, never globally)."""
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs in pure Catalyst, blocked by cluster
+    label — the verification twin of the BLAS-primary ``ext_embedding_neardup``
+    (result-identical, asserted in tests). Slower (interpreted higher-order
+    fold per pair) but UDF-free; the blocked-dedup shape is the same (block
+    key = the shuffle key)."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .selectExpr("vec_id", "label", f"{to_double_array('embedding')} AS v")

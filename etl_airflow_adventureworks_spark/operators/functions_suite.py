@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import yyyymmdd_key
 from ..registry import query
 from ..sources import load_table
 
@@ -100,19 +101,34 @@ def ext_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
                 AS BIGINT) AS days_since_epoch_start,
            CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
-           CAST(weekofyear(o_orderdate) AS BIGINT) AS woy
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+           CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                               '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS ts_epoch,
+           CAST(year(o_orderdate) AS BIGINT) AS ano,
+           CAST(month(o_orderdate) AS BIGINT) AS mes,
+           CAST(day(o_orderdate) AS BIGINT) AS dia,
+           CAST(quarter(o_orderdate) AS BIGINT) AS trimestre,
+           CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate)
+                AS BIGINT) AS sk_tempo
     FROM orders
     """,
 )
 def ext_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-arithmetic family (interval add, month boundaries, truncation,
-    day differences, ISO week/day numbers) — surfaced as ISO strings /
-    integers per the no-raw-temporal output rule.
+    """Date/time family in one projection:
 
-    DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
-    normalized to Spark's convention (+1 is in the oracle via the CAST of
-    dayofweek()+... no: DuckDB's dayofweek already differs, so the Spark
-    side subtracts 1 to match DuckDB's 0-based convention)."""
+    - date arithmetic breadth (interval add, month boundaries, truncation,
+      day differences, ISO week/day numbers) — surfaced as ISO strings /
+      integers per the no-raw-temporal output rule;
+    - string→timestamp parse round trip as epoch seconds (op 30;
+      pd.to_datetime of '2011-05-31 00:00:00' strings,
+      etl_fato_vendas.py:33-34 — raw timestamps render with different
+      pandas datetime64 resolutions per engine, hence epoch ints);
+    - date-part extraction ano/mes/dia/trimestre (op 31; .dt.year etc.,
+      etl_dim_tempo.py:21-24);
+    - YYYYMMDD smart-key arithmetic (op 34; etl_dim_tempo.py:39-43).
+
+    dayofweek convention: DuckDB is 0=Sunday..6, Spark is 1=Sunday..7;
+    the Spark side subtracts 1 to match DuckDB's 0-based convention."""
     d = F.col("o_orderdate")
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -124,4 +140,16 @@ def ext_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_epoch_start"),
         (F.dayofweek(d) - 1).cast("long").alias("dow"),
         F.weekofyear(d).cast("long").alias("woy"),
+        F.unix_timestamp(
+            F.to_timestamp(
+                F.date_format(d, "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+            )
+        )
+        .cast("long")
+        .alias("ts_epoch"),
+        F.year(d).cast("long").alias("ano"),
+        F.month(d).cast("long").alias("mes"),
+        F.dayofmonth(d).cast("long").alias("dia"),
+        F.quarter(d).cast("long").alias("trimestre"),
+        yyyymmdd_key(d).cast("long").alias("sk_tempo"),
     )

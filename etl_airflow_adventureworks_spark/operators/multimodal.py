@@ -1,16 +1,25 @@
 """Multimodal (binary) column operators (charter: multimodal columns).
 
-Design per the charter: image/audio/video travel as opaque ``binary``
-columns with typed metadata; decode / feature-extract / resize /
-frame-sample run as Arrow-batched pandas functions over ``mapInPandas``
-(the codec libraries aren't in this container, so the actual decode is
-STUBBED — ``NotImplementedError`` on the real path, a deterministic fake
-under ``fake=True`` — while the Spark-side plumbing (schema, batch shape,
-partition flow) is real and tested).
+Design per the charter: media travels as opaque ``binary`` columns with
+typed metadata; decode / feature-extract run as Arrow-batched pandas
+functions over ``mapInPandas``. The decode step is REAL for three
+container formats parseable with the standard library alone:
 
-The testdata has no binary table, so ``with_binary_payload`` manufactures
-one from ``documents.text`` (UTF-8 bytes) — byte-level semantics are
-identical to any other blob.
+- ``audio/wav``    — RIFF/WAVE container walk (fmt + data chunks), PCM
+                     samples out (struct parsing, real header validation);
+- ``image/x-portable-pixmap`` — PPM ``P6`` header parse (width/height/
+                     maxval) + raw RGB pixel plane;
+- ``application/zlib`` — DEFLATE decompression (zlib — a real codec).
+
+Codec-library formats (JPEG, MP3, MP4...) raise ``NotImplementedError``
+with the same contract (bytes in → features out): a production deployment
+plugs PIL/librosa/pyav into ``decode_media`` and nothing else changes.
+
+The testdata has no binary table, so ``synthesize_media`` manufactures real
+payloads from ``documents.text``: even doc_ids become an 8-bit-PCM WAV
+whose samples are the UTF-8 bytes, odd doc_ids a zlib stream — so the
+DuckDB oracle can verify the DECODED output (length + digest of the
+recovered bytes) end to end: synth → Arrow → parse/decompress → features.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per task
 regardless of table size; decode parallelism == partition count, so a
@@ -20,12 +29,12 @@ by row count. Metadata-only transforms (length, digest) stay in codegen.
 
 from __future__ import annotations
 
-import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import load_table
@@ -33,82 +42,196 @@ from ..sources import load_table
 #: schema of the feature-extraction output — the contract downstream
 #: training-data jobs consume.
 FEATURES_SCHEMA = (
-    "doc_id long, n_bytes long, content_md5 string, feature array<double>"
+    "doc_id long, media_type string, n_bytes long, "
+    "decoded_len long, decoded_md5 string, sample_rate long"
 )
 
+WAV_SAMPLE_RATE = 8000
 
-def with_binary_payload(df: DataFrame) -> DataFrame:
-    """Attach the opaque binary column + typed metadata (modality tag)."""
-    return df.select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-        F.lit("text/plain").alias("media_type"),
+
+def make_wav(pcm: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """A real RIFF/WAVE container: canonical 44-byte header + mono 8-bit
+    unsigned PCM data chunk."""
+    data_size = len(pcm)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", data_size)
+        + pcm
     )
 
 
-def decode_media(payload: bytes, media_type: str):
-    """Real decode path — requires codec libs not present in this image.
+def make_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """A real binary PPM (``P6``) image: ASCII header + raw RGB plane."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel plane size != width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
-    A production deployment plugs PIL/librosa/pyav here; the engine-side
-    contract (bytes in, feature rows out) is unchanged.
+
+def decode_media(payload: bytes, media_type: str) -> tuple[bytes, dict]:
+    """Decode a binary payload → (decoded byte plane, metadata).
+
+    Real implementations for WAV (RIFF chunk walk), PPM (P6 header parse)
+    and zlib (DEFLATE). Codec-library formats raise NotImplementedError —
+    the engine-side contract (bytes in, features out) is unchanged when a
+    production image/audio lib is plugged in here.
     """
+    b = bytes(payload)
+    if media_type == "audio/wav":
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE container")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (sz,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body = b[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_format, n_channels, sample_rate, _, _, bits = fmt
+        if audio_format != 1:
+            raise NotImplementedError(f"compressed WAV (format {audio_format})")
+        return data, {
+            "sample_rate": sample_rate,
+            "n_channels": n_channels,
+            "bits_per_sample": bits,
+            "n_samples": len(data) * 8 // (bits * n_channels),
+        }
+    if media_type == "image/x-portable-pixmap":
+        if b[:2] != b"P6":
+            raise ValueError("not a P6 PPM")
+        fields: list[int] = []
+        pos = 2
+        while len(fields) < 3:  # width, height, maxval; '#' comments legal
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                while b[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = fields
+        pixels = b[pos : pos + width * height * 3]
+        if len(pixels) != width * height * 3:
+            raise ValueError("truncated pixel plane")
+        return pixels, {"width": width, "height": height, "maxval": maxval}
+    if media_type == "application/zlib":
+        return zlib.decompress(b), {}
     raise NotImplementedError(
-        f"no codec available for {media_type}; install an image/audio lib "
-        "or run with fake=True"
+        f"no codec available for {media_type}; plug an image/audio library "
+        "into decode_media (contract unchanged: bytes in, features out)"
     )
 
 
-def _fake_features(payload: bytes, dim: int = 4) -> list[float]:
-    """Deterministic fake 'decoder': fixed-dim feature from byte stats."""
-    n = len(payload)
-    return [
-        float(n),
-        float(payload[0]) if n else 0.0,
-        float(payload[-1]) if n else 0.0,
-        float(sum(payload[:64]) % 997),
-    ][:dim]
+def synthesize_media(df: DataFrame) -> DataFrame:
+    """Manufacture real binary payloads from document text: even doc_ids →
+    WAV (UTF-8 bytes as 8-bit PCM samples — a legal mono audio stream),
+    odd → zlib stream. mapInPandas so the bytes genuinely travel as an
+    Arrow binary column; worker closure self-contained (cloudpickle ships
+    it by value — no repo sys.path needed on workers)."""
 
-
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """Feature extraction over binary payloads via mapInPandas (Arrow
-    batches). ``fake=False`` routes to the stubbed real decoder.
-
-    The worker function is fully self-contained (local imports, no
-    module-global references): cloudpickle ships local closures by value,
-    so Python workers need neither this package installed nor repo paths
-    on sys.path — required for running under an external driver harness.
-    """
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hashlib
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
 
         import pandas as _pd
 
-        def _features(b: bytes, dim: int = 4) -> list[float]:
-            n = len(b)
-            return [
-                float(n),
-                float(b[0]) if n else 0.0,
-                float(b[-1]) if n else 0.0,
-                float(sum(b[:64]) % 997),
-            ][:dim]
+        def _wav(pcm: bytes) -> bytes:
+            return (
+                b"RIFF"
+                + _struct.pack("<I", 36 + len(pcm))
+                + b"WAVE"
+                + b"fmt "
+                + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                + b"data"
+                + _struct.pack("<I", len(pcm))
+                + pcm
+            )
 
         for pdf in batches:
-            payloads = pdf["payload"]
-            if not fake:
-                for mt in pdf["media_type"]:
-                    raise NotImplementedError(
-                        f"no codec available for {mt}; install an image/audio "
-                        "lib or run with fake=True"
-                    )
+            raw = pdf["text"].map(lambda t: t.encode("utf-8"))
+            even = pdf["doc_id"] % 2 == 0
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "content_md5": payloads.map(
-                        lambda b: _hashlib.md5(bytes(b)).hexdigest()
+                    "media_type": even.map(
+                        {True: "audio/wav", False: "application/zlib"}
                     ),
-                    "feature": payloads.map(lambda b: _features(bytes(b))),
+                    "payload": [
+                        _wav(b) if e else _zlib.compress(b)
+                        for e, b in zip(even, raw)
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        build, schema="doc_id long, media_type string, payload binary"
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas (Arrow
+    batches): REAL decode (RIFF walk / DEFLATE) per payload, then
+    length + digest of the decoded plane and container metadata. The
+    worker function is fully self-contained (local imports, local decoder
+    copy) so Python workers need neither this package installed nor repo
+    paths on sys.path — required under an external driver harness."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+        import struct as _struct
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        def _decode(b: bytes, mt: str) -> tuple[bytes, int]:
+            if mt == "audio/wav":
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE container")
+                pos, rate, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (sz,) = _struct.unpack("<I", b[pos + 4 : pos + 8])
+                    body = b[pos + 8 : pos + 8 + sz]
+                    if cid == b"fmt ":
+                        rate = _struct.unpack("<HHIIHH", body[:16])[2]
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + sz + (sz & 1)
+                if rate is None or data is None:
+                    raise ValueError("missing fmt/data chunk")
+                return data, rate
+            if mt == "application/zlib":
+                return _zlib.decompress(bytes(b)), 0
+            raise NotImplementedError(f"no codec for {mt}")
+
+        for pdf in batches:
+            decoded = [
+                _decode(bytes(p), mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "decoded_len": [len(d) for d, _ in decoded],
+                    "decoded_md5": [
+                        _hashlib.md5(d).hexdigest() for d, _ in decoded
+                    ],
+                    "sample_rate": [r for _, r in decoded],
                 }
             )
 
@@ -119,15 +242,22 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     "ext_multimodal_features",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS content_md5
+           CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                ELSE 'application/zlib' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS decoded_len,
+           md5(text) AS decoded_md5
     FROM documents
     """,
 )
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction (metadata projection): the
-    mapInPandas pandas path computes byte length + digest per payload; the
-    DuckDB oracle recomputes both from the raw text — so the Arrow/pandas
-    batch plumbing itself is correctness-gated, not just the schema."""
-    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features(docs, fake=True).select("doc_id", "n_bytes", "content_md5")
+    """Binary-column decode + feature extraction, oracle-checked END TO END:
+    documents → real binary payloads (WAV container / zlib stream) → Arrow
+    → real decode (RIFF chunk walk / DEFLATE decompress) → decoded length
+    + digest. The DuckDB oracle recomputes both from the raw text, so a
+    header mis-parse, a truncated chunk, or any Arrow plumbing fault is a
+    hash mismatch — the decode path itself is correctness-gated, not just
+    the schema."""
+    docs = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs).select(
+        "doc_id", "media_type", "decoded_len", "decoded_md5"
+    )

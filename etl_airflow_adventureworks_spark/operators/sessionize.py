@@ -201,31 +201,46 @@ def ext_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ext_event_type_funnel",
+    "ext_event_funnel_pivot",
     oracle=f"""
     SELECT user_id,
            COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
            COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
            CAST(SUM({_VAL_DUCK}) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
              AS purchase_value
     FROM events
     GROUP BY user_id
     """,
 )
-def ext_event_type_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional-aggregation funnel per user (E5 shape): pivot-style
-    counts via FILTER/CASE aggregates — single shuffle, no per-type scans."""
+def ext_event_funnel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel via the native pivot() API (E5 shape, long→wide):
+    counts per event type plus purchase value, in ONE shuffle.
+
+    The pivot carries an EXPLICIT value list — without it Spark runs an
+    extra distinct scan to discover values, which at 100 TB is a full pass
+    you didn't ask for. Two aggregates per pivot cell (count + decimal sum)
+    come out as `<type>_n`/`<type>_v`; the projection keeps the funnel
+    columns. Missing cells are NULL from pivot → counts filled to 0 (DuckDB
+    FILTER count yields 0); the value sum keeps NULL-when-absent on both
+    engines."""
     ev = load_table(spark, sf_dir, "events")
-
-    def cnt(t: str) -> F.Column:
-        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
-
-    return ev.groupBy("user_id").agg(
-        cnt("view"),
-        cnt("click"),
-        cnt("purchase"),
-        F.sum(F.when(F.col("event_type") == "purchase", F.expr(_VAL_SPARK)))
-        .cast("double")
-        .alias("purchase_value"),
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(_VAL_SPARK)).alias("v"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("n_view"),
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("n_purchase"),
+        F.coalesce(F.col("signup_n"), F.lit(0)).alias("n_signup"),
+        F.coalesce(F.col("error_n"), F.lit(0)).alias("n_error"),
+        F.col("purchase_v").cast("double").alias("purchase_value"),
     )

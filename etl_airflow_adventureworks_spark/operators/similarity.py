@@ -99,12 +99,19 @@ def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_ann_lsh_multiprobe")  # approximate → rows-only check
-def ext_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiprobe LSH top-k: each query probes its own bucket plus the 8
-    Hamming-distance-1 buckets (one sign-bit flip each) — ~9/256 of the
-    collection instead of 1/256, with substantially higher recall at the
-    same shuffle shape (the standard multiprobe tradeoff)."""
+@query("ext_ann_lsh_topk")  # approximate (bucket recall) → rows-only check
+def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k with MULTIPROBE (E3 scale path): 8
+    signed random hyperplanes partition the collection into 256 buckets
+    (deterministic planes, seed 7); each query probes its own bucket plus
+    the 8 Hamming-distance-1 buckets (one sign-bit flip each) — ~9/256 of
+    the collection instead of 1/256, with substantially higher recall at
+    the same shuffle shape (the standard multiprobe tradeoff).
+
+    The bucket id is the layout key: at 100 TB the collection is written
+    bucketed on it and a probe touches only its buckets' files. The
+    single-bucket probe variant is ``ann_lsh_single_probe`` (library twin,
+    recall-tested against this one)."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .selectExpr("vec_id", f"{to_double_array('embedding')} AS v")
@@ -132,13 +139,11 @@ def ext_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_ann_lsh_topk")  # approximate (bucket recall) → rows-only check
-def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (E3 scale path): 8 signed random
-    hyperplanes partition the collection into 256 buckets; each query only
-    scores its own bucket. The bucket id is the shuffle/partition key — at
-    100 TB the collection is written bucketed on it and a query touches
-    1/256th of the data. Deterministic planes (seed 7)."""
+def ann_lsh_single_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe LSH top-k (library twin of the declared multiprobe
+    query): each query scores only its own bucket — 1/256th of the
+    collection, lowest cost, lowest recall. Kept for the recall-vs-cost
+    comparison test."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .selectExpr("vec_id", f"{to_double_array('embedding')} AS v")

@@ -42,22 +42,26 @@ def _sw_array_sql(lang: str) -> str:
 @query(
     "ext_token_stats",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOK_DUCK} AS t FROM documents)
+    WITH toks AS (SELECT doc_id, text, {_TOK_DUCK} AS t FROM documents)
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
            CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t)
              AS avg_token_len,
-           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+           CASE WHEN trim(text) = '' THEN '<empty>'
+                ELSE substr(trim(text), 1, 10) END AS head
     FROM toks
     """,
 )
 def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (E4): whitespace+regex tokens, type-token ratio, mean
-    token length. Pure per-row expressions — no shuffle at all."""
+    token length, plus the empty-default CASE head (op 12 shape;
+    `df.loc[df[c]=='', c] = default`, etl_dim_cliente.py:31 — lifted to a
+    native CASE). Pure per-row expressions — no shuffle at all."""
     return (
         load_table(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"{_TOK_SPARK} AS t")
+        .selectExpr("doc_id", "text", f"{_TOK_SPARK} AS t")
         .selectExpr(
             "doc_id",
             "CAST(size(t) AS BIGINT) AS n_tokens",
@@ -65,6 +69,8 @@ def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(aggregate(transform(t, x -> length(x)), 0L, (acc, x) -> acc + x) AS DOUBLE)"
             " / size(t) AS avg_token_len",
             "CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS ttr",
+            "CASE WHEN trim(text) = '' THEN '<empty>'"
+            " ELSE substr(trim(text), 1, 10) END AS head",
         )
     )
 
@@ -219,22 +225,47 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic round-robin interleaving of sources — the training-order
-    mixture shuffle (one example per source per round) as pure rank
-    arithmetic: position = rank of (round, source). Reproducible by
-    construction, unlike a seeded shuffle; skew note: the global final
-    row_number is a single-partition sort — for billion-row corpora emit
-    (rn, source) as the sort key and let the sink's range partitioner
-    produce the order instead."""
+    mixture shuffle (one example per source per round): position = global
+    rank of (round, source, doc_id). Reproducible by construction, unlike a
+    seeded shuffle.
+
+    Scale design: the global rank is computed in CLOSED FORM, not with a
+    single-partition ``Window.orderBy`` (the round-1 form — a scale-killer
+    that sorted the whole corpus on one task). With per-source sizes
+    n_s (a tiny broadcast map, one row), the rank of a doc at per-source
+    round ``rn`` in source ``s`` is
+
+        position = Σ_src min(rn-1, n_src)            -- docs in earlier rounds
+                 + #{src < s : n_src >= rn}           -- same round, earlier src
+                 + 1
+
+    because each source contributes exactly one doc per round while it still
+    has docs. One shuffle total (the per-source row_number); the position is
+    a per-row O(#sources) expression over the broadcast map — no global
+    sort, no second shuffle, valid at any corpus size. Asserted in
+    tests/test_plan_shapes.py: the executed plan has no empty-partition
+    Window."""
     from pyspark.sql import Window
 
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # tiny per-source size map (≤ #sources rows → 1-row map, broadcast)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    cmap = counts.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("source", "n")))
+        ).alias("cmap")
+    )
     w_src = Window.partitionBy("source").orderBy("doc_id")
-    w_all = Window.orderBy("rn", "source", "doc_id")
+    keyed = docs.withColumn("rn", F.row_number().over(w_src))
+    position = F.expr(
+        "aggregate(map_entries(cmap), 0L,"
+        " (acc, e) -> acc + least(CAST(rn - 1 AS BIGINT), e.value)"
+        "           + CASE WHEN e.key < source AND e.value >= rn THEN 1L ELSE 0L END)"
+        " + 1L"
+    )
     return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source")
-        .withColumn("rn", F.row_number().over(w_src))
-        .withColumn("position", F.row_number().over(w_all).cast("long"))
-        .drop("rn")
+        keyed.crossJoin(F.broadcast(cmap))
+        .select("doc_id", "source", position.cast("long").alias("position"))
     )
 
 
@@ -287,20 +318,26 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one exploded scan, idf a broadcast of the tiny df table back onto
     tf. No ML pipeline object, no vocabulary materialized on the driver.
     Scores rounded to 6 before ranking so libm log differences can't flip
-    cross-engine order; total order via the term tie-break."""
+    cross-engine order; total order via the term tie-break.
+
+    Fully lazy: the corpus size joins in as a 1-row broadcast aggregate
+    (no driver-side .count() at plan-construction time — building the plan
+    runs zero jobs, per the registry's lazy-plan contract)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.selectExpr("doc_id", f"explode({_TOK_SPARK}) AS term")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar: one count job, broadcast as a literal
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -33,7 +33,20 @@ def scd2_upsert(
 
     ``current`` carries (key, attrs..., valid_from, valid_to[null=open]);
     ``updates`` carries (key, attrs..., change_ts).
+
+    ``updates`` is deduplicated to one row per key (latest ``change_ts``
+    wins, deterministic) before merging — duplicate update keys would
+    otherwise fan out the close-interval join and corrupt the history with
+    multiple valid_to versions per open row.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col))
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     upd_keys = updates.select(key, F.col(ts_col))
     closed = (
         current.join(F.broadcast(upd_keys), key, "inner")

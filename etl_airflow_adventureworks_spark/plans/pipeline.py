@@ -19,7 +19,13 @@ from ..registry import QUERIES, load_all
 from ..sinks import write_table
 from ..sources import load_table
 
-DIMS = ("etl_dim_date", "etl_dim_part", "etl_dim_customer_geo", "etl_dim_supplier")
+DIMS = (
+    "etl_dim_date",
+    "etl_dim_part",
+    "etl_dim_customer_geo",
+    "etl_dim_supplier",
+    "etl_dim_locality",
+)
 
 
 def build_star(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
@@ -52,6 +58,10 @@ def fact_from_warehouse(spark: SparkSession, sf_dir: str, out_dir: str) -> DataF
     plans.star.etl_fact_sales."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
+    # the customer's nation is the fact's address-grain source (the
+    # reference reads the ship-to address id off the order header,
+    # etl_fato_vendas.py:60-67; testdata address grain = nation)
+    cust_src = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     dp = spark.read.parquet(f"{out_dir}/dim_part.parquet").select(
         "sk_produto", "id_produto_original"
     )
@@ -61,17 +71,27 @@ def fact_from_warehouse(spark: SparkSession, sf_dir: str, out_dir: str) -> DataF
     dv = spark.read.parquet(f"{out_dir}/dim_supplier.parquet").select(
         "sk_vendedor", "id_vendedor_original"
     )
+    dl = spark.read.parquet(f"{out_dir}/dim_locality.parquet").select(
+        "sk_localidade", "id_localidade_original"
+    )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
         .join(F.broadcast(dp), li["l_partkey"] == dp["id_produto_original"], "left")
         .join(F.broadcast(dc), orders["o_custkey"] == dc["id_cliente_original"], "left")
         .join(F.broadcast(dv), li["l_suppkey"] == dv["id_vendedor_original"], "left")
+        .join(F.broadcast(cust_src), orders["o_custkey"] == cust_src["c_custkey"], "left")
+        .join(
+            F.broadcast(dl),
+            cust_src["c_nationkey"] == dl["id_localidade_original"],
+            "left",
+        )
         .na.drop(subset=["sk_produto", "sk_cliente", "sk_vendedor"])
         .select(
             (F.col("l_orderkey") * 100 + F.col("l_linenumber")).cast("long").alias("id_venda"),
             "sk_produto",
             "sk_cliente",
             "sk_vendedor",
+            "sk_localidade",
             yyyymmdd_key(F.col("o_orderdate")).cast("long").alias("sk_tempo"),
             F.col("l_quantity").cast("long").alias("qtd_vendida"),
             # unit price recovered from the extended amount (the reference

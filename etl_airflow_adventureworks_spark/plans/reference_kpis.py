@@ -8,11 +8,12 @@ Table-name differences between the testdata star and the reference DDL are
 absorbed by compatibility views:
 
   dim_produto    → dim_part
-  dim_localidade → dim_customer_geo (geo lives on the customer here, so
-                   sk_localidade ≡ sk_cliente)
+  dim_localidade → dim_locality (its own dimension at nation grain, with a
+                   real sk_localidade FK on the fact — 5-dim star like
+                   create_dw_tables.sql:50-65)
   dim_vendedor   → dim_supplier
   dim_tempo      → dim_date
-  fato_vendas    → fact_sales (+ sk_localidade alias)
+  fato_vendas    → fact_sales
 """
 
 from __future__ import annotations
@@ -85,15 +86,9 @@ def register_warehouse_views(spark: SparkSession, warehouse_dir: str) -> None:
     read("dim_part").createOrReplaceTempView("dim_produto")
     read("dim_supplier").createOrReplaceTempView("dim_vendedor")
     read("dim_date").createOrReplaceTempView("dim_tempo")
-    geo = read("dim_customer_geo")
-    geo.createOrReplaceTempView("dim_cliente")
-    geo.withColumnRenamed("sk_cliente", "sk_localidade").createOrReplaceTempView(
-        "dim_localidade"
-    )
-    fact = read("fact_sales")
-    fact.withColumn("sk_localidade", fact["sk_cliente"]).createOrReplaceTempView(
-        "fato_vendas"
-    )
+    read("dim_customer_geo").createOrReplaceTempView("dim_cliente")
+    read("dim_locality").createOrReplaceTempView("dim_localidade")
+    read("fact_sales").createOrReplaceTempView("fato_vendas")
 
 
 def run_reference_kpi(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:

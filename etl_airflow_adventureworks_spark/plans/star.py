@@ -206,6 +206,45 @@ def etl_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# dim_localidade shape — nation⋈region at nation grain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "etl_dim_locality",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS sk_localidade,
+           n_nationkey AS id_localidade_original,
+           'Não Informado' AS cidade,
+           n_name AS estado,
+           COALESCE(r_name, 'Desconhecida') AS pais
+    FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def etl_dim_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography dimension at its own grain (dags/etl_dim_localidade.py:10-72;
+    create_dw_tables.sql:32-38): the reference's 5th dimension, distinct
+    from the customer dim — here at nation grain (the testdata's address
+    granularity; nation=estado, region=pais). The city level doesn't exist
+    in the testdata, so cidade carries the reference's own missing-value
+    fill ('Não Informado', etl_dim_vendedor.py:37-39 pattern). The fact
+    FKs to this dim via the customer's nation (plans.star.etl_fact_sales),
+    making the warehouse 5-dimensional like the reference's
+    create_dw_tables.sql:50-65."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left"
+    ).select(
+        surrogate_key("n_nationkey").alias("sk_localidade"),
+        F.col("n_nationkey").alias("id_localidade_original"),
+        F.lit("Não Informado").alias("cidade"),
+        F.col("n_name").alias("estado"),
+        F.coalesce(F.col("r_name"), F.lit("Desconhecida")).alias("pais"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # fato_vendas — the composite fact pipeline (dags/etl_fato_vendas.py:9-123)
 # ---------------------------------------------------------------------------
 
@@ -215,12 +254,16 @@ def etl_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dp AS (SELECT p_partkey, CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT)
                        AS sk_produto FROM part),
-         dc AS (SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+         dc AS (SELECT c_custkey, c_nationkey,
+                       CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
                        AS sk_cliente FROM customer),
          dv AS (SELECT s_suppkey, CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT)
-                       AS sk_vendedor FROM supplier)
+                       AS sk_vendedor FROM supplier),
+         dl AS (SELECT n_nationkey,
+                       CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT)
+                       AS sk_localidade FROM nation)
     SELECT CAST(l_orderkey * 100 + l_linenumber AS BIGINT) AS id_venda,
-           dp.sk_produto, dc.sk_cliente, dv.sk_vendedor,
+           dp.sk_produto, dc.sk_cliente, dv.sk_vendedor, dl.sk_localidade,
            CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate)
                 AS BIGINT) AS sk_tempo,
            CAST(l_quantity AS BIGINT) AS qtd_vendida,
@@ -234,6 +277,7 @@ def etl_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN dp ON l_partkey = dp.p_partkey
     LEFT JOIN dc ON o_custkey = dc.c_custkey
     LEFT JOIN dv ON l_suppkey = dv.s_suppkey
+    LEFT JOIN dl ON dc.c_nationkey = dl.n_nationkey
     WHERE dp.sk_produto IS NOT NULL AND dc.sk_cliente IS NOT NULL
       AND dv.sk_vendedor IS NOT NULL
     """,
@@ -241,8 +285,11 @@ def etl_dim_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def etl_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite fact pipeline (dags/etl_fato_vendas.py:9-123) as one
     Catalyst plan: header×detail inner join (op 17), smart date key (op 34),
-    three broadcast dimension lookups (op 18), exact-decimal metrics (op 35),
-    referential-integrity null-drop (op 10).
+    four broadcast dimension lookups (op 18) — product, customer,
+    salesperson, and locality via the customer's nation (the reference FKs
+    the fact to dim_localidade on the ship-to address,
+    create_dw_tables.sql:57; the testdata's address grain is the nation) —
+    exact-decimal metrics (op 35), referential-integrity null-drop (op 10).
 
     id_venda replaces SERIAL with a deterministic smart key
     (orderkey*100+linenumber) — order-free, valid at any scale. The dim
@@ -255,22 +302,27 @@ def etl_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", surrogate_key("p_partkey").alias("sk_produto")
     )
     dc = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", surrogate_key("c_custkey").alias("sk_cliente")
+        "c_custkey", "c_nationkey", surrogate_key("c_custkey").alias("sk_cliente")
     )
     dv = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", surrogate_key("s_suppkey").alias("sk_vendedor")
+    )
+    dl = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", surrogate_key("n_nationkey").alias("sk_localidade")
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
         .join(F.broadcast(dp), li["l_partkey"] == dp["p_partkey"], "left")
         .join(F.broadcast(dc), orders["o_custkey"] == dc["c_custkey"], "left")
         .join(F.broadcast(dv), li["l_suppkey"] == dv["s_suppkey"], "left")
+        .join(F.broadcast(dl), dc["c_nationkey"] == dl["n_nationkey"], "left")
         .na.drop(subset=["sk_produto", "sk_cliente", "sk_vendedor"])
         .select(
             (F.col("l_orderkey") * 100 + F.col("l_linenumber")).cast("long").alias("id_venda"),
             "sk_produto",
             "sk_cliente",
             "sk_vendedor",
+            "sk_localidade",
             yyyymmdd_key(F.col("o_orderdate")).cast("long").alias("sk_tempo"),
             F.col("l_quantity").cast("long").alias("qtd_vendida"),
             discount_amount("l_extendedprice", "l_discount")

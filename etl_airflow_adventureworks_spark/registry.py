@@ -29,17 +29,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Registration (= driver check) order. The driver verifies at most 50
+# declared queries per round in this order, so the LLM-pipeline families
+# (text / dedup / similarity / events / multimodal / streaming) register
+# FIRST; the reference-parity families follow. The whole registry is kept
+# at exactly 50 queries (COVERAGE.md maps SURVEY §2 ops → query names).
 _MODULES = [
+    "etl_airflow_adventureworks_spark.operators.textops",
+    "etl_airflow_adventureworks_spark.operators.dedup",
+    "etl_airflow_adventureworks_spark.operators.similarity",
+    "etl_airflow_adventureworks_spark.operators.sessionize",
+    "etl_airflow_adventureworks_spark.operators.multimodal",
+    "etl_airflow_adventureworks_spark.streaming.events",
     "etl_airflow_adventureworks_spark.plans.kpis",
     "etl_airflow_adventureworks_spark.plans.star",
     "etl_airflow_adventureworks_spark.operators.relational",
     "etl_airflow_adventureworks_spark.operators.functions_suite",
     "etl_airflow_adventureworks_spark.operators.asof",
-    "etl_airflow_adventureworks_spark.operators.dedup",
-    "etl_airflow_adventureworks_spark.operators.similarity",
-    "etl_airflow_adventureworks_spark.operators.sessionize",
-    "etl_airflow_adventureworks_spark.operators.textops",
-    "etl_airflow_adventureworks_spark.operators.multimodal",
 ]
 
 _loaded = False

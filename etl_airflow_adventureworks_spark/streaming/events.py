@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..registry import query
+
 #: events schema as stored (ts is TIMESTAMP(NANOS) parquet → read as long).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
@@ -125,11 +127,19 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 def stream_upsert_to_parquet(
     events: DataFrame, out_path: str, checkpoint: str
 ) -> "object":
-    """Exactly-once incremental load: foreachBatch merges each micro-batch's
-    per-user aggregates into a parquet state table via SCD1 upsert — the
+    """Incremental load: foreachBatch merges each micro-batch's per-user
+    aggregates into a parquet state table via SCD1 upsert — the
     streaming→warehouse ingestion pattern (pyspark_guide: 'For exactly-once
-    sinks: foreachBatch'). Returns the started StreamingQuery."""
+    sinks: foreachBatch'). Returns the started StreamingQuery.
+
+    Atomicity caveat: plain parquet overwrite is NOT transactional — a
+    crash mid-rewrite can leave the state table truncated (restart replays
+    the micro-batch and rewrites it, so the steady state self-heals, but a
+    reader in that window sees partial data). Production deployments point
+    this at a lakehouse table format with atomic commit (Delta/Iceberg
+    MERGE) for true exactly-once; the merge logic is unchanged."""
     from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
 
     from ..operators.upsert import scd1_upsert
 
@@ -144,7 +154,10 @@ def stream_upsert_to_parquet(
         batch_df = batch_df.localCheckpoint(eager=True)  # detach from stream plan
         try:
             current = spark.read.parquet(out_path)
-        except Exception:
+        except AnalysisException:
+            # path-not-found on the first batch ONLY; any other failure
+            # (corrupt footer, transient IO) re-raises instead of silently
+            # discarding the accumulated state with an overwrite.
             current = None
         if current is None:
             batch_df.write.mode("overwrite").parquet(out_path)
@@ -158,6 +171,53 @@ def stream_upsert_to_parquet(
         .foreachBatch(merge)
         .start()
     )
+
+
+@query(
+    "ext_stream_window_equiv",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
+           CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) + 3600 AS BIGINT) AS window_end_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ext_stream_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming↔batch equivalence, driver-checked: the watermarked
+    Structured Streaming tumbling-window aggregation runs THROUGH the
+    streaming engine (readStream → withWatermark → window agg → memory
+    sink, complete mode, processAllAvailable) and its result is compared to
+    the SAME DuckDB oracle as the batch twin ``ext_event_window_1h`` — so
+    the streaming engine itself is correctness-gated, not just the batch
+    re-expression of its math.
+
+    Deliberately eager (the only declared query that is): a streaming query
+    has no lazy batch plan to hand back — the builder drives the stream to
+    completion and returns the materialized memory-sink table. The parquet
+    source is a single file → one micro-batch → the 2h watermark drops
+    nothing (late-data semantics are exercised separately in
+    tests/test_streaming.py)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("window_start_s"),
+            F.unix_timestamp(F.col("window.end")).cast("long").alias("window_end_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    run_to_memory(agg, "stream_window_equiv")
+    return spark.table("stream_window_equiv")
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:

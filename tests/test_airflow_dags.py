@@ -22,7 +22,12 @@ def test_task_callables_run(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_WAREHOUSE_DIR", str(tmp_path / "wh"))
     n_dim = airflow_dags._run_dim("etl_dim_supplier")
     assert n_dim > 0
-    for name in ("etl_dim_date", "etl_dim_part", "etl_dim_customer_geo"):
+    for name in (
+        "etl_dim_date",
+        "etl_dim_part",
+        "etl_dim_customer_geo",
+        "etl_dim_locality",
+    ):
         airflow_dags._run_dim(name)
     n_fact = airflow_dags._run_fact()
     assert n_fact > 0

@@ -37,32 +37,33 @@ def test_simhash_pairs_sane(spark):
 
 
 def test_prefix_filtered_jaccard_exact(spark):
-    # AllPairs prefix filtering must return EXACTLY the naive join's pairs
-    from etl_airflow_adventureworks_spark.operators.dedup import (
-        ngram_jaccard_prefix_filtered,
-    )
+    # the declared query (AllPairs prefix filtering) must return EXACTLY
+    # the naive inverted-index join's pairs
+    from etl_airflow_adventureworks_spark.operators.dedup import ngram_jaccard_naive
 
-    naive = {
+    pf = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in _rows(spark, "ext_ngram_jaccard")
     }
-    pf = {
+    naive = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in ngram_jaccard_prefix_filtered(spark, SF_ORACLE).collect()
+        for r in ngram_jaccard_naive(spark, SF_ORACLE).collect()
     }
     assert naive == pf
 
 
 def test_blas_neardup_matches_catalyst(spark):
-    # the applyInPandas/BLAS variant must find the same pairs with the
-    # same (rounded) similarities as the oracle-checked Catalyst form
-    cat = {
+    # the declared applyInPandas/BLAS primary must find the same pairs with
+    # the same (rounded) similarities as the pure-Catalyst exact twin
+    from etl_airflow_adventureworks_spark.operators.dedup import embedding_neardup_exact
+
+    blas = {
         (r["vec_a"], r["vec_b"]): r["cos_sim"]
         for r in _rows(spark, "ext_embedding_neardup")
     }
-    blas = {
+    cat = {
         (r["vec_a"], r["vec_b"]): r["cos_sim"]
-        for r in _rows(spark, "ext_embedding_neardup_blas")
+        for r in embedding_neardup_exact(spark, SF_ORACLE).collect()
     }
     assert set(cat) == set(blas)
     for k in cat:
@@ -70,17 +71,22 @@ def test_blas_neardup_matches_catalyst(spark):
 
 
 def test_multiprobe_recall_at_least_single_probe(spark):
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        ann_lsh_single_probe,
+    )
+
     exact_top = {
         (r["query_id"], r["neighbor_id"]) for r in _rows(spark, "ext_ann_cosine_topk")
     }
     single = {
-        (r["query_id"], r["neighbor_id"]) for r in _rows(spark, "ext_ann_lsh_topk")
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_single_probe(spark, SF_ORACLE).collect()
     }
     multi = {
-        (r["query_id"], r["neighbor_id"])
-        for r in _rows(spark, "ext_ann_lsh_multiprobe")
+        (r["query_id"], r["neighbor_id"]) for r in _rows(spark, "ext_ann_lsh_topk")
     }
-    # multiprobe must recall at least as many true top-k pairs as single-probe
+    # multiprobe (the declared query) must recall at least as many true
+    # top-k pairs as the single-probe library twin
     assert len(multi & exact_top) >= len(single & exact_top)
 
 

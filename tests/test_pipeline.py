@@ -16,6 +16,7 @@ def test_build_star_end_to_end(spark, tmp_path):
     assert counts["dim_part"] > 0
     assert counts["dim_customer_geo"] > 0
     assert counts["dim_supplier"] > 0
+    assert counts["dim_locality"] > 0  # 5th dim (create_dw_tables.sql:32-38)
     assert counts["fact_sales"] > 0
 
     # idempotence: overwrite-mode rerun yields identical counts (the

@@ -67,7 +67,7 @@ def test_aggregation_has_partial_phase(spark):
 
 
 def test_whole_stage_codegen_covers_kpis(spark):
-    df = entrymod.queries()["kpi02_net_revenue"](spark, SF_ORACLE)
+    df = entrymod.queries()["kpi_globals"](spark, SF_ORACLE)
     df.collect()  # AQE: codegen spans only visible in the final executed plan
     # whole-stage-codegen'd operators carry the `*(n)` marker in the tree
     plan = plan_of(df)
@@ -76,7 +76,7 @@ def test_whole_stage_codegen_covers_kpis(spark):
 
 def test_integrity_filter_pushed_below_join(spark):
     # op 10/SURVEY §4: isNotNull on the join key is pushed into the scan side
-    df = entrymod.queries()["op10_null_drop"](spark, SF_ORACLE)
+    df = entrymod.queries()["op_null_filters"](spark, SF_ORACLE)
     plan = optimized_of(df)
     # the left join must have been rewritten: null-drop on right-side keys
     # turns the outer join into an inner join
@@ -89,3 +89,20 @@ def test_no_python_udfs_in_reference_queries(spark):
     for name in [k for k in q if k.startswith(("kpi", "op", "etl"))]:
         plan = plan_of(q[name](spark, SF_ORACLE))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_interleave_has_no_global_window(spark):
+    # round-1 defect (VERDICT item 2): the interleave position was a
+    # row_number over a GLOBAL Window.orderBy — a single-partition sort of
+    # the whole corpus. The closed-form rewrite must leave no Window node
+    # with an empty partition spec in the optimized plan.
+    import re
+
+    df = entrymod.queries()["ext_interleave_sources"](spark, SF_ORACLE)
+    plan = optimized_of(df)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # spec = partition exprs..., order exprs..., frame; a global window
+        # starts with an order expression (ASC/DESC) instead of a partition
+        first = spec.split(",")[0]
+        assert "ASC" not in first and "DESC" not in first, plan

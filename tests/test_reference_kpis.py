@@ -8,6 +8,7 @@ import pytest
 from conftest import SF_SMOKE
 
 import __spark_entry__ as entrymod
+from etl_airflow_adventureworks_spark.plans.kpis import KPI_DF
 from etl_airflow_adventureworks_spark.plans.pipeline import build_star
 from etl_airflow_adventureworks_spark.plans.reference_kpis import (
     REFERENCE_KPI_SQL,
@@ -36,16 +37,16 @@ def test_all_reference_kpis_run(spark, warehouse):
 
 def test_net_revenue_agrees(spark, warehouse):
     ref = _one(run_reference_kpi(spark, warehouse, "kpi2_faturamento_liquido"))
-    native = _one(entrymod.queries()["kpi02_net_revenue"](spark, SF_SMOKE))
+    native = _one(KPI_DF["kpi02_net_revenue"](spark, SF_SMOKE))
     assert ref == pytest.approx(native, rel=REL)
 
 
 def test_volume_and_discount_agree(spark, warehouse):
     ref_qty = _one(run_reference_kpi(spark, warehouse, "kpi4_total_itens"))
-    native_qty = _one(entrymod.queries()["kpi04_total_volume"](spark, SF_SMOKE))
+    native_qty = _one(KPI_DF["kpi04_total_volume"](spark, SF_SMOKE))
     assert ref_qty == native_qty
     ref_disc = _one(run_reference_kpi(spark, warehouse, "kpi3_total_descontos"))
-    native_disc = _one(entrymod.queries()["kpi03_total_discount"](spark, SF_SMOKE))
+    native_disc = _one(KPI_DF["kpi03_total_discount"](spark, SF_SMOKE))
     assert ref_disc == pytest.approx(native_disc, rel=REL)
 
 
