@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, norm, to_double_array
@@ -159,28 +159,65 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Result-identical to ``ngram_jaccard_naive`` (asserted in tests), which
     is marginally faster on this tiny-vocab synthetic corpus but quadratic
-    on Zipfian data — the declared query is the scale-safe form."""
-    sh = _shingle_sets(spark, sf_dir)
-    inv = sh.select("doc_id", F.explode(F.array_compact("shingles")).alias("s"))
-    df_rank = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = inv.join(df_rank, "s")
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    prefix = (
-        ranked.withColumn("pos", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1)
-        .select("doc_id", "s")
+    on Zipfian data — the declared query is the scale-safe form.
+
+    Shuffle budget (the round-2 version paid ~4 avoidable ones): the
+    document-frequency table is vocab-sized, so it BROADCASTS back onto the
+    inverted index (map-side, no re-shuffle of the index); the per-doc
+    prefix is ONE groupBy(doc_id) into a (df, h)-sorted array, sliced and
+    re-exploded — replacing two doc_id windows; and candidates come from
+    in-bucket pair expansion (groupBy(h) on the prefix index — the prefix
+    pipeline executes once; a self-join would run it twice).
+
+    Shingle identity is the 64-bit xxhash64 of the shingle string, end to
+    end: long-array intersections verify ~10× faster than string arrays
+    (measured 23 s → 5 s at sf0.1) and the inverted index shuffles fixed-
+    width keys. Exactness: the AllPairs prefix guarantee holds for ANY
+    consistent global total order, so ordering by (df, hash) instead of
+    (df, string) changes candidates but never survivors; a hash collision
+    perturbs one pair's Jaccard with probability ≈ |A∪B|²/2⁶⁵ (immaterial
+    at any realistic corpus size — and why crc32 would NOT be safe here)."""
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_TOK} AS t")
+        .selectExpr("doc_id", f"transform({_SHINGLES}, x -> xxhash64(x)) AS hh")
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    inv = sh.select("doc_id", F.explode(F.array_compact("hh")).alias("h"))
+    df_rank = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(F.broadcast(df_rank), "h")
+    # prefix length |A| - ceil(t·|A|) + 1 over the rare-first (df, h) order,
+    # built array-side: sort_array on (df, h) structs == the old window's
+    # orderBy; array_compact is the explode-inlining barrier (see
+    # minhash_signatures).
+    prefix = (
+        ranked.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr"))
+        .selectExpr(
+            "doc_id",
+            "explode(array_compact(transform("
+            f" slice(arr, 1, size(arr) - CAST(ceil({JACCARD_THRESHOLD}D * size(arr)) AS INT) + 1),"
+            " x -> x.h))) AS h",
+        )
+    )
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        prefix.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .selectExpr(
+            "explode(flatten(transform(sequence(1, size(ids) - 1),"
+            " i -> transform(slice(ids, i + 1, size(ids) - i),"
+            " y -> named_struct('doc_a', element_at(ids, i), 'doc_b', y))))) AS pair"
+        )
+        .select("pair.doc_a", "pair.doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    # verify joins: no hints — AQE broadcasts whichever side is small at
+    # runtime (locally the doc-keyed shingle table; at 100 TB neither side
+    # broadcasts and both shuffle on the doc key, which is correct there).
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
