@@ -23,7 +23,24 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 from etl_airflow_adventureworks_spark import registry  # noqa: E402
+from etl_airflow_adventureworks_spark.operators.sessionize import (  # noqa: E402
+    ext_event_window_1h,
+)
 from etl_airflow_adventureworks_spark.session import get_spark  # noqa: E402
+from etl_airflow_adventureworks_spark.streaming.events import (  # noqa: E402
+    clear_stream_memo,
+)
+
+#: per-query repetitions — the reported time is the MEDIAN, so
+#: round-over-round deltas reflect plan changes, not JIT/GC noise
+#: (single-shot timing made r02's kpi05-09 look 27-45% slower with
+#: byte-identical plans).
+REPS = 3
+
+#: library twins kept in the headline for round-over-round comparability
+#: even though their registry slot was folded (ext_event_window_1h →
+#: ext_stream_window_equiv carries the oracle now).
+EXTRA_FNS = {"ext_event_window_1h": ext_event_window_1h}
 
 #: headline set — populated as operators land; filtered by availability.
 HEADLINE = [
@@ -62,6 +79,7 @@ HEADLINE = [
     "ext_distinct_counts",
     "ext_multimodal_features",
     "ext_stream_window_equiv",
+    "ext_stream_session_equiv",
 ]
 
 #: large-result queries are consumed with count() instead of collect() —
@@ -118,18 +136,24 @@ def main() -> None:
         spark, sf_dir
     ).collect()  # warms lineitem scan + decimal agg codegen paths
 
-    names = [n for n in HEADLINE if n in registry.QUERIES]
+    names = [n for n in HEADLINE if n in registry.QUERIES or n in EXTRA_FNS]
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
-        fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        if name in COUNT_ONLY:
-            df.count()
-        else:
-            df.collect()
-        dt = time.perf_counter() - t0
+        fn = registry.QUERIES.get(name) or EXTRA_FNS[name]
+        samples: list[float] = []
+        for _ in range(REPS):
+            # streaming queries memoize their materialized result; forget it
+            # so every rep re-drives the engine (no-op for batch queries)
+            clear_stream_memo()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            if name in COUNT_ONLY:
+                df.count()
+            else:
+                df.collect()
+            samples.append(time.perf_counter() - t0)
+        dt = sorted(samples)[len(samples) // 2]
         timings[name] = round(dt, 4)
         total += dt
 
@@ -142,6 +166,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "reps": REPS,
+                "agg": "median",
             }
         )
     )

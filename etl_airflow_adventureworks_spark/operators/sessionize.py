@@ -45,24 +45,17 @@ def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ext_event_window_1h",
-    oracle=f"""
-    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
-           CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) + 3600 AS BIGINT) AS window_end_s,
-           event_type,
-           COUNT(*) AS n_events,
-           CAST(SUM({_VAL_DUCK}) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1, 2, 3
-    """,
-)
 def ext_event_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation (E5): batch form of the
-    streaming groupBy(window(ts, '1 hour')) — identical semantics, so the
-    DuckDB time_bucket oracle checks the streaming math too. Window bounds
-    surface as epoch seconds (exact integers; raw nanosecond timestamps
-    don't round-trip identically across engines)."""
+    streaming groupBy(window(ts, '1 hour')) — identical semantics. Window
+    bounds surface as epoch seconds (exact integers; raw nanosecond
+    timestamps don't round-trip identically across engines).
+
+    Library twin since round 3: the driver slot is ``ext_stream_window_equiv``
+    (streaming/events.py), which runs the SAME math through the Structured
+    Streaming engine against the SAME DuckDB oracle — one oracle now gates
+    both; this batch form stays in the bench headline set and is
+    result-identity-tested against the streaming run."""
     ev = load_table(spark, sf_dir, "events")
     w = F.window("ts", "1 hour")
     return (

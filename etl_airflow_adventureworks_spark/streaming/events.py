@@ -13,10 +13,13 @@ production the source swaps to Kafka with identical downstream plans.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.sessionize import SESSION_GAP_MIN
 from ..registry import query
 
 #: events schema as stored (ts is TIMESTAMP(NANOS) parquet → read as long).
@@ -192,32 +195,133 @@ def ext_stream_window_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink, complete mode, processAllAvailable) and its result is compared to
     the SAME DuckDB oracle as the batch twin ``ext_event_window_1h`` — so
     the streaming engine itself is correctness-gated, not just the batch
-    re-expression of its math.
+    re-expression of its math. Since round 3 this row also carries SURVEY
+    op-style coverage for the batch twin ``ext_event_window_1h`` (folded —
+    same math, same oracle; the batch form remains a library function,
+    result-identity-tested against this one).
 
-    Deliberately eager (the only declared query that is): a streaming query
+    Deliberately eager (as is ext_stream_session_equiv): a streaming query
     has no lazy batch plan to hand back — the builder drives the stream to
-    completion and returns the materialized memory-sink table. The parquet
+    completion once per (session, sf_dir) and returns the materialized
+    memory-sink table (memoized; see _run_stream_memoized). The parquet
     source is a single file → one micro-batch → the 2h watermark drops
     nothing (late-data semantics are exercised separately in
     tests/test_streaming.py)."""
-    ev = stream_events(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).cast("double").alias("total_value"),
+    def build() -> DataFrame:
+        return (
+            stream_events(spark, sf_dir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).cast("double").alias("total_value"),
+            )
+            .select(
+                F.unix_timestamp(F.col("window.start")).cast("long").alias("window_start_s"),
+                F.unix_timestamp(F.col("window.end")).cast("long").alias("window_end_s"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
         )
-        .select(
-            F.unix_timestamp(F.col("window.start")).cast("long").alias("window_start_s"),
-            F.unix_timestamp(F.col("window.end")).cast("long").alias("window_end_s"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
+
+    return _run_stream_memoized(spark, sf_dir, "stream_window_equiv", build)
+
+
+@query(
+    "ext_stream_session_equiv",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us, event_id, value,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_MIN} * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
     )
-    run_to_memory(agg, "stream_window_equiv")
-    return spark.table("stream_window_equiv")
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def ext_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION-WINDOW equivalence, driver-checked: gap-merged
+    ``session_window`` sessions run THROUGH the streaming engine (readStream
+    → withWatermark → session_window agg → memory sink, complete mode) and
+    the result is compared to the same lag-gap DuckDB oracle family as the
+    batch sessionizer ``ext_session_gap`` — this row gates the streaming
+    session-state machinery itself (merging/expiring session state), which
+    ``ext_stream_window_equiv`` (keyed tumbling windows) does not exercise.
+
+    Boundary convention verified empirically: ``session_window`` merges an
+    event exactly ``gap`` after the previous one (diff ≤ gap ⇒ same
+    session), identical to the oracle's ``diff > gap ⇒ new session``.
+    ``session_window.end`` is last-event-ts + gap, so the last event time
+    is recovered by subtracting the gap — the output surfaces exact epoch
+    integers on both sides (nanos don't round-trip; see memory rules)."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def build() -> DataFrame:
+        return (
+            stream_events(spark, sf_dir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.expr("CAST(value AS DECIMAL(18,6))")).cast("double").alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+                (F.unix_micros(F.col("session_window.end")) - F.lit(gap_us)).alias(
+                    "session_end_us"
+                ),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return _run_stream_memoized(spark, sf_dir, "stream_session_equiv", build)
+
+
+#: materialized memory-sink table per (session, sf_dir, query) — the two
+#: declared streaming queries are necessarily eager (a stream has no lazy
+#: batch plan to hand back), so repeated builder calls return the already-
+#: materialized table instead of re-driving the stream; the itertools
+#: counter keeps sink names unique across sessions/sf_dirs (no collisions
+#: when builds overlap).
+_STREAM_MEMO: dict[tuple[int, str, str], str] = {}
+_STREAM_UID = itertools.count()
+
+
+def clear_stream_memo() -> None:
+    """Forget materialized streaming results (bench uses this so repeated
+    timings re-drive the engine instead of reading the memo)."""
+    _STREAM_MEMO.clear()
+
+
+def _run_stream_memoized(
+    spark: SparkSession, sf_dir: str, key: str, build
+) -> DataFrame:
+    memo_key = (id(spark), sf_dir, key)
+    table = _STREAM_MEMO.get(memo_key)
+    if table is None:
+        table = f"{key}_{next(_STREAM_UID)}"
+        run_to_memory(build(), table)
+        _STREAM_MEMO[memo_key] = table
+    return spark.table(table)
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:

@@ -22,9 +22,62 @@ def test_windowed_counts_match_batch(spark, events_stream):
         (r["window_start_s"], r["event_type"]): r["n_events"]
         for r in spark.sql("SELECT * FROM win_out").collect()
     }
-    batch = entrymod.queries()["ext_event_window_1h"](spark, SF_SMOKE).collect()
+    from etl_airflow_adventureworks_spark.operators.sessionize import (
+        ext_event_window_1h,
+    )
+
+    batch = ext_event_window_1h(spark, SF_SMOKE).collect()
     want = {(r["window_start_s"], r["event_type"]): r["n_events"] for r in batch}
     assert got == want
+
+
+def test_stream_window_equiv_matches_batch_twin(spark):
+    # the declared streaming query must equal the folded batch twin exactly
+    from etl_airflow_adventureworks_spark.operators.sessionize import (
+        ext_event_window_1h,
+    )
+
+    got = sorted(
+        map(tuple, entrymod.queries()["ext_stream_window_equiv"](spark, SF_SMOKE).collect())
+    )
+    want = sorted(map(tuple, ext_event_window_1h(spark, SF_SMOKE).collect()))
+    assert got == want
+
+
+def test_stream_session_equiv_matches_batch_sessionizer(spark):
+    # session_window through the engine == the batch lag-gap sessionizer
+    # on (user, start, end, n, value) — gates streaming session state
+    got = sorted(
+        map(tuple, entrymod.queries()["ext_stream_session_equiv"](spark, SF_SMOKE).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            entrymod.queries()["ext_session_gap"](spark, SF_SMOKE)
+            .selectExpr(
+                "user_id",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "total_value",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_stream_builders_memoized(spark):
+    # repeated builds return the materialized table without re-driving the
+    # stream (registry builders-run-zero-jobs contract, round-2 advice)
+    from etl_airflow_adventureworks_spark.streaming.events import _STREAM_MEMO
+
+    entrymod.queries()["ext_stream_window_equiv"](spark, SF_SMOKE).collect()
+    memo_size = len(_STREAM_MEMO)
+    n_queries_before = len(spark.streams.active)
+    entrymod.queries()["ext_stream_window_equiv"](spark, SF_SMOKE).collect()
+    assert len(_STREAM_MEMO) == memo_size  # no new materialization
+    assert len(spark.streams.active) == n_queries_before
 
 
 def test_session_windows_match_batch_gap_sessions(spark, events_stream):
