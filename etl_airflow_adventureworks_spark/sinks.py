@@ -49,7 +49,11 @@ def write_jdbc(
     """JDBC sink with chunked batches (op 6; to_sql chunksize=5000,
     dags/etl_fato_vendas.py:121). Spark writes one batch stream per
     partition — ``repartition(n)`` upstream to bound connection count.
-    Requires a JDBC driver jar on the classpath (not in this image)."""
+    ``truncate=true`` maps the reference's TRUNCATE+reload idempotence
+    contract (overwrite truncates instead of drop/create, preserving
+    indexes/grants on the target). Smoke-tested against embedded Derby
+    (jar ships with Spark) in tests/test_sinks_formats.py; a Postgres
+    deployment only swaps the url + driver jar. See SCALING.md §JDBC."""
     opts = {"truncate": "true", "batchsize": str(batchsize), **(properties or {})}
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(**opts).mode(
         mode

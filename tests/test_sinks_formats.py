@@ -41,3 +41,32 @@ def test_partitioned_overwrite_idempotent(spark, tmp_path):
     write_table(src, out, partition_by=["ano"], compression="zstd")
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == src.count()
+
+
+_DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """op 6 smoke: write_jdbc against a real JDBC database (embedded Derby —
+    its jar ships with Spark) — create, truncate+reload, read-back."""
+    from etl_airflow_adventureworks_spark.sinks import write_jdbc
+
+    url = "jdbc:derby:memory:sinkdb;create=true"
+    props = {"driver": _DERBY}
+    src = load_table(spark, SF_SMOKE, "nation")
+    write_jdbc(src, url, "nation_jdbc", batchsize=7, properties=props)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "nation_jdbc")
+        .option("driver", _DERBY).load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # second overwrite goes down the TRUNCATE path (truncate=true) — the
+    # reference's TRUNCATE+reload idempotence contract (etl_fato_vendas)
+    write_jdbc(src.limit(5), url, "nation_jdbc", properties=props)
+    back2 = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "nation_jdbc")
+        .option("driver", _DERBY).load()
+    )
+    assert back2.count() == 5
