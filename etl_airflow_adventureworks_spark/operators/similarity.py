@@ -139,6 +139,72 @@ def ext_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_embeddings_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Write the collection PARTITIONED BY the LSH bucket key — the physical
+    layout the multiprobe docstring promises: each of the 256 buckets is a
+    directory, so a probe's bucket filter becomes directory-level partition
+    pruning and only the probed buckets' files are ever opened. At 100 TB
+    this is the difference between scanning 9/256 of the collection and
+    scanning all of it. Vectors are stored as-is (array<float>); the bucket
+    is recomputed from the same deterministic hyperplanes at write time."""
+    (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", F.expr(lsh_bucket_expr(to_double_array("embedding"))))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_lsh_topk_over_layout(spark: SparkSession, layout_path: str) -> DataFrame:
+    """Multiprobe top-k over the bucket-partitioned layout — result-identical
+    to ``ext_ann_lsh_topk`` (asserted in tests/test_bucketing.py) but the
+    collection scan carries a LITERAL bucket IN-list, so Catalyst prunes to
+    the probed buckets' directories (PartitionFilters in the scan; the
+    pruning itself is asserted too).
+
+    The probe set is driver-computed from the query vectors (own bucket +
+    8 Hamming-1 flips each): query sets in an ANN serving path are small by
+    definition, so collecting ≤ 9·|Q| bucket ids is a constant-size driver
+    step, not a scale concern."""
+    coll = spark.read.parquet(layout_path).selectExpr(
+        "vec_id", "bucket", f"{to_double_array('embedding')} AS v"
+    ).selectExpr("vec_id", "bucket", "v", f"{norm('v')} AS nrm")
+    q_rows = (
+        coll.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"), F.col("bucket").alias("qb"))
+        .collect()
+    )
+    probe_ids = sorted(
+        {int(r["qb"]) ^ flip for r in q_rows for flip in [0] + [1 << i for i in range(N_PLANES)]}
+    )
+    q = spark.createDataFrame(
+        [(r["query_id"], r["qv"], r["qnrm"], int(r["qb"])) for r in q_rows],
+        "query_id long, qv array<double>, qnrm double, qb long",
+    ).selectExpr(
+        "query_id", "qv", "qnrm",
+        "explode(array(" + ", ".join(
+            ["qb"] + [f"CAST(qb ^ {1 << i} AS BIGINT)" for i in range(N_PLANES)]
+        ) + ")) AS qbucket",
+    )
+    cos_r = F.round(F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        coll.filter(F.col("bucket").isin(probe_ids))  # literal → partition pruning
+        .join(
+            F.broadcast(q),
+            (F.col("qbucket") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_r.alias("cos_sim"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("query_id", "rn")
+        .drop("rn")
+    )
+
+
 def ann_lsh_single_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-probe LSH top-k (library twin of the declared multiprobe
     query): each query scores only its own bucket — 1/256th of the

@@ -52,3 +52,76 @@ def test_bucketed_join_avoids_shuffle(bucketed):
     orders = load_table(spark, SF_SMOKE, "orders")
     expected = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
     assert joined.count() == expected
+
+
+def test_ann_layout_prunes_to_probed_buckets(spark, tmp_path):
+    """The ANN multiprobe docstring's claim, proven end to end: write the
+    collection partitioned by the LSH bucket, probe it, and assert the scan
+    (a) carries a bucket PartitionFilter, (b) reads ONLY the probed buckets'
+    files, and (c) returns exactly the declared query's rows."""
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        N_PLANES,
+        N_QUERIES,
+        ann_lsh_topk_over_layout,
+        write_embeddings_layout,
+    )
+    from etl_airflow_adventureworks_spark.registry import QUERIES
+
+    layout = str(tmp_path / "emb_layout")
+    write_embeddings_layout(spark, SF_SMOKE, layout)
+
+    out = ann_lsh_topk_over_layout(spark, layout)
+    rows = out.collect()
+
+    # (a) partition pruning visible in the executed scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+
+    # (b) the executed scan's numFiles metric == files in the probed bucket
+    # dirs actually present on disk, and strictly fewer than the whole table
+    # (inputFiles() is relation-level/pre-pruning, so count via metrics)
+    probed = set()
+    q = QUERIES["ext_ann_lsh_topk"]  # recompute probe set independently
+    qdf = spark.read.parquet(layout).where(f"vec_id < {N_QUERIES}").select("bucket").collect()
+    for r in qdf:
+        probed |= {int(r["bucket"]) ^ f for f in [0] + [1 << i for i in range(N_PLANES)]}
+
+    import os
+
+    def bucket_files(want_buckets=None):
+        n = 0
+        for d in os.listdir(layout):
+            if not d.startswith("bucket="):
+                continue
+            if want_buckets is not None and int(d.split("=")[1]) not in want_buckets:
+                continue
+            n += sum(1 for f in os.listdir(os.path.join(layout, d)) if f.endswith(".parquet"))
+        return n
+
+    ep = out._jdf.queryExecution().executedPlan()
+    if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        ep = ep.executedPlan()
+
+    files_read = []
+
+    def walk(node):  # AQE hides scans inside query stages → descend .plan()
+        m = node.metrics()
+        if m.contains("numFiles"):
+            files_read.append(m.apply("numFiles").value())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        try:
+            walk(node.plan())
+        except Exception:
+            pass
+
+    walk(ep)
+    # the collection scan(s): every one must stay within the probed dirs
+    assert files_read, "no FileScan leaf with a numFiles metric found"
+    assert max(files_read) <= bucket_files(probed), (files_read, sorted(probed))
+    assert max(files_read) < bucket_files()  # genuinely pruned
+
+    # (c) result-identical to the declared multiprobe query
+    want = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert sorted(map(tuple, rows)) == want
