@@ -24,6 +24,7 @@ def asof_join(
     on: str,
     by: str,
     suffix: str = "_right",
+    max_group_rows: int = 5_000_000,
 ) -> DataFrame:
     """Backward as-of join. ``on``: orderable column in both sides; ``by``:
     entity key in both sides. Right's non-key columns surface with
@@ -32,7 +33,15 @@ def asof_join(
     Raises ValueError on column-name collisions: a shared non-key column
     would appear twice in the tagged union, and a left column already named
     ``<rightcol><suffix>`` would collide with the suffixed output — both
-    silently corrupt results otherwise."""
+    silently corrupt results otherwise.
+
+    Skew guard: each ``by`` group becomes ONE pandas frame on one task, so
+    a pathological entity (a bot user with 100M events) would OOM that
+    executor quietly. Groups larger than ``max_group_rows`` fail loud with
+    the remedy instead: split the hot entity's timeline upstream (e.g.
+    sub-key by time bucket with per-bucket boundary rows, or salt + re-merge)
+    before re-running. Raise the limit deliberately if your executors are
+    sized for more."""
     types = {f.name: f.dataType.simpleString() for f in left.schema.fields}
     rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
     lcols = list(left.columns)
@@ -71,6 +80,15 @@ def asof_join(
     def merge(pdf):
         import pandas as _pd
 
+        if len(pdf) > max_group_rows:
+            key_val = pdf[by].iloc[0]
+            raise ValueError(
+                f"asof_join: group {by}={key_val!r} has {len(pdf)} rows "
+                f"(> max_group_rows={max_group_rows}); one pandas frame per "
+                "group would exhaust task memory. Split or salt the hot "
+                "entity upstream (e.g. sub-key by time bucket), or raise "
+                "max_group_rows if executors are sized for it."
+            )
         l = (
             pdf[pdf["__side"] == 0][lcols]
             .sort_values(on, kind="mergesort")

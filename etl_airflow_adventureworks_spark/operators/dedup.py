@@ -418,7 +418,30 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-identical-tested) folds 64 interpreted multiplies per pair; BLAS
     does the whole block as one dgemm — ~10× at sf0.1 and widening with
     block size. Arrow-batched, one shuffle on the block key (n² only within
-    a block, never globally), worker closure self-contained."""
+    a block, never globally), worker closure self-contained.
+
+    Skew guard: a pathological block (one label holding millions of
+    vectors) would otherwise allocate an n×n Gram matrix. ``block_pairs``
+    therefore tiles the pair space into ``_GEMM_CHUNK``-row chunk pairs —
+    memory is O(chunk²) however large the block, and each cosine is the
+    same row-pair dot either way (bit-identical to the untiled dgemm;
+    asserted in tests with a tiny chunk size). The Arrow transfer of the
+    block itself (n×64 floats, linear) is the remaining bound — split the
+    label key upstream if a single label outgrows a task."""
+    return _embedding_neardup_blas(spark, sf_dir)
+
+
+#: rows per dgemm tile in the embedding-neardup skew guard: 8192² doubles
+#: ≈ 512 MB for the largest tile pair — bounded however big the block is.
+_GEMM_CHUNK = 8192
+
+
+def _embedding_neardup_blas(
+    spark: SparkSession, sf_dir: str, chunk: int = _GEMM_CHUNK
+) -> DataFrame:
+    """BLAS embedding near-dup with a tiled pair space (see
+    ext_embedding_neardup). ``chunk`` is exposed so tests can force the
+    tiling path on small data."""
     import pandas as pd
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -432,18 +455,39 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dot/(|a||b|) with np.dot per element pair — mirrors the oracle's
         # operation order exactly (normalize-then-multiply would introduce
         # a different rounding path and can flip a 6-decimal rounding)
-        g = v @ v.T
         nrm = _np.sqrt((v * v).sum(axis=1))
-        a_idx, b_idx = _np.triu_indices(len(ids), k=1)
-        cos = g[a_idx, b_idx] / (nrm[a_idx] * nrm[b_idx])
-        keep = cos >= 0.35
-        return _pd.DataFrame(
-            {
-                "vec_a": ids[a_idx[keep]],
-                "vec_b": ids[b_idx[keep]],
-                "cos_sim": _np.round(cos[keep], 6),
-            }
-        )
+        n = len(ids)
+        outs = []
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            for j0 in range(i0, n, chunk):
+                j1 = min(j0 + chunk, n)
+                g = v[i0:i1] @ v[j0:j1].T
+                a_idx, b_idx = _np.nonzero(
+                    _np.triu(_np.ones((i1 - i0, j1 - j0), dtype=bool), k=1)
+                    if i0 == j0
+                    else _np.ones((i1 - i0, j1 - j0), dtype=bool)
+                )
+                cos = g[a_idx, b_idx] / (nrm[i0:i1][a_idx] * nrm[j0:j1][b_idx])
+                keep = cos >= 0.35
+                outs.append(
+                    _pd.DataFrame(
+                        {
+                            "vec_a": ids[i0:i1][a_idx[keep]],
+                            "vec_b": ids[j0:j1][b_idx[keep]],
+                            "cos_sim": _np.round(cos[keep], 6),
+                        }
+                    )
+                )
+        if not outs:  # n == 0 (defensive; applyInPandas skips empty groups)
+            return _pd.DataFrame(
+                {
+                    "vec_a": _np.array([], dtype=_np.int64),
+                    "vec_b": _np.array([], dtype=_np.int64),
+                    "cos_sim": _np.array([], dtype=_np.float64),
+                }
+            )
+        return _pd.concat(outs, ignore_index=True)
 
     return (
         load_table(spark, sf_dir, "embeddings")

@@ -36,3 +36,16 @@ def test_asof_join_no_right_rows(spark):
     out = asof_join(left, right, on="t", by="k").collect()
     assert len(out) == 2
     assert all(r["v_right"] is None for r in out)
+
+
+def test_asof_join_skew_guard_fails_loud(spark):
+    """A group over max_group_rows must raise the documented remedy error
+    instead of quietly building an oversized pandas frame."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    left = spark.range(50).selectExpr("1 AS ent", "id AS t", "id AS lv")
+    right = spark.range(10).selectExpr("1 AS ent", "id * 5 AS t", "id AS rv")
+    out = asof_join(left, right, on="t", by="ent", max_group_rows=20)
+    with pytest.raises(PythonException, match="max_group_rows"):
+        out.collect()

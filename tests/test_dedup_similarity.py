@@ -107,3 +107,18 @@ def test_ann_lsh_subset_of_exact_scores(spark):
 
     counts = Counter(r["query_id"] for r in lsh)
     assert all(v <= 5 for v in counts.values())
+
+
+def test_embedding_blas_tiling_is_exact(spark):
+    """Skew guard: the tiled dgemm path (chunk smaller than every block)
+    must emit bit-identical cosines to the untiled one — tiling changes
+    memory shape, never values."""
+    from etl_airflow_adventureworks_spark.operators.dedup import (
+        _embedding_neardup_blas,
+    )
+
+    untiled = sorted(map(tuple, _rows(spark, "ext_embedding_neardup")))
+    tiled = sorted(
+        map(tuple, _embedding_neardup_blas(spark, SF_ORACLE, chunk=3).collect())
+    )
+    assert tiled == untiled and len(tiled) > 0
