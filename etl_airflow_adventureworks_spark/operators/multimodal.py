@@ -51,17 +51,22 @@ WAV_SAMPLE_RATE = 8000
 
 def make_wav(pcm: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
     """A real RIFF/WAVE container: canonical 44-byte header + mono 8-bit
-    unsigned PCM data chunk."""
+    unsigned PCM data chunk. Odd-sized payloads get the RIFF-required pad
+    byte (excluded from the chunk size field, included in the RIFF size),
+    so strict third-party readers — and our own word-aligned chunk walk —
+    parse the container even if a chunk ever follows data."""
     data_size = len(pcm)
+    pad = b"\x00" if data_size & 1 else b""
     return (
         b"RIFF"
-        + struct.pack("<I", 36 + data_size)
+        + struct.pack("<I", 36 + data_size + len(pad))
         + b"WAVE"
         + b"fmt "
         + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
         + b"data"
         + struct.pack("<I", data_size)
         + pcm
+        + pad
     )
 
 
@@ -149,15 +154,19 @@ def synthesize_media(df: DataFrame) -> DataFrame:
         import pandas as _pd
 
         def _wav(pcm: bytes) -> bytes:
+            # keep in sync with make_wav: RIFF pad byte after odd-sized
+            # data (outside the chunk size field, inside the RIFF size)
+            pad = b"\x00" if len(pcm) & 1 else b""
             return (
                 b"RIFF"
-                + _struct.pack("<I", 36 + len(pcm))
+                + _struct.pack("<I", 36 + len(pcm) + len(pad))
                 + b"WAVE"
                 + b"fmt "
                 + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
                 + b"data"
                 + _struct.pack("<I", len(pcm))
                 + pcm
+                + pad
             )
 
         for pdf in batches:

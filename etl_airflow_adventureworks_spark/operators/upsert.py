@@ -35,13 +35,16 @@ def scd2_upsert(
     ``updates`` carries (key, attrs..., change_ts).
 
     ``updates`` is deduplicated to one row per key (latest ``change_ts``
-    wins, deterministic) before merging — duplicate update keys would
-    otherwise fan out the close-interval join and corrupt the history with
-    multiple valid_to versions per open row.
+    wins) before merging — duplicate update keys would otherwise fan out
+    the close-interval join and corrupt the history with multiple valid_to
+    versions per open row. Determinism: equal-``change_ts`` ties break on
+    every remaining attribute (ascending), so the surviving version is the
+    same across runs/re-planning — not an arbitrary partition-order pick.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(F.desc(ts_col))
+    tie_break = [F.col(c) for c in updates.columns if c not in (key, ts_col)]
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col), *tie_break)
     updates = (
         updates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

