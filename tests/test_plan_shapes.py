@@ -106,3 +106,15 @@ def test_interleave_has_no_global_window(spark):
         # starts with an order expression (ASC/DESC) instead of a partition
         first = spec.split(",")[0]
         assert "ASC" not in first and "DESC" not in first, plan
+
+
+def test_ngram_prefix_build_has_no_windows_and_broadcasts_df(spark):
+    # round-2 defect (VERDICT item 1): the prefix build paid two doc_id
+    # Window sorts and a full re-shuffle of the inverted index on the df
+    # join. The round-3 form must show NO Window node (prefix is a groupBy
+    # into sorted arrays) and a broadcast df-table join.
+    df = entrymod.queries()["ext_ngram_jaccard"](spark, SF_ORACLE)
+    opt = optimized_of(df)
+    assert "Window" not in opt, opt
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
