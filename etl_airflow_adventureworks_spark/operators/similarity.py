@@ -205,6 +205,95 @@ def ann_lsh_topk_over_layout(spark: SparkSession, layout_path: str) -> DataFrame
     )
 
 
+def fit_ivf_centroids(
+    spark: SparkSession, sf_dir: str, k_cells: int = 16, seed: int = 7
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: k-means (fixed seed, few iterations) over
+    the collection — the one deliberately-iterative training step of the
+    IVF index build; runs once at index-build time, never at query time."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        f"{to_double_array('embedding')} AS v"
+    )
+    model = KMeans(k=k_cells, seed=seed, maxIter=5, featuresCol="features").fit(
+        e.select(array_to_vector("v").alias("features"))
+    )
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _lit_array(vals: list[float]) -> str:
+    return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+
+
+def ivf_cell_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """Nearest-centroid cell id (0-based) as a native expression: argmin of
+    squared distance == argmax of (v·c − ‖c‖²/2), so each cell costs one
+    dot fold and assignment stays UDF-free (the IVF layout key — written as
+    a partition column exactly like the LSH bucket)."""
+    scores = ", ".join(
+        f"({dot(vec_col, _lit_array(c))} - {sum(x * x for x in c) / 2.0!r}D)"
+        for c in centroids
+    )
+    return f"(array_position(array({scores}), array_max(array({scores}))) - 1)"
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k (E3's second scale path, alongside LSH): the
+    collection is bucketed by nearest coarse centroid; each query scores
+    only its ``nprobe`` closest cells. nprobe == k_cells degenerates to the
+    exact brute-force result (asserted in tests — the recall knob is
+    monotone and honest). Probe cells are driver-computed from the (small)
+    query set; the collection-side cell filter is a literal IN-list, so a
+    cell-partitioned layout prunes files exactly like the LSH layout test
+    proves."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{to_double_array('embedding')} AS v"
+    ).selectExpr(
+        "vec_id", "v", f"{norm('v')} AS nrm", f"{ivf_cell_expr('v', centroids)} AS cell"
+    )
+    q_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"))
+        .collect()
+    )
+    probes = []  # (query_id, cell) — nprobe nearest cells per query
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        d2 = (cents @ qv) - 0.5 * (cents * cents).sum(axis=1)
+        for cell in np.argsort(-d2)[:nprobe]:
+            probes.append((r["query_id"], list(r["qv"]), float(r["qnrm"]), int(cell)))
+    q = spark.createDataFrame(
+        probes, "query_id long, qv array<double>, qnrm double, qcell long"
+    )
+    probed_cells = sorted({p[3] for p in probes})
+    cos_r = F.round(F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        e.filter(F.col("cell").isin(probed_cells))  # literal → partition pruning
+        .join(
+            F.broadcast(q),
+            (F.col("qcell") == F.col("cell")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_r.alias("cos_sim"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("query_id", "rn")
+        .drop("rn")
+    )
+
+
 def ann_lsh_single_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-probe LSH top-k (library twin of the declared multiprobe
     query): each query scores only its own bucket — 1/256th of the
