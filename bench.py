@@ -106,6 +106,7 @@ COUNT_ONLY = {
     "ext_grouping_sets",
     "ext_distinct_counts",
     "ext_multimodal_features",
+    "ext_stream_session_equiv",
 }
 
 
