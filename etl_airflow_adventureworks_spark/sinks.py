@@ -8,7 +8,11 @@ table) and a JDBC sink with batched writes for a kept-Postgres deployment.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_table(
@@ -58,3 +62,36 @@ def write_jdbc(
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(**opts).mode(
         mode
     ).save()
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction (table maintenance): rewrite a parquet
+    directory into ~``target_file_bytes`` files and return the new file
+    count. Streaming sinks and fine-grained incremental loads accumulate
+    tiny files; at 100 TB the resulting per-file open/footer overhead
+    dominates scan time, so periodic compaction is part of operating the
+    warehouse (the lakehouse-format OPTIMIZE, expressed with plain Spark).
+
+    Row-count-preserving (asserted in tests) but NOT atomic on plain
+    parquet: the rewrite goes to a sibling temp dir and swaps via rename,
+    so a crash between remove and rename loses the listing, not the data
+    (the temp dir still holds the full rewrite). A lakehouse table format
+    (Delta/Iceberg) makes the swap a metadata commit; the rewrite plan is
+    identical.
+    """
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".compacting"
+    # coalesce, not repartition: compaction must not pay a shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -70,3 +70,56 @@ def test_jdbc_roundtrip_embedded_derby(spark):
         .option("driver", _DERBY).load()
     )
     assert back2.count() == 5
+
+
+def test_compact_table_preserves_rows_and_shrinks_files(spark, tmp_path):
+    import os
+
+    from etl_airflow_adventureworks_spark.sinks import compact_table
+
+    out = str(tmp_path / "frag")
+    src = load_table(spark, SF_SMOKE, "orders")
+    src.repartition(32).write.parquet(out)
+    before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    rows_before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    compact_table(spark, out, target_file_bytes=64 * 1024 * 1024)
+    after = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert after < before
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == rows_before
+
+
+def test_binaryfile_source_feeds_multimodal_decode(spark, tmp_path):
+    """Ingestion end to end: real files on disk → binaryFile source →
+    the same decode path the declared multimodal query gates."""
+    import hashlib
+    import zlib
+
+    from etl_airflow_adventureworks_spark.operators.multimodal import (
+        extract_features,
+        make_wav,
+    )
+    from etl_airflow_adventureworks_spark.sources import load_media_dir
+
+    texts = {"a": b"hello media world", "b": b"x" * 31, "c": b"odd\x01"}
+    (tmp_path / "a.wav").write_bytes(make_wav(texts["a"]))
+    (tmp_path / "b.zlib").write_bytes(zlib.compress(texts["b"]))
+    (tmp_path / "c.wav").write_bytes(make_wav(texts["c"]))
+    (tmp_path / "ignore.txt").write_bytes(b"not media")
+
+    media = load_media_dir(spark, str(tmp_path), glob="*.{wav,zlib}")
+    rows = media.select(
+        "media_id", "media_type", F.col("payload")
+    ).withColumn("doc_id", F.lit(0)).collect()
+    assert {r["media_id"] for r in rows} == {"a", "b", "c"}
+
+    feats = extract_features(
+        media.selectExpr(
+            "CAST(hash(media_id) AS LONG) AS doc_id", "media_type", "payload"
+        )
+    )
+    got = {
+        r["decoded_md5"]
+        for r in feats.select("decoded_md5").collect()
+    }
+    want = {hashlib.md5(t).hexdigest() for t in texts.values()}
+    assert got == want
