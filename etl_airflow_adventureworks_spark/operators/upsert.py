@@ -67,3 +67,16 @@ def scd2_upsert(
         .withColumn(end_col, F.lit(None).cast("timestamp"))
     )
     return untouched.unionByName(still_closed).unionByName(closed).unionByName(new_versions)
+
+
+def as_of_snapshot(history: DataFrame, ts, effective_col: str = "valid_from",
+                   end_col: str = "valid_to") -> DataFrame:
+    """Point-in-time view of an SCD2 history table: the version of each key
+    whose validity interval covers ``ts`` (valid_from ≤ ts < valid_to, open
+    intervals count). Pure filter — partition pruning applies when the
+    history is laid out by validity date, so a snapshot never scans versions
+    retired long before ``ts``."""
+    return history.filter(
+        (F.col(effective_col) <= F.lit(ts))
+        & (F.col(end_col).isNull() | (F.col(end_col) > F.lit(ts)))
+    )

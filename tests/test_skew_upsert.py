@@ -60,3 +60,29 @@ def test_scd2_upsert(spark):
     assert by_kv[(1, "a")][1] is None  # untouched, still open
     assert by_kv[(2, "b")][1] is not None  # closed at change_ts
     assert by_kv[(2, "B")][1] is None  # new open version
+
+
+def test_as_of_snapshot_point_in_time(spark):
+    from etl_airflow_adventureworks_spark.operators.upsert import as_of_snapshot
+
+    cur = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", None), (2, "b", "2024-01-01 00:00:00", None)],
+        "k int, v string, valid_from string, valid_to string",
+    ).select(
+        "k", "v",
+        F.to_timestamp("valid_from").alias("valid_from"),
+        F.to_timestamp("valid_to").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", "2024-06-01 00:00:00")], "k int, v string, change_ts string"
+    ).select("k", "v", F.to_timestamp("change_ts").alias("change_ts"))
+    hist = scd2_upsert(cur, upd, "k")
+
+    import datetime as dt
+
+    before = {(r["k"], r["v"]) for r in as_of_snapshot(hist, dt.datetime(2024, 3, 1)).collect()}
+    after = {(r["k"], r["v"]) for r in as_of_snapshot(hist, dt.datetime(2024, 7, 1)).collect()}
+    boundary = {(r["k"], r["v"]) for r in as_of_snapshot(hist, dt.datetime(2024, 6, 1)).collect()}
+    assert before == {(1, "a"), (2, "b")}
+    assert after == {(1, "a"), (2, "B")}
+    assert boundary == after  # valid_to is exclusive, valid_from inclusive
