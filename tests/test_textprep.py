@@ -1,0 +1,98 @@
+"""Gates for the training-data prep operators (textprep): deterministic
+splits, context-window chunking, sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_ORACLE
+
+from etl_airflow_adventureworks_spark.operators.textprep import (
+    chunk_documents,
+    pack_sequences,
+    split_by_hash,
+)
+from etl_airflow_adventureworks_spark.sources import load_table
+
+
+def test_split_disjoint_exhaustive_stable(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_by_hash(docs, "doc_id", w, seed=13).select("doc_id", "split")
+    rows = out.collect()
+    assert len(rows) == docs.count()  # exhaustive, one split per row
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) <= set(w)
+    # proportions near weights (hash-uniform; 500 docs → generous tolerance)
+    n = len(rows)
+    assert abs(len(by_split["train"]) / n - 0.8) < 0.08
+    # deterministic: same assignment when input order is scrambled
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(
+            docs.orderBy(F.desc("doc_id")), "doc_id", w, seed=13
+        ).collect()
+    }
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+    # different seed → different partitioning (sanity that seed matters)
+    other = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(docs, "doc_id", w, seed=14).collect()
+    }
+    assert any(other[r["doc_id"]] != r["split"] for r in rows)
+
+
+def test_chunks_cover_and_overlap_exactly(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").limit(50)
+    m, ov = 64, 16
+    chunks = chunk_documents(docs, max_tokens=m, overlap=ov).collect()
+    texts = {r["doc_id"]: r["text"].strip().split() for r in docs.collect()}
+    by_doc = {}
+    for r in chunks:
+        assert r["n_tokens"] <= m
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    stride = m - ov
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        toks = texts[doc_id]
+        rebuilt = []
+        for i, r in enumerate(rs):
+            got = r["chunk_text"].split(" ") if r["chunk_text"] else [""]
+            start = i * stride
+            assert got == toks[start : start + m] or (toks == [] and got == [""])
+            rebuilt.extend(got if i == 0 else got[ov:])
+        assert rebuilt == toks or toks == []
+
+
+def test_pack_sequences_exact_partition_within_budget(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    budget, shards = 512, 16
+    seqs = pack_sequences(docs, budget=budget, n_shards=shards).collect()
+    # every doc exactly once
+    packed = [d for r in seqs for d in r["doc_ids"]]
+    assert sorted(packed) == sorted(r["doc_id"] for r in docs.collect())
+    # budget respected and bookkeeping consistent
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.selectExpr(
+            "doc_id", "size(split(trim(text), '\\\\s+')) AS n"
+        ).collect()
+    }
+    for r in seqs:
+        assert r["total_tokens"] <= budget
+        assert r["n_docs"] == len(r["doc_ids"])
+        assert r["total_tokens"] == min(budget, sum(sizes[d] for d in r["doc_ids"]))
+    # packing actually packs: strictly fewer sequences than documents, and
+    # at most one under-half-full tail sequence per shard
+    assert len(seqs) < len(packed)
+    loose = [r for r in seqs if r["total_tokens"] < budget // 2]
+    assert len(loose) <= shards
+    # deterministic across runs
+    again = sorted(
+        (r["seq_id"], tuple(r["doc_ids"]))
+        for r in pack_sequences(docs, budget=budget, n_shards=shards).collect()
+    )
+    assert again == sorted((r["seq_id"], tuple(r["doc_ids"])) for r in seqs)
