@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--warehouse", required=True)
     r.add_argument("--limit", type=int, default=20)
 
+    c = sub.add_parser(
+        "compact", help="compact a parquet table's small files (maintenance)"
+    )
+    c.add_argument("--path", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+
     sub.add_parser("list", help="list declared queries")
 
     args = p.parse_args(argv)
@@ -85,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
         run_reference_kpi(spark, args.warehouse, args.name).show(
             args.limit, truncate=False
         )
+        return 0
+    if args.cmd == "compact":
+        from .sinks import compact_table
+
+        n = compact_table(spark, args.path, args.target_mb * 1024 * 1024)
+        print(f"compacted to {n} file(s)")
         return 0
     if args.cmd == "query":
         if args.name not in QUERIES:

@@ -17,3 +17,11 @@ def test_query_runs(spark, capsys):
     # reuses the session via getOrCreate inside the CLI
     assert main(["query", "op26_topk", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     assert "o_totalprice" in capsys.readouterr().out
+
+
+def test_compact_subcommand(spark, tmp_path, capsys):
+    out = str(tmp_path / "t")
+    spark.range(10000).repartition(8).write.parquet(out)
+    assert main(["compact", "--path", out, "--target-mb", "512"]) == 0
+    assert "compacted to 1 file(s)" in capsys.readouterr().out
+    assert spark.read.parquet(out).count() == 10000

@@ -118,3 +118,20 @@ def test_ngram_prefix_build_has_no_windows_and_broadcasts_df(spark):
     assert "Window" not in opt, opt
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_textprep_catalyst_ops_have_no_python(spark):
+    # splits and chunking are pure Catalyst by design (packing is the one
+    # declared applyInPandas step)
+    from etl_airflow_adventureworks_spark.operators.textprep import (
+        chunk_documents,
+        split_by_hash,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for df in [
+        split_by_hash(docs, "doc_id", {"train": 0.9, "val": 0.1}),
+        chunk_documents(docs, max_tokens=64, overlap=16),
+    ]:
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
