@@ -46,3 +46,58 @@ def test_ppm_roundtrip():
 def test_unknown_codec_raises():
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_resize_media_nearest_neighbor(spark):
+    """Real PPM resize through the Arrow plumbing: dimensions change, and
+    sampled pixels equal the nearest-neighbor source lookup."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.operators.multimodal import resize_media
+
+    w, h = 8, 6
+    src = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    df = spark.createDataFrame(
+        [(1, "image/x-portable-pixmap", bytearray(make_ppm(w, h, src.tobytes())))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = resize_media(df, 4, 3).collect()[0]
+    assert (out["width"], out["height"]) == (4, 3)
+    pixels, meta = decode_media(bytes(out["payload"]), "image/x-portable-pixmap")
+    got = np.frombuffer(pixels, dtype=np.uint8).reshape(3, 4, 3)
+    ys = (np.arange(3) * h) // 3
+    xs = (np.arange(4) * w) // 4
+    assert (got == src[ys][:, xs]).all()
+
+
+def test_sample_audio_frames_decimates(spark):
+    from etl_airflow_adventureworks_spark.operators.multimodal import (
+        sample_audio_frames,
+    )
+
+    pcm = bytes(range(100))
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(make_wav(pcm)))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = sample_audio_frames(df, every_k=4).collect()[0]
+    assert out["n_samples"] == 25
+    data, meta = decode_media(bytes(out["payload"]), "audio/wav")
+    assert data == pcm[::4]
+    assert meta["sample_rate"] == 2000  # 8000 / 4
+
+
+def test_sample_video_frames_is_honest_stub(spark):
+    import pytest
+
+    from etl_airflow_adventureworks_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "video/mp4", bytearray(b"\x00"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(df, 10)
