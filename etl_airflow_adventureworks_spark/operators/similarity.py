@@ -251,16 +251,56 @@ def ann_ivf_topk(
     exact brute-force result (asserted in tests — the recall knob is
     monotone and honest). Probe cells are driver-computed from the (small)
     query set; the collection-side cell filter is a literal IN-list, so a
-    cell-partitioned layout prunes files exactly like the LSH layout test
-    proves."""
-    import numpy as np
-
-    cents = np.asarray(centroids, dtype=np.float64)
+    cell-partitioned layout prunes files (proven by the layout twin
+    ``ann_ivf_topk_over_layout`` in tests/test_bucketing.py)."""
     e = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", f"{to_double_array('embedding')} AS v"
     ).selectExpr(
         "vec_id", "v", f"{norm('v')} AS nrm", f"{ivf_cell_expr('v', centroids)} AS cell"
     )
+    return _ivf_topk(spark, e, centroids, nprobe)
+
+
+def write_embeddings_ivf_layout(
+    spark: SparkSession, sf_dir: str, path: str, centroids: list[list[float]]
+) -> None:
+    """Write the collection PARTITIONED BY its IVF cell — the learned-key
+    analogue of write_embeddings_layout: a probe's literal cell filter
+    becomes directory pruning, so a query opens nprobe/k of the files."""
+    (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("cell", F.expr(ivf_cell_expr(to_double_array("embedding"), centroids)))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ann_ivf_topk_over_layout(
+    spark: SparkSession,
+    layout_path: str,
+    centroids: list[list[float]],
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over the cell-partitioned layout (result-identical to
+    ``ann_ivf_topk``; file pruning asserted in tests/test_bucketing.py)."""
+    coll = spark.read.parquet(layout_path).selectExpr(
+        "vec_id", "cell", f"{to_double_array('embedding')} AS v"
+    ).selectExpr("vec_id", "cell", "v", f"{norm('v')} AS nrm")
+    return _ivf_topk(spark, coll, centroids, nprobe)
+
+
+def _ivf_topk(
+    spark: SparkSession,
+    e: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+) -> DataFrame:
+    """Shared IVF probe core over a prepared collection
+    (vec_id, v, nrm, cell)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
     q_rows = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),

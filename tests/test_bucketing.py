@@ -98,16 +98,29 @@ def test_ann_layout_prunes_to_probed_buckets(spark, tmp_path):
             n += sum(1 for f in os.listdir(os.path.join(layout, d)) if f.endswith(".parquet"))
         return n
 
-    ep = out._jdf.queryExecution().executedPlan()
+    files_read = scan_num_files(out)
+    # the collection scan(s): every one must stay within the probed dirs
+    assert files_read, "no FileScan leaf with a numFiles metric found"
+    assert max(files_read) <= bucket_files(probed), (files_read, sorted(probed))
+    assert max(files_read) < bucket_files()  # genuinely pruned
+
+    # (c) result-identical to the declared multiprobe query
+    want = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert sorted(map(tuple, rows)) == want
+
+
+def scan_num_files(df) -> list:
+    """numFiles metric of every executed FileScan (AQE hides scans inside
+    query stages → descend .plan(); df.inputFiles() is pre-pruning)."""
+    ep = df._jdf.queryExecution().executedPlan()
     if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
         ep = ep.executedPlan()
+    out = []
 
-    files_read = []
-
-    def walk(node):  # AQE hides scans inside query stages → descend .plan()
+    def walk(node):
         m = node.metrics()
         if m.contains("numFiles"):
-            files_read.append(m.apply("numFiles").value())
+            out.append(m.apply("numFiles").value())
         ch = node.children()
         for i in range(ch.size()):
             walk(ch.apply(i))
@@ -117,11 +130,58 @@ def test_ann_layout_prunes_to_probed_buckets(spark, tmp_path):
             pass
 
     walk(ep)
-    # the collection scan(s): every one must stay within the probed dirs
-    assert files_read, "no FileScan leaf with a numFiles metric found"
-    assert max(files_read) <= bucket_files(probed), (files_read, sorted(probed))
-    assert max(files_read) < bucket_files()  # genuinely pruned
+    return out
 
-    # (c) result-identical to the declared multiprobe query
-    want = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+
+def test_ivf_layout_prunes_to_probed_cells(spark, tmp_path):
+    """IVF analogue of the LSH layout proof: the cell-partitioned layout
+    must scan only the nprobe probed cells' files and return exactly the
+    unpartitioned IVF result."""
+    import os
+
+    import numpy as np
+
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        N_QUERIES,
+        ann_ivf_topk,
+        ann_ivf_topk_over_layout,
+        fit_ivf_centroids,
+        write_embeddings_ivf_layout,
+    )
+
+    cents = fit_ivf_centroids(spark, SF_SMOKE, k_cells=16)
+    layout = str(tmp_path / "emb_ivf")
+    write_embeddings_ivf_layout(spark, SF_SMOKE, layout, cents)
+
+    nprobe = 3
+    out = ann_ivf_topk_over_layout(spark, layout, cents, nprobe=nprobe)
+    rows = out.collect()
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    # probe set recomputed independently: nprobe nearest cells per query
+    c = np.asarray(cents)
+    probed = set()
+    for r in spark.read.parquet(layout).where(f"vec_id < {N_QUERIES}").collect():
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        d2 = (c @ qv) - 0.5 * (c * c).sum(axis=1)
+        probed |= {int(x) for x in np.argsort(-d2)[:nprobe]}
+
+    def cell_files(want=None):
+        n = 0
+        for d in os.listdir(layout):
+            if not d.startswith("cell="):
+                continue
+            if want is not None and int(d.split("=")[1]) not in want:
+                continue
+            n += sum(1 for f in os.listdir(os.path.join(layout, d)) if f.endswith(".parquet"))
+        return n
+
+    files_read = scan_num_files(out)
+    assert files_read, "no FileScan leaf with a numFiles metric found"
+    assert max(files_read) <= cell_files(probed), (files_read, sorted(probed))
+    assert max(files_read) < cell_files()
+
+    want = sorted(map(tuple, ann_ivf_topk(spark, SF_SMOKE, cents, nprobe=nprobe).collect()))
     assert sorted(map(tuple, rows)) == want
