@@ -162,12 +162,22 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     on Zipfian data — the declared query is the scale-safe form.
 
     Shuffle budget (the round-2 version paid ~4 avoidable ones): the
-    document-frequency table is vocab-sized, so it BROADCASTS back onto the
-    inverted index (map-side, no re-shuffle of the index); the per-doc
-    prefix is ONE groupBy(doc_id) into a (df, h)-sorted array, sliced and
-    re-exploded — replacing two doc_id windows; and candidates come from
-    in-bucket pair expansion (groupBy(h) on the prefix index — the prefix
-    pipeline executes once; a self-join would run it twice).
+    document-frequency table is a vocab-sized aggregate, joined back onto
+    the inverted index with NO broadcast hint — AQE broadcasts it at local
+    scale (verified in the plan), while at 100 TB distinct-shingle vocab
+    grows ~linearly with the corpus and would blow Spark's 8 GB broadcast
+    cap, so the unhinted join degrades gracefully to a shuffle join there;
+    the per-doc prefix is ONE groupBy(doc_id) into a (df, h)-sorted array,
+    sliced and re-exploded — replacing two doc_id windows; and candidates
+    come from in-bucket pair expansion (groupBy(h) on the prefix index —
+    the prefix pipeline executes once; a self-join would run it twice).
+
+    Candidates additionally pass the AllPairs LENGTH filter before the
+    verify join: Jaccard ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|), and the
+    per-doc distinct-shingle count is already on the prefix index, so pairs
+    of very different sizes are dropped in-bucket for free (a 1e-9 slack
+    keeps float rounding from ever pruning a true boundary pair; final
+    exactness still comes from the full-Jaccard verify).
 
     Shingle identity is the 64-bit xxhash64 of the shingle string, end to
     end: long-array intersections verify ~10× faster than string arrays
@@ -184,7 +194,9 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv = sh.select("doc_id", F.explode(F.array_compact("hh")).alias("h"))
     df_rank = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = inv.join(F.broadcast(df_rank), "h")
+    # no broadcast hint: vocab grows with the corpus (8 GB broadcast cap at
+    # 100 TB) — AQE still picks a broadcast join when df_rank is small
+    ranked = inv.join(df_rank, "h")
     # prefix length |A| - ceil(t·|A|) + 1 over the rare-first (df, h) order,
     # built array-side: sort_array on (df, h) structs == the old window's
     # orderBy; array_compact is the explode-inlining barrier (see
@@ -194,6 +206,7 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr"))
         .selectExpr(
             "doc_id",
+            "size(arr) AS n",
             "explode(array_compact(transform("
             f" slice(arr, 1, size(arr) - CAST(ceil({JACCARD_THRESHOLD}D * size(arr)) AS INT) + 1),"
             " x -> x.h))) AS h",
@@ -201,12 +214,16 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         prefix.groupBy("h")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ids"))
         .filter(F.size("ids") > 1)
         .selectExpr(
             "explode(flatten(transform(sequence(1, size(ids) - 1),"
-            " i -> transform(slice(ids, i + 1, size(ids) - i),"
-            " y -> named_struct('doc_a', element_at(ids, i), 'doc_b', y))))) AS pair"
+            " i -> transform("
+            "   filter(slice(ids, i + 1, size(ids) - i),"
+            "     y -> least(element_at(ids, i).n, y.n) + 1e-9D"
+            f"      >= {JACCARD_THRESHOLD}D * greatest(element_at(ids, i).n, y.n)),"
+            "   y -> named_struct('doc_a', element_at(ids, i).doc_id,"
+            "                     'doc_b', y.doc_id))))) AS pair"
         )
         .select("pair.doc_a", "pair.doc_b")
         .distinct()

@@ -235,17 +235,26 @@ def sample_audio_frames(df: DataFrame, every_k: int) -> DataFrame:
                 raise NotImplementedError(f"frame-sample: no codec for {mt}")
             if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
                 raise ValueError("not a RIFF/WAVE container")
-            pos, rate, data = 12, None, None
+            pos, fmt, data = 12, None, None
             while pos + 8 <= len(b):
                 cid = b[pos : pos + 4]
                 (sz,) = _struct.unpack("<I", b[pos + 4 : pos + 8])
                 if cid == b"fmt ":
-                    rate = _struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])[2]
+                    fmt = _struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
                 elif cid == b"data":
                     data = b[pos + 8 : pos + 8 + sz]
                 pos += 8 + sz + (sz & 1)
-            if rate is None or data is None:
+            if fmt is None or data is None:
                 raise ValueError("missing fmt/data chunk")
+            fmt_tag, n_ch, rate, _brate, _balign, bits = fmt
+            # byte-stride decimation is only sample-stride decimation for
+            # PCM mono 8-bit; anything else would be silently corrupted, so
+            # refuse loudly (same posture as the codec stubs)
+            if (fmt_tag, n_ch, bits) != (1, 1, 8):
+                raise NotImplementedError(
+                    "frame-sample: only PCM mono 8-bit WAV supported, got "
+                    f"format={fmt_tag} channels={n_ch} bits={bits}"
+                )
             kept = data[::every_k]
             new_rate = max(1, rate // every_k)
             pad = b"\x00" if len(kept) & 1 else b""

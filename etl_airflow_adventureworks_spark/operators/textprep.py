@@ -14,8 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: whitespace tokenizer shared with textops (same token count semantics)
-_TOK = r"split(trim(text), '\\s+')"
+def _tok(col: str) -> str:
+    """Whitespace tokenizer shared with textops (same token count
+    semantics), parameterised on the source column name."""
+    return rf"split(trim({col}), '\\s+')"
 
 
 def split_by_hash(
@@ -72,7 +74,7 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = df.selectExpr(f"{id_col}", f"{_TOK} AS t")
+    toks = df.selectExpr(f"{id_col}", f"{_tok(text_col)} AS t")
     # chunk starts: 0, stride, 2*stride, ... while start < n (≥1 chunk even
     # for empty text); array_compact barrier per the explode-inlining gotcha
     starts = (
@@ -118,7 +120,7 @@ def pack_sequences(
 
     sized = df.selectExpr(
         f"{id_col} AS doc_id",
-        f"size({_TOK}) AS n_tokens",
+        f"size({_tok(text_col)}) AS n_tokens",
     ).withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -135,9 +137,12 @@ def pack_sequences(
                     break
             else:
                 bins.append((min(n, budget), [int(doc_id)]))
+        # shard-safe id composition: 2^40 per-shard stride means a shard
+        # would need >1e12 packed sequences to collide with its neighbour
+        # (the old 1e6 stride was plausible to overflow at target scale)
         return _pd.DataFrame(
             {
-                "seq_id": [shard * 1_000_000 + i for i in range(len(bins))],
+                "seq_id": [(shard << 40) + i for i in range(len(bins))],
                 "doc_ids": [ids for _, ids in bins],
                 "n_docs": [len(ids) for _, ids in bins],
                 "total_tokens": [used for used, _ in bins],

@@ -9,8 +9,6 @@ table) and a JDBC sink with batched writes for a kept-Postgres deployment.
 from __future__ import annotations
 
 import math
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -80,18 +78,34 @@ def compact_table(
     (the temp dir still holds the full rewrite). A lakehouse table format
     (Delta/Iceberg) makes the swap a metadata commit; the rewrite plan is
     identical.
+
+    Sizing, delete and swap go through the Hadoop FileSystem API resolved
+    from the path's own scheme, so the same code compacts file://, hdfs://
+    and s3a:// tables (on object stores the final rename is a copy, which
+    is exactly what lakehouse OPTIMIZE avoids — see the atomicity note).
     """
-    df = spark.read.parquet(path)
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(path)
+    fs = src.getFileSystem(hconf)
+    if not fs.exists(src):
+        raise FileNotFoundError(f"compact_table: no such table dir: {path}")
+    # parquet data bytes only (skip _SUCCESS/_metadata markers); recursive
+    # so partitioned layouts are sized correctly
+    total = 0
+    it = fs.listFiles(src, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
+    if total == 0:
+        raise ValueError(f"compact_table: no parquet data files under {path}")
     n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compacting"
     # coalesce, not repartition: compaction must not pay a shuffle
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    fs.delete(src, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src):
+        raise IOError(f"compact_table: rename {tmp} -> {path} failed")
     return n_files

@@ -88,6 +88,37 @@ def test_sample_audio_frames_decimates(spark):
     assert meta["sample_rate"] == 2000  # 8000 / 4
 
 
+def test_sample_audio_frames_rejects_non_mono8(spark):
+    # byte-stride decimation is only valid for PCM mono 8-bit; a 16-bit or
+    # stereo WAV must fail loudly, not be silently corrupted
+    import struct
+
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from etl_airflow_adventureworks_spark.operators.multimodal import (
+        sample_audio_frames,
+    )
+
+    pcm = bytes(200)
+    stereo16 = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(stereo16))],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(PythonException, match="PCM mono 8-bit"):
+        sample_audio_frames(df, every_k=2).collect()
+
+
 def test_sample_video_frames_is_honest_stub(spark):
     import pytest
 

@@ -88,6 +88,38 @@ def test_compact_table_preserves_rows_and_shrinks_files(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == rows_before
 
 
+def test_compact_table_guards_missing_and_empty_dirs(spark, tmp_path):
+    # Hadoop-FS path resolution: a missing dir and a dir with no parquet
+    # data must fail loudly instead of coalescing to 1 file and deleting
+    import pytest
+
+    from etl_airflow_adventureworks_spark.sinks import compact_table
+
+    with pytest.raises(FileNotFoundError):
+        compact_table(spark, str(tmp_path / "nope"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_text("")
+    with pytest.raises(ValueError, match="no parquet data"):
+        compact_table(spark, str(empty))
+    assert (empty / "_SUCCESS").exists()  # nothing was deleted
+
+
+def test_compact_table_partitioned_layout(spark, tmp_path):
+    # recursive sizing + rename must survive a partitionBy layout
+    from etl_airflow_adventureworks_spark.sinks import compact_table
+
+    out = str(tmp_path / "part")
+    src = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "bucket", F.pmod(F.col("o_orderkey"), F.lit(3))
+    )
+    src.repartition(8).write.partitionBy("bucket").parquet(out)
+    rows_before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    n = compact_table(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert n >= 1
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == rows_before
+
+
 def test_binaryfile_source_feeds_multimodal_decode(spark, tmp_path):
     """Ingestion end to end: real files on disk → binaryFile source →
     the same decode path the declared multimodal query gates."""

@@ -96,3 +96,41 @@ def test_pack_sequences_exact_partition_within_budget(spark):
         for r in pack_sequences(docs, budget=budget, n_shards=shards).collect()
     )
     assert again == sorted((r["seq_id"], tuple(r["doc_ids"])) for r in seqs)
+
+
+def test_text_col_parameter_actually_used(spark):
+    # ADVICE r3: text_col was accepted but the tokenizer hardcoded 'text' —
+    # chunking/packing a renamed column must give the identical result
+    docs = load_table(spark, SF_ORACLE, "documents")
+    renamed = docs.withColumnRenamed("text", "body")
+    base = sorted(
+        map(tuple, chunk_documents(docs, max_tokens=64, overlap=16).collect())
+    )
+    via_body = sorted(
+        map(
+            tuple,
+            chunk_documents(renamed, max_tokens=64, overlap=16, text_col="body").collect(),
+        )
+    )
+    assert via_body == base
+    pack_base = sorted(
+        (r["seq_id"], tuple(r["doc_ids"]))
+        for r in pack_sequences(docs, budget=512, n_shards=8).collect()
+    )
+    pack_body = sorted(
+        (r["seq_id"], tuple(r["doc_ids"]))
+        for r in pack_sequences(renamed, budget=512, n_shards=8, text_col="body").collect()
+    )
+    assert pack_body == pack_base
+
+
+def test_pack_sequences_seq_id_shard_stride_is_wide(spark):
+    # ADVICE r3: seq_id = shard*1e6 collided once a shard packed >=1M
+    # sequences; the 2^40 stride makes ids (shard, idx)-recoverable
+    docs = load_table(spark, SF_ORACLE, "documents")
+    seqs = pack_sequences(docs, budget=512, n_shards=8).collect()
+    assert len({r["seq_id"] for r in seqs}) == len(seqs)
+    for r in seqs:
+        shard, idx = r["seq_id"] >> 40, r["seq_id"] & ((1 << 40) - 1)
+        assert 0 <= shard < 8
+        assert idx < 1 << 20  # tiny corpus: far from the stride
