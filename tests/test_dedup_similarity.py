@@ -36,6 +36,34 @@ def test_simhash_pairs_sane(spark):
     assert rows == _rows(spark, "ext_simhash_neardup")
 
 
+def test_simhash_recall_vs_exact(spark):
+    # VERDICT r3 #5: mirror the MinHash recall floor for SimHash. Two
+    # claims, calibrated on the planted corpus (measured r4):
+    # (a) DETERMINISTIC full recall at the declared radius — Hamming ≤ 3
+    #     over 4×16-bit bands catches EVERY pair within radius (pigeonhole:
+    #     ≤3 flipped bits cannot touch all 4 bands). This is the operator's
+    #     actual contract.
+    # (b) Against the exact-Jaccard twin the overall recall is ~0.6 (15/25
+    #     planted pairs; the misses sit at Hamming 4-5 — OUTSIDE the radius,
+    #     a measure mismatch, not a banding bug). Widening the radius would
+    #     need more/narrower bands whose buckets grow ∝ corpus/2^bits —
+    #     the scale-unsafe direction — so the radius stays 3 and the floor
+    #     is asserted at 0.55. See RECALL.md.
+    from etl_airflow_adventureworks_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in _rows(spark, "ext_ngram_jaccard")}
+    sh = {(r["doc_a"], r["doc_b"]) for r in _rows(spark, "ext_simhash_neardup")}
+    assert len(exact) > 0
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(spark, SF_ORACLE).collect()}
+    within_radius = {
+        (a, b) for a, b in exact if bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert within_radius <= sh, "banding must have FULL recall at Hamming <= 3"
+    assert len(sh & exact) >= 0.55 * len(exact), f"recall too low: {len(sh & exact)}/{len(exact)}"
+
+
 def test_prefix_filtered_jaccard_exact(spark):
     # the declared query (AllPairs prefix filtering) must return EXACTLY
     # the naive inverted-index join's pairs
