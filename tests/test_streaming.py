@@ -163,3 +163,119 @@ def test_append_mode_with_watermark_smoke(spark, events_stream):
     appended = spark.sql("SELECT * FROM win_append").collect()
     complete = spark.sql("SELECT * FROM win_out").collect()
     assert len(appended) <= len(complete)
+
+
+def _split_events_at(spark, src_sf, out_dir, cuts_ns):
+    """Rewrite the events table as contiguous time slices split at the
+    given nano timestamps, written oldest-first (file mod times increasing)
+    so FileStreamSource replays them as an in-order multi-batch stream."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{src_sf}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    slice_expr = sum(F.when(F.col("ts") >= F.lit(c), 1).otherwise(0) for c in cuts_ns)
+    sliced = raw.withColumn("slice", slice_expr)
+    n_written = 0
+    for i in range(len(cuts_ns) + 1):
+        part = sliced.filter(F.col("slice") == i).drop("slice")
+        if part.limit(1).count() == 0:
+            continue
+        part.coalesce(1).write.mode("append").parquet(out_dir)
+        n_written += 1
+    return n_written
+
+
+def _run_counting_batches(df, name):
+    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    def rows(p):
+        return p["numInputRows"] if isinstance(p, dict) else p.numInputRows
+
+    return sum(1 for p in progress if rows(p) > 0)
+
+
+def test_multi_batch_stream_matches_single_batch_oracle(spark, tmp_path):
+    """VERDICT r3 #6: the declared streaming queries read one file → one
+    micro-batch. Split events into 6 time-ordered files, replay with
+    maxFilesPerTrigger=1 (≥3 real micro-batches), and assert the tumbling
+    AND session aggregations still equal the oracle-gated single-batch
+    results — watermark advance and (for sessions) state merge across
+    batch boundaries, not just within one batch."""
+    from pyspark.sql import functions as F
+
+    # pick cuts so ≥1 boundary provably lands INSIDE a session: the
+    # midpoint of the longest batch session (start < mid < end, and the
+    # session's first/last events sit on opposite sides), plus time
+    # quantiles for bulk multi-batch coverage
+    batch_sess = entrymod.queries()["ext_session_gap"](spark, SF_SMOKE).collect()
+    longest = max(
+        (r for r in batch_sess if r["session_end_us"] > r["session_start_us"]),
+        key=lambda r: r["n_events"],
+    )
+    mid_ns = (longest["session_start_us"] + longest["session_end_us"]) // 2 * 1000
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    qs = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .approxQuantile("ts", [0.2, 0.4, 0.6, 0.8], 0.0)
+    )
+    cuts = sorted({int(c) for c in qs} | {mid_ns})
+
+    out = str(tmp_path / "events_sliced")
+    n_files = _split_events_at(spark, SF_SMOKE, out, cuts)
+    assert n_files >= 4
+    raw = (
+        spark.readStream.schema(se.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+    # tumbling windows across batches == declared single-batch query
+    n_batches = _run_counting_batches(
+        se.windowed_counts(raw).withColumnRenamed("n_events", "n"), "mb_win"
+    )
+    assert n_batches >= 3, f"expected a real multi-batch replay, got {n_batches}"
+    got_win = {
+        (r["window_start_s"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM mb_win").collect()
+    }
+    from etl_airflow_adventureworks_spark.operators.sessionize import (
+        ext_event_window_1h,
+    )
+
+    want_win = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in ext_event_window_1h(spark, SF_SMOKE).collect()
+    }
+    assert got_win == want_win
+
+    # session windows: state must MERGE across batch boundaries
+    n_batches = _run_counting_batches(se.session_windows(raw), "mb_sess")
+    assert n_batches >= 3
+    got_sess = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM mb_sess").collect()
+    }
+    want_sess = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in entrymod.queries()["ext_session_gap"](spark, SF_SMOKE).collect()
+    }
+    assert got_sess == want_sess
+
+    # prove the merge was actually exercised: ≥1 session spans a file
+    # boundary (starts in slice i, ends at/after slice i+1's first event)
+    spanning = sum(
+        1
+        for r in batch_sess
+        if any(
+            r["session_start_us"] < c // 1000 <= r["session_end_us"] for c in cuts
+        )
+    )
+    assert spanning > 0, "no boundary-spanning session — merge not exercised"
