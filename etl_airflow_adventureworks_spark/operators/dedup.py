@@ -187,11 +187,41 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df, string) changes candidates but never survivors; a hash collision
     perturbs one pair's Jaccard with probability ≈ |A∪B|²/2⁶⁵ (immaterial
     at any realistic corpus size — and why crc32 would NOT be safe here)."""
-    sh = (
+    sh = xxhash_shingle_sets(spark, sf_dir)
+    cand = ngram_prefix_candidates(sh)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    # verify joins: no hints — AQE broadcasts whichever side is small at
+    # runtime (locally the doc-keyed shingle table; at 100 TB neither side
+    # broadcasts and both shuffle on the doc key, which is correct there).
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def xxhash_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hh) — distinct 3-token shingles as xxhash64 longs, the
+    shingle identity used end to end by ``ext_ngram_jaccard`` (long-array
+    intersections verify ~10× faster than string arrays)."""
+    return (
         load_table(spark, sf_dir, "documents")
         .selectExpr("doc_id", f"{_TOK} AS t")
         .selectExpr("doc_id", f"transform({_SHINGLES}, x -> xxhash64(x)) AS hh")
     )
+
+
+def ngram_prefix_candidates(sh: DataFrame, length_filter: bool = True) -> DataFrame:
+    """AllPairs candidate generation over hashed shingle sets ``(doc_id,
+    hh)`` → distinct ``(doc_a, doc_b)`` pairs guaranteed to contain every
+    pair with Jaccard ≥ t (prefix pigeonhole), exposed separately so tests
+    can measure candidate volume on adversarial (Zipfian) corpora.
+    ``length_filter=False`` disables the min≥t·max size prune (used only to
+    quantify its reduction — production always filters)."""
     inv = sh.select("doc_id", F.explode(F.array_compact("hh")).alias("h"))
     df_rank = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # no broadcast hint: vocab grows with the corpus (8 GB broadcast cap at
@@ -212,34 +242,25 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> x.h))) AS h",
         )
     )
-    cand = (
+    others = "slice(ids, i + 1, size(ids) - i)"
+    if length_filter:
+        others = (
+            f"filter({others},"
+            " y -> least(element_at(ids, i).n, y.n) + 1e-9D"
+            f" >= {JACCARD_THRESHOLD}D * greatest(element_at(ids, i).n, y.n))"
+        )
+    return (
         prefix.groupBy("h")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ids"))
         .filter(F.size("ids") > 1)
         .selectExpr(
             "explode(flatten(transform(sequence(1, size(ids) - 1),"
-            " i -> transform("
-            "   filter(slice(ids, i + 1, size(ids) - i),"
-            "     y -> least(element_at(ids, i).n, y.n) + 1e-9D"
-            f"      >= {JACCARD_THRESHOLD}D * greatest(element_at(ids, i).n, y.n)),"
-            "   y -> named_struct('doc_a', element_at(ids, i).doc_id,"
-            "                     'doc_b', y.doc_id))))) AS pair"
+            f" i -> transform({others},"
+            " y -> named_struct('doc_a', element_at(ids, i).doc_id,"
+            "                   'doc_b', y.doc_id))))) AS pair"
         )
         .select("pair.doc_a", "pair.doc_b")
         .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    # verify joins: no hints — AQE broadcasts whichever side is small at
-    # runtime (locally the doc-keyed shingle table; at 100 TB neither side
-    # broadcasts and both shuffle on the doc key, which is correct there).
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
