@@ -12,6 +12,14 @@ The snapshot at /root/reference/dags/data/ lacks `Person Person.csv`,
 so dim_cliente / dim_vendedor / fato_vendas are buildable only when those
 files exist — each builder raises FileNotFoundError otherwise and the tests
 skip.
+
+PERMANENT SKIP (adjudicated round 4): the three files cannot be
+regenerated in this environment — no other AdventureWorks distribution is
+present and the container has no network, and the remaining 85 CSVs don't
+contain the person/order data. The builders stay correct-by-construction:
+their logic is fully exercised against synthetic schema twins with planted
+edge cases in tests/test_adventureworks_synthetic.py, and the golden-count
+tests activate automatically on any checkout that carries the full CSV set.
 """
 
 from __future__ import annotations
