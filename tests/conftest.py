@@ -14,8 +14,10 @@ from etl_airflow_adventureworks_spark.session import get_spark  # noqa: E402
 import os
 
 SF_SMOKE = "/root/testdata/sf0.001"
-# override to stress parity at another scale: SPARK_GRAFT_ORACLE_SF=sf0.1
-SF_ORACLE = f"/root/testdata/{os.environ.get('SPARK_GRAFT_ORACLE_SF', 'sf0.01')}"
+# override to stress parity at another scale: SPARK_GRAFT_ORACLE_SF=sf0.1,
+# or an absolute path (e.g. /root/repo/.scale/sf1 from tools/gen_scale.py)
+_ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "sf0.01")
+SF_ORACLE = _ORACLE_SF if _ORACLE_SF.startswith("/") else f"/root/testdata/{_ORACLE_SF}"
 
 
 @pytest.fixture(scope="session")
