@@ -1,0 +1,162 @@
+"""VersionedTable: atomic manifest commits, time travel, exactly-once
+streaming upsert, vacuum. The crash-atomicity test simulates a writer dying
+at the worst point (data written, manifest not renamed) and asserts readers
+never see it."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from etl_airflow_adventureworks_spark.table import (
+    VersionedTable,
+    stream_upsert_to_versioned,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_commit_read_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    assert t.versions() == []
+    with pytest.raises(FileNotFoundError):
+        t.read()
+
+    v1 = t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.commit(_df(spark, [(3, "c")]))
+    assert (v1, v2) == (1, 2)
+    assert t.versions() == [1, 2]
+    # latest wins; history stays readable
+    assert sorted(map(tuple, t.read().collect())) == [(3, "c")]
+    assert sorted(map(tuple, t.read(version=1).collect())) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError):
+        t.read(version=99)
+
+
+def test_append_mode_accumulates(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.commit(_df(spark, [(2, "b")]), mode="append")
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "b")]
+    # append manifest references v1's files verbatim — no rewrite
+    assert set(t.manifest(1)["files"]) <= set(t.manifest(2)["files"])
+
+
+def test_crashed_commit_is_invisible(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+
+    # simulate a writer that died after materializing data files and the
+    # tmp manifest but BEFORE the atomic rename
+    files = t._write_data_files(_df(spark, [(9, "dead")]), version=2)
+    tmp = t._HPath(f"{t.path}/_manifests/.tmp-crashed.json")
+    t._write_bytes(
+        tmp,
+        json.dumps({"version": 2, "files": files, "schema": "{}", "token": None}).encode(),
+        overwrite=False,
+    )
+
+    assert t.versions() == [1]  # the half-commit does not exist
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a")]
+    # recovery: the next real commit lands as v2 and the orphans sweep away
+    t.commit(_df(spark, [(2, "b")]))
+    assert sorted(map(tuple, t.read().collect())) == [(2, "b")]
+    swept = t.vacuum(retain_last=1)
+    assert swept >= len(files)  # the dead files are gone
+    assert sorted(map(tuple, t.read().collect())) == [(2, "b")]
+
+
+def test_idempotency_token_skips_replay(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = t.commit(_df(spark, [(1, "a")]), idempotency_token="epoch:0")
+    # crash-replay of the same epoch: detected, no new version, data intact
+    v_replay = t.commit(_df(spark, [(1, "DIFFERENT")]), idempotency_token="epoch:0")
+    assert v_replay == v1
+    assert t.versions() == [1]
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a")]
+    # a NEW epoch commits normally
+    v2 = t.commit(_df(spark, [(1, "b")]), idempotency_token="epoch:1")
+    assert v2 == 2
+
+
+def test_upsert_bootstrap_and_merge(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.upsert(_df(spark, [(1, "a"), (2, "b")]), key="k")
+    t.upsert(_df(spark, [(2, "B"), (3, "c")]), key="k")
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "B"), (3, "c")]
+    assert t.versions() == [1, 2]
+
+
+def test_vacuum_retains_requested_history(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.commit(_df(spark, [(i, f"v{i}")]))
+    assert t.versions() == [1, 2, 3, 4]
+    deleted = t.vacuum(retain_last=2)
+    assert deleted > 0
+    assert t.versions() == [3, 4]
+    # both retained versions still scan
+    assert sorted(map(tuple, t.read(version=3).collect())) == [(2, "v2")]
+    assert sorted(map(tuple, t.read().collect())) == [(3, "v3")]
+    with pytest.raises(ValueError):
+        t.read(version=1)
+
+
+def test_empty_commit_reads_empty_with_schema(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    empty = _df(spark, []).filter("1=0")
+    t.commit(empty)
+    out = t.read()
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+
+
+def test_stream_upsert_exactly_once(spark, tmp_path):
+    """The versioned foreachBatch sink must equal the batch aggregate after
+    the stream drains, and a replayed epoch must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.streaming import events as se
+
+    events = se.stream_events(spark, SF_SMOKE)
+    table_path = str(tmp_path / "user_totals")
+    q = stream_upsert_to_versioned(
+        events, table_path, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    t = VersionedTable(spark, table_path)
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in t.read().collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == want
+
+    # crash-replay the FINAL epoch: same token → version count unchanged
+    last = t.manifest()
+    assert last["token"] is not None and last["token"].startswith("epoch:")
+    before = t.versions()
+    v = t.upsert(
+        _df(spark, [(0, "poison")]).toDF("user_id", "junk"),
+        key="user_id",
+        idempotency_token=last["token"],
+    )
+    assert v == before[-1] and t.versions() == before
+    assert {r["user_id"]: r["n_events"] for r in t.read().collect()} == {
+        u: n for u, (n, _) in want.items()
+    }

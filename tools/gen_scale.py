@@ -100,8 +100,15 @@ def generate(multiplier: int, src_dir: str, out_dir: str) -> None:
                 rep = _shift_labels(rep, k)
             replicas.append(rep)
         big = pa.concat_tables(replicas)
-        pq.write_table(big, out / f"{t}.parquet")
-        print(f"{t}: {src.num_rows} -> {big.num_rows} rows")
+        # explicit row-group sizing: pyarrow's 1Mi-row default left the
+        # scaled documents table as ONE 234 MB row group, and a parquet
+        # scan parallelizes at row-group granularity — measured as a
+        # single-task scan bottleneck (exact dedup 31x on a 10x step).
+        # Real cluster files are rowgroup-sized; ~64 groups per table
+        # keeps local[32] honest at every scale.
+        rg = min(1_000_000, max(8_192, big.num_rows // 64))
+        pq.write_table(big, out / f"{t}.parquet", row_group_size=rg)
+        print(f"{t}: {src.num_rows} -> {big.num_rows} rows (rg={rg})")
 
 
 if __name__ == "__main__":
