@@ -193,12 +193,16 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    # verify joins: no hints — AQE broadcasts whichever side is small at
-    # runtime (locally the doc-keyed shingle table; at 100 TB neither side
-    # broadcasts and both shuffle on the doc key, which is correct there).
+    # verify joins: FORCED sort-merge. The doc→shingle-array table is the
+    # one shape AQE mis-sizes: its broadcast decision uses compressed
+    # shuffle bytes, but a long-array payload deserializes 10-50× larger —
+    # measured at 100× data (500k docs), AQE saw a "small" side, tried to
+    # broadcast it, and OOM'd an 8 GB driver building a multi-GB relation.
+    # The merge hint removes that mid-scale cliff; both sides shuffle on
+    # the doc key, which is also the correct 100 TB plan.
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -270,8 +274,13 @@ def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial (h1·1000003 + h2·31 + h3); for MinHash the shingle only needs
     a stable 64-bit identity, so skipping the string build makes shingling
     ~4× cheaper. try_element_at pads short docs (<3 tokens) with 0."""
+    return hashed_shingle_sets_df(load_table(spark, sf_dir, "documents"))
+
+
+def hashed_shingle_sets_df(docs: DataFrame) -> DataFrame:
+    """``hashed_shingle_sets`` over an arbitrary (doc_id, text) frame."""
     return (
-        load_table(spark, sf_dir, "documents")
+        docs
         .selectExpr(
             "doc_id",
             # pad with two zero-hashes so every window read is in range
@@ -319,7 +328,13 @@ def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. The banding join is the scale path: candidates shuffle on
     (band_idx, band_key), so work is proportional to collisions, not n².
     Ground truth twin: ext_ngram_jaccard (oracle-checked)."""
-    sh = hashed_shingle_sets(spark, sf_dir)
+    return minhash_neardup_pairs(hashed_shingle_sets(spark, sf_dir))
+
+
+def minhash_neardup_pairs(sh: DataFrame) -> DataFrame:
+    """DataFrame-level form of ``ext_minhash_neardup`` over prepared hashed
+    shingle sets (``hashed_shingle_sets`` / ``hashed_shingle_sets_df``) —
+    identical plan; used by the curation pipeline on arbitrary corpora."""
     sig = minhash_signatures(sh)
     band_keys = ", ".join(
         f"concat(s{2 * b}, ',', s{2 * b + 1})" for b in range(_N_BANDS)
@@ -344,14 +359,17 @@ def ext_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verify on the hashed shingle sets (collision probability
-    # ~|A||B|/2^32 — immaterial for the accept/reject decision)
+    # ~|A||B|/2^32 — immaterial for the accept/reject decision). Forced
+    # sort-merge: the shingle-array side deserializes 10-50× its compressed
+    # shuffle size, so an AQE broadcast decision here is a mid-scale driver
+    # OOM (see ext_ngram_jaccard's verify-join note for the measurement).
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

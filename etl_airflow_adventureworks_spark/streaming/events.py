@@ -308,7 +308,16 @@ _STREAM_UID = itertools.count()
 
 def clear_stream_memo() -> None:
     """Forget materialized streaming results (bench uses this so repeated
-    timings re-drive the engine instead of reading the memo)."""
+    timings re-drive the engine instead of reading the memo) AND drop the
+    underlying memory-sink tables — they hold the full result rows on the
+    driver heap, so keeping each rep's table alive leaks result-set-sized
+    heap per repetition (measured: OOM'd an 8 GB driver at 100× data after
+    a few repetitions of the streaming queries)."""
+    for spark, table in _STREAM_MEMO.values():
+        try:
+            spark.catalog.dropTempView(table)
+        except Exception:
+            pass  # session already stopped — nothing to free
     _STREAM_MEMO.clear()
 
 
@@ -316,11 +325,13 @@ def _run_stream_memoized(
     spark: SparkSession, sf_dir: str, key: str, build
 ) -> DataFrame:
     memo_key = (id(spark), sf_dir, key)
-    table = _STREAM_MEMO.get(memo_key)
-    if table is None:
+    hit = _STREAM_MEMO.get(memo_key)
+    if hit is None:
         table = f"{key}_{next(_STREAM_UID)}"
         run_to_memory(build(), table)
-        _STREAM_MEMO[memo_key] = table
+        _STREAM_MEMO[memo_key] = (spark, table)
+    else:
+        _, table = hit
     return spark.table(table)
 
 
