@@ -1,0 +1,168 @@
+"""Corpus curation pipeline (charter: large-scale training-data pipeline).
+
+The individual cleaning operators in this package (quality scoring,
+language-ID, exact dedup, MinHash near-dup, deterministic splits) are each
+declared and gated on their own; a real pretraining-data run applies them
+as ONE flow with an audit trail of what each stage dropped. ``curate_corpus``
+is that flow, composed from the same expressions the declared queries use —
+every stage stays a lazy Catalyst plan over any (id, text) frame, so the
+whole pipeline is one job whose stages fuse where Spark can and the only
+shuffles are the ones the stage algorithms inherently need (dedup digest,
+near-dup banding).
+
+Order matters and is fixed: row-local filters first (quality, language —
+free to evaluate, shrink the corpus before anything shuffles), then exact
+dedup (cheap digest shuffle), then near-dup (the expensive stage runs on
+the smallest surviving corpus), then split assignment LAST so train/val/
+test frequencies are computed over what actually ships.
+
+Near-dup drop policy: from every verified near-dup pair (a < b), the
+greater id is dropped. Greedy pair-drop, not connected components — at
+threshold 0.35 the pair graph's components are overwhelmingly size-2, a
+transitive chain can at worst keep one middle element extra, and the
+policy needs no iterative join (a CC pass at 100 TB is its own job; see
+SCALING.md). Deterministic by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hashed_shingle_sets_df, minhash_neardup_pairs
+from .textops import STOPWORDS, _LANG_ORDER, _lang_pred_case
+from .textprep import split_by_hash
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the [0,1] ``quality`` heuristic of ``ext_quality_score``
+    (length / punctuation / stopword-ratio / lexical diversity, C4-Gopher
+    style) to ``docs``, keeping every input column. One codegen'd
+    projection. Degenerate text (empty/NULL) scores NULL — which fails any
+    ``quality >= x`` floor, i.e. is dropped, the right curation outcome —
+    and keeps the expression bit-identical to ``ext_quality_score``."""
+    en = f"array({', '.join(repr(w) for w in STOPWORDS['en'])})"
+    staged = docs.withColumn("__toks", F.expr(rf"split(trim({text_col}), '\\s+')")) \
+        .withColumn(
+            "__n_punct",
+            F.expr(f"length(regexp_replace({text_col}, '[a-zA-Z0-9 ]', ''))"),
+        ) \
+        .withColumn("__len", F.expr(f"length({text_col})"))
+    quality = f"""(CASE WHEN size(__toks) >= 10 THEN 0.25D ELSE 0.0D END
+        + CASE WHEN CAST(__n_punct AS DOUBLE) / __len < 0.1 THEN 0.25D ELSE 0.0D END
+        + CASE WHEN CAST(size(filter(__toks, x -> array_contains({en}, x))) AS DOUBLE)
+                    / size(__toks) BETWEEN 0.05 AND 0.6 THEN 0.25D ELSE 0.0D END
+        + CASE WHEN CAST(size(array_distinct(__toks)) AS DOUBLE) / size(__toks) > 0.3
+               THEN 0.25D ELSE 0.0D END)"""
+    return (
+        staged.withColumn("quality", F.expr(quality))
+        .drop("__toks", "__n_punct", "__len")
+    )
+
+
+def with_lang_pred(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``lang_pred`` — the stopword-hit argmax classifier of
+    ``ext_lang_id`` — keeping every input column."""
+    score = {
+        lang: (
+            f"size(filter(split(trim({text_col}), '\\\\s+'),"
+            f" x -> array_contains(array({', '.join(repr(w) for w in STOPWORDS[lang])}), x)))"
+        )
+        for lang in _LANG_ORDER
+    }
+    return docs.withColumn("lang_pred", F.expr(_lang_pred_case(score)))
+
+
+def exact_dedup_keep_first(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Drop exact-content duplicates, keeping the lowest id per md5 digest
+    (the deterministic keep-first of ``ext_exact_dedup_docs``), with all
+    input columns preserved. One shuffle on the digest."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(text_col)).orderBy(id_col)
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def drop_near_dups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Drop the greater id of every verified MinHash near-dup pair (the
+    declared ``ext_minhash_neardup`` path: banding candidates + exact
+    Jaccard verify). Shuffle ∝ band collisions, anti-join on the drop set."""
+    base = docs
+    if id_col != "doc_id" or text_col != "text":
+        base = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    pairs = minhash_neardup_pairs(hashed_shingle_sets_df(base))
+    doomed = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return docs.join(doomed, id_col, "left_anti")
+
+
+@dataclass
+class CurationResult:
+    """Lazy stage outputs of ``curate_corpus``. ``curated`` is the final
+    plan; ``report()`` triggers one count per stage and returns the
+    waterfall (stage, rows, dropped) — an action, priced accordingly."""
+
+    curated: DataFrame
+    stages: list[tuple[str, DataFrame]] = field(default_factory=list)
+
+    def report(self) -> list[dict]:
+        out = []
+        prev = None
+        for name, df in self.stages:
+            n = df.count()
+            out.append(
+                {"stage": name, "rows": n, "dropped": (prev - n) if prev is not None else 0}
+            )
+            prev = n
+        return out
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float | None = 0.5,
+    languages: tuple[str, ...] | None = ("en",),
+    near_dup: bool = True,
+    split_weights: dict[str, float] | None = None,
+    split_seed: int = 0,
+) -> CurationResult:
+    """The standard pretraining curation waterfall over any (id, text)
+    frame: quality floor → language allowlist → exact dedup → near-dup
+    drop → deterministic split assignment. Any stage can be disabled
+    (None/False); the result records each stage's lazy frame so callers can
+    audit drops (``report()``) or branch off intermediates."""
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    cur = docs
+    if min_quality is not None:
+        cur = (
+            with_quality(cur, text_col)
+            .filter(F.col("quality") >= F.lit(min_quality))
+        )
+        stages.append(("quality", cur))
+    if languages is not None:
+        allow = ", ".join(repr(l) for l in languages)
+        cur = with_lang_pred(cur, text_col).filter(
+            F.expr(f"lang_pred IN ({allow})")
+        )
+        stages.append(("language", cur))
+    cur = exact_dedup_keep_first(cur, id_col, text_col)
+    stages.append(("exact_dedup", cur))
+    if near_dup:
+        cur = drop_near_dups(cur, id_col, text_col)
+        stages.append(("near_dup", cur))
+    if split_weights is not None:
+        cur = split_by_hash(cur, id_col, split_weights, seed=split_seed)
+        stages.append(("split", cur))
+    return CurationResult(curated=cur, stages=stages)

@@ -1,0 +1,123 @@
+"""Curation pipeline: each stage must agree exactly with its declared
+standalone operator, the waterfall must be monotone and deterministic, and
+stage toggles must compose."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+
+import __spark_entry__ as entrymod
+from etl_airflow_adventureworks_spark.operators import curate as C
+from etl_airflow_adventureworks_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_quality_stage_matches_declared_query(spark, docs):
+    rnd = lambda v: None if v is None else round(v, 9)
+    got = {
+        r["doc_id"]: rnd(r["quality"])
+        for r in C.with_quality(docs).select("doc_id", "quality").collect()
+    }
+    want = {
+        r["doc_id"]: rnd(r["quality"])
+        for r in entrymod.queries()["ext_quality_score"](spark, SF_SMOKE)
+        .select("doc_id", "quality")
+        .collect()
+    }
+    assert got == want
+
+
+def test_lang_stage_matches_declared_query(spark, docs):
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in C.with_lang_pred(docs).select("doc_id", "lang_pred").collect()
+    }
+    want = {
+        r["doc_id"]: r["lang_pred"]
+        for r in entrymod.queries()["ext_lang_id"](spark, SF_SMOKE)
+        .select("doc_id", "lang_pred")
+        .collect()
+    }
+    assert got == want
+
+
+def test_exact_dedup_stage_matches_declared_query(spark, docs):
+    got = sorted(
+        r["doc_id"] for r in C.exact_dedup_keep_first(docs).select("doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in entrymod.queries()["ext_exact_dedup_docs"](spark, SF_SMOKE).collect()
+    )
+    assert got == want
+    # all original columns survive
+    assert set(C.exact_dedup_keep_first(docs).columns) == set(docs.columns)
+
+
+def test_near_dup_stage_drops_exactly_the_greater_ids(spark, docs):
+    pairs = entrymod.queries()["ext_minhash_neardup"](spark, SF_SMOKE).collect()
+    doomed = {r["doc_b"] for r in pairs}
+    kept = {r["doc_id"] for r in C.drop_near_dups(docs).select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - doomed
+
+
+def test_waterfall_monotone_and_deterministic(spark, docs):
+    res = C.curate_corpus(
+        docs, split_weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rep = res.report()
+    names = [r["stage"] for r in rep]
+    assert names == ["input", "quality", "language", "exact_dedup", "near_dup", "split"]
+    rows = [r["rows"] for r in rep]
+    assert rows == sorted(rows, reverse=True)  # never grows
+    assert rows[0] == docs.count()
+    assert rows[-1] == rows[-2]  # split assigns, drops nothing
+    assert all(r["dropped"] >= 0 for r in rep)
+    # deterministic: identical ids + split assignment on a second build
+    a = sorted(map(tuple, res.curated.select("doc_id", "split").collect()))
+    b = sorted(
+        map(
+            tuple,
+            C.curate_corpus(docs, split_weights={"train": 0.8, "val": 0.1, "test": 0.1})
+            .curated.select("doc_id", "split")
+            .collect(),
+        )
+    )
+    assert a == b
+    # split frequencies roughly follow the weights on what ships
+    from collections import Counter
+
+    c = Counter(s for _, s in a)
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_stage_toggles(spark, docs):
+    res = C.curate_corpus(docs, min_quality=None, languages=None, near_dup=False)
+    assert [s for s, _ in res.stages] == ["input", "exact_dedup"]
+    assert "split" not in res.curated.columns
+    assert "quality" not in res.curated.columns
+
+
+def test_custom_column_names(spark, docs):
+    renamed = docs.selectExpr("doc_id AS id", "text AS body")
+    out = C.curate_corpus(
+        renamed, id_col="id", text_col="body", near_dup=True,
+        min_quality=0.5, languages=("en",),
+    ).curated
+    assert "id" in out.columns and "body" in out.columns
+    assert out.count() > 0
+
+
+def test_empty_input(spark, docs):
+    empty = docs.filter("1=0")
+    res = C.curate_corpus(empty, split_weights={"train": 1.0})
+    assert res.curated.count() == 0
+    assert all(r["rows"] == 0 for r in res.report())
