@@ -10,6 +10,9 @@ keeps pushdown intact (no eager cache, no schema-mangling reads).
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,22 +31,48 @@ TABLES = (
 )
 
 
+def events_ts_physical_type(sf_dir: str) -> str:
+    """Arrow type string of ``events.ts`` as stored (file-metadata peek, no
+    scan): ``timestamp[ns]`` (older driver snapshots), ``timestamp[us]``
+    (current — parquet NTZ micros), or ``timestamp[us, tz=UTC]`` (our own
+    rewrites). Loaders branch on this so every encoding normalizes to the
+    same Spark ``TimestampType`` micros column."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    return str(pq.read_schema(path).field("ts").type)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Bring any stored ``ts`` encoding to ``TimestampType`` (µs, session-TZ
+    UTC): nanos-as-long floor-divides with exact integer arithmetic; NTZ µs
+    casts (identity on the stored integer under a UTC session); TZ µs is
+    already canonical."""
+    kind = dict(df.dtypes)["ts"]
+    if kind == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Parquet embeds the schema — no inference race.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader refuses by default; we read nanos as long (runtime legacy
-    conf) and floor-divide to microseconds — exact integer arithmetic, no
-    double rounding (SparkSession TimestampType is µs everywhere).
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) (which Spark's vectorized
+    reader refuses by default — read nanos as long via the runtime legacy
+    conf) and as TIMESTAMP(MICROS) NTZ in newer driver snapshots; either way
+    it normalizes to the session-UTC µs TimestampType every downstream
+    query assumes.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        if events_ts_physical_type(sf_dir) == "timestamp[ns]":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

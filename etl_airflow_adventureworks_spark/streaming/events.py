@@ -21,30 +21,46 @@ from pyspark.sql import types as T
 
 from ..operators.sessionize import SESSION_GAP_MIN
 from ..registry import query
+from ..sources.parquet import events_ts_physical_type, normalize_events_ts
 
-#: events schema as stored (ts is TIMESTAMP(NANOS) parquet → read as long).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.parquet)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def events_schema(ts_type: T.DataType) -> T.StructType:
+    """events schema with the caller-chosen ``ts`` storage type — streaming
+    sources need an explicit schema, and the driver's snapshots have shipped
+    ``ts`` as both TIMESTAMP(NANOS) (read as long) and TIMESTAMP(MICROS)
+    NTZ, so the right type is data-dependent (see sources.parquet)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def raw_events_schema(sf_dir: str) -> T.StructType:
+    """Schema matching ``{sf_dir}/events.parquet`` as physically stored."""
+    kind = events_ts_physical_type(sf_dir)
+    if kind == "timestamp[ns]":
+        return events_schema(T.LongType())  # nanos-as-long
+    if kind == "timestamp[us]":
+        return events_schema(T.TimestampNTZType())
+    return events_schema(T.TimestampType())
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded scan of the events table (one-file-per-trigger so a local
     run exercises multiple micro-batches)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if events_ts_physical_type(sf_dir) == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events_ts(
+        spark.readStream.schema(raw_events_schema(sf_dir))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 

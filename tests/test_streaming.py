@@ -165,20 +165,23 @@ def test_append_mode_with_watermark_smoke(spark, events_stream):
     assert len(appended) <= len(complete)
 
 
-def _split_events_at(spark, src_sf, out_dir, cuts_ns):
+def _split_events_at(spark, src_sf, out_dir, cuts_us):
     """Rewrite the events table as contiguous time slices split at the
-    given nano timestamps, written oldest-first (file mod times increasing)
+    given micro timestamps, written oldest-first (file mod times increasing)
     so FileStreamSource replays them as an in-order multi-batch stream."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{src_sf}/events.parquet").select(
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    raw = load_table(spark, src_sf, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    slice_expr = sum(F.when(F.col("ts") >= F.lit(c), 1).otherwise(0) for c in cuts_ns)
+    slice_expr = sum(
+        F.when(F.unix_micros(F.col("ts")) >= F.lit(c), 1).otherwise(0) for c in cuts_us
+    )
     sliced = raw.withColumn("slice", slice_expr)
     n_written = 0
-    for i in range(len(cuts_ns) + 1):
+    for i in range(len(cuts_us) + 1):
         part = sliced.filter(F.col("slice") == i).drop("slice")
         if part.limit(1).count() == 0:
             continue
@@ -219,22 +222,25 @@ def test_multi_batch_stream_matches_single_batch_oracle(spark, tmp_path):
         (r for r in batch_sess if r["session_end_us"] > r["session_start_us"]),
         key=lambda r: r["n_events"],
     )
-    mid_ns = (longest["session_start_us"] + longest["session_end_us"]) // 2 * 1000
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    mid_us = (longest["session_start_us"] + longest["session_end_us"]) // 2
+    from etl_airflow_adventureworks_spark.sources import load_table
+    from pyspark.sql import types as T
+
     qs = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .approxQuantile("ts", [0.2, 0.4, 0.6, 0.8], 0.0)
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.unix_micros("ts").alias("ts_us"))
+        .approxQuantile("ts_us", [0.2, 0.4, 0.6, 0.8], 0.0)
     )
-    cuts = sorted({int(c) for c in qs} | {mid_ns})
+    cuts = sorted({int(c) for c in qs} | {mid_us})
 
     out = str(tmp_path / "events_sliced")
     n_files = _split_events_at(spark, SF_SMOKE, out, cuts)
     assert n_files >= 4
+    # slices were rewritten by Spark → ts is TIMESTAMP µs (adjusted-to-UTC)
     raw = (
-        spark.readStream.schema(se.EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(se.events_schema(T.TimestampType()))
         .option("maxFilesPerTrigger", 1)
         .parquet(out)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
     # tumbling windows across batches == declared single-batch query
@@ -275,7 +281,7 @@ def test_multi_batch_stream_matches_single_batch_oracle(spark, tmp_path):
         1
         for r in batch_sess
         if any(
-            r["session_start_us"] < c // 1000 <= r["session_end_us"] for c in cuts
+            r["session_start_us"] < c <= r["session_end_us"] for c in cuts
         )
     )
     assert spanning > 0, "no boundary-spanning session — merge not exercised"

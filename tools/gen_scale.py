@@ -20,8 +20,9 @@ replica interactions controlled:
   vec_ids 0..N stay in replica 0 so the constant ANN query set
   (vec_id < N_QUERIES) is unchanged.
 
-Pure pyarrow/numpy — physical parquet schemas (timestamp[ns] events.ts,
-float lists, int32 labels) survive byte-for-byte. Output is written under
+Pure pyarrow/numpy — physical parquet schemas (events.ts in whatever
+precision the driver shipped — ns or µs — float lists, int32 labels)
+survive byte-for-byte, and the loaders' ts-type detection handles either. Output is written under
 the repo (.scale/sfM/, gitignored); /root/testdata is never touched.
 
 Usage: python tools/gen_scale.py [M] [src_dir] [out_dir]
