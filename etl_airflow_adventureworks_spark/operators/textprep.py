@@ -54,6 +54,58 @@ def split_by_hash(
     return df.withColumn("split", expr.otherwise(F.lit(last)))
 
 
+def sample_to_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 0,
+) -> DataFrame:
+    """Downsample to a target source mixture: the largest corpus satisfying
+    ``share(s) == weights[s]`` keeps N = min_s(n_s / w_s) total rows, i.e.
+    per-source keep-rate r_s = N·w_s / n_s ≤ 1. Rows are kept by the same
+    deterministic hash-threshold as ``split_by_hash`` (stable under re-runs,
+    re-ordering and AQE; per-source counts land within binomial noise of
+    N·w_s, the standard trade at scale — an exact-count variant would need
+    a per-source global sort).
+
+    Sources absent from ``weights`` are dropped. Lazy end to end: the
+    per-source counts are a tiny aggregate broadcast back onto the frame,
+    never collected to the driver."""
+    if not weights:
+        raise ValueError("need at least one source weight")
+    total = sum(weights.values())
+    if any(w < 0 for w in weights.values()) or total <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0, got {weights}")
+    norm = {s: w / total for s, w in weights.items()}
+    w_expr = "map(" + ", ".join(
+        f"'{s}', {w!r}D" for s, w in norm.items()
+    ) + ")"
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(source_col).isin(*norm))
+        .groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", F.expr(f"{w_expr}[{source_col}]"))
+    )
+    # N = min over sources of n_s / w_s (w_s == 0 → source contributes 0
+    # rows). Unpartitioned window is fine HERE: the frame is one row per
+    # source (#sources rows total), never data-sized.
+    n_expr = F.min(
+        F.when(F.col("__w") > 0, F.col("__n") / F.col("__w"))
+    ).over(Window.partitionBy())
+    rates = counts.select(
+        source_col,
+        F.least(F.lit(1.0), n_expr * F.col("__w") / F.col("__n")).alias("__keep"),
+    )
+    bucket = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("__keep") * 1_000_000)
+        .drop("__keep")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int = 512,

@@ -134,3 +134,57 @@ def test_pack_sequences_seq_id_shard_stride_is_wide(spark):
         shard, idx = r["seq_id"] >> 40, r["seq_id"] & ((1 << 40) - 1)
         assert 0 <= shard < 8
         assert idx < 1 << 20  # tiny corpus: far from the stride
+
+
+def test_sample_to_mixture_hits_target_shares(spark):
+    from etl_airflow_adventureworks_spark.operators.textprep import sample_to_mixture
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    weights = {"src0": 0.6, "src1": 0.2, "src2": 0.2}
+    out = sample_to_mixture(docs, weights)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= set(weights)
+    src_n = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # expected keep per source: r_s·n_s with N = min(n_s / w_s); the hash
+    # threshold is binomial, so allow 4σ (sources here are only 25 docs)
+    n_total = min(src_n[s] / w for s, w in weights.items())
+    for s, w in weights.items():
+        exp = min(1.0, n_total * w / src_n[s]) * src_n[s]
+        sigma = (exp * max(1e-9, 1 - exp / src_n[s])) ** 0.5
+        assert abs(counts.get(s, 0) - exp) <= 4 * sigma + 1, (s, counts, exp)
+    # the binding source keeps everything (its keep-rate is exactly 1)
+    binding = min(weights, key=lambda s: src_n.get(s, 0) / weights[s])
+    assert counts[binding] == src_n[binding]
+
+
+def test_sample_to_mixture_deterministic_and_pure(spark):
+    from etl_airflow_adventureworks_spark.operators.textprep import sample_to_mixture
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    # asymmetric weights so the minority source's keep-rate is < 1 (equal
+    # weights over equal-sized sources keep everything — seed would be moot)
+    weights = {"src0": 0.7, "src1": 0.3}
+    a = {r["doc_id"] for r in sample_to_mixture(docs, weights).select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         sample_to_mixture(docs.repartition(13), weights).select("doc_id").collect()}
+    assert a == b  # pure function of (key, seed) — layout-independent
+    c = {r["doc_id"] for r in
+         sample_to_mixture(docs, weights, seed=1).select("doc_id").collect()}
+    assert a != c  # seed actually matters
+
+
+def test_sample_to_mixture_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from etl_airflow_adventureworks_spark.operators.textprep import sample_to_mixture
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    with _pytest.raises(ValueError):
+        sample_to_mixture(docs, {})
+    with _pytest.raises(ValueError):
+        sample_to_mixture(docs, {"src0": -0.5, "src1": 1.5})
