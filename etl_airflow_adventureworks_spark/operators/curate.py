@@ -1,8 +1,10 @@
 """Corpus curation pipeline (charter: large-scale training-data pipeline).
 
 The individual cleaning operators in this package (quality scoring,
-language-ID, exact dedup, MinHash near-dup, deterministic splits) are each
-declared and gated on their own; a real pretraining-data run applies them
+language-ID, repetition filtering, PII redaction, exact dedup, MinHash
+near-dup, benchmark decontamination, mixture sampling, deterministic
+splits) are each declared and gated on their own; a real pretraining-data
+run applies them
 as ONE flow with an audit trail of what each stage dropped. ``curate_corpus``
 is that flow, composed from the same expressions the declared queries use —
 every stage stays a lazy Catalyst plan over any (id, text) frame, so the
@@ -31,9 +33,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .decontam import decontaminate
 from .dedup import hashed_shingle_sets_df, minhash_neardup_pairs
+from .scrub import redact_pii, repetition_filter
 from .textops import STOPWORDS, _LANG_ORDER, _lang_pred_case
-from .textprep import split_by_hash
+from .textprep import sample_to_mixture, split_by_hash
 
 
 def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -134,15 +138,35 @@ def curate_corpus(
     text_col: str = "text",
     min_quality: float | None = 0.5,
     languages: tuple[str, ...] | None = ("en",),
+    max_repetition: dict[str, float] | None = None,
+    scrub_pii: bool = False,
     near_dup: bool = True,
+    eval_set: DataFrame | None = None,
+    decontam_ngram: int = 8,
+    mixture_weights: dict[str, float] | None = None,
+    source_col: str = "source",
     split_weights: dict[str, float] | None = None,
     split_seed: int = 0,
 ) -> CurationResult:
     """The standard pretraining curation waterfall over any (id, text)
-    frame: quality floor → language allowlist → exact dedup → near-dup
-    drop → deterministic split assignment. Any stage can be disabled
-    (None/False); the result records each stage's lazy frame so callers can
-    audit drops (``report()``) or branch off intermediates."""
+    frame: quality floor → language allowlist → repetition filter → PII
+    redaction → exact dedup → near-dup drop → benchmark decontamination →
+    mixture downsampling → deterministic split assignment. Any stage can
+    be disabled (None/False — only exact dedup always runs); the result
+    records each stage's lazy frame so callers can audit drops
+    (``report()``) or branch off intermediates.
+
+    Stage-order rationale: row-local filters shrink the corpus before
+    anything shuffles; PII redaction runs BEFORE dedup so duplicates
+    differing only in redacted spans collapse together; decontamination
+    (broadcast semi-join against the benchmark-sized ``eval_set``) runs on
+    the deduped corpus; mixture sampling second-to-last so target shares
+    are computed over what survived cleaning; splits last so train/val/
+    test frequencies describe what actually ships.
+
+    ``max_repetition`` maps ``repetition_filter`` thresholds (e.g.
+    ``{"max_dup_2gram_frac": 0.2}``); ``mixture_weights`` are target
+    source shares for ``sample_to_mixture``."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cur = docs
     if min_quality is not None:
@@ -157,11 +181,29 @@ def curate_corpus(
             F.expr(f"lang_pred IN ({allow})")
         )
         stages.append(("language", cur))
+    if max_repetition is not None:
+        cur = repetition_filter(cur, id_col, text_col, **max_repetition)
+        stages.append(("repetition", cur))
+    if scrub_pii:
+        cur = redact_pii(cur, text_col).drop(
+            "n_email", "n_ssn", "n_ipv4", "n_phone"
+        )
+        stages.append(("pii", cur))
     cur = exact_dedup_keep_first(cur, id_col, text_col)
     stages.append(("exact_dedup", cur))
     if near_dup:
         cur = drop_near_dups(cur, id_col, text_col)
         stages.append(("near_dup", cur))
+    if eval_set is not None:
+        cur = decontaminate(
+            cur, eval_set, n=decontam_ngram, id_col=id_col, text_col=text_col
+        )
+        stages.append(("decontam", cur))
+    if mixture_weights is not None:
+        cur = sample_to_mixture(
+            cur, mixture_weights, key=id_col, source_col=source_col, seed=split_seed
+        )
+        stages.append(("mixture", cur))
     if split_weights is not None:
         cur = split_by_hash(cur, id_col, split_weights, seed=split_seed)
         stages.append(("split", cur))

@@ -121,3 +121,53 @@ def test_empty_input(spark, docs):
     res = C.curate_corpus(empty, split_weights={"train": 1.0})
     assert res.curated.count() == 0
     assert all(r["rows"] == 0 for r in res.report())
+
+
+def test_full_waterfall_all_stages(spark, docs):
+    """Every optional stage on at once: stages run in the documented order,
+    each shrinks (or holds) the row count, and each agrees with its
+    standalone operator applied to the previous stage's frame."""
+    ev = docs.filter("doc_id % 41 = 0")
+    res = C.curate_corpus(
+        docs.filter("doc_id % 41 != 0"),
+        max_repetition={"max_top_token_frac": 0.9},
+        scrub_pii=True,
+        eval_set=ev,
+        decontam_ngram=5,
+        mixture_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        split_weights={"train": 0.9, "val": 0.1},
+    )
+    names = [n for n, _ in res.stages]
+    assert names == [
+        "input", "quality", "language", "repetition", "pii",
+        "exact_dedup", "near_dup", "decontam", "mixture", "split",
+    ]
+    report = res.report()
+    counts = {r["stage"]: r["rows"] for r in report}
+    # monotone: nothing after input ever grows
+    rows = [r["rows"] for r in report]
+    assert all(a >= b for a, b in zip(rows, rows[1:])), report
+    # decontam actually bit on this corpus (5-grams over tiny vocab overlap)
+    assert counts["decontam"] < counts["near_dup"]
+    # mixture kept only weighted sources
+    srcs = {r["source"] for r in res.stages[-2][1].select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1", "src2"}
+    # final frame carries the split column and only train/val
+    splits = {r["split"] for r in res.curated.select("split").distinct().collect()}
+    assert splits <= {"train", "val"}
+
+
+def test_pii_stage_rewrites_text_in_place(spark):
+    base = spark.createDataFrame(
+        [
+            (1, "alice@example.com wrote this ten token long document body here", "src0"),
+            (2, "a perfectly clean document with plenty of ordinary words here", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    res = C.curate_corpus(
+        base, min_quality=None, languages=None, scrub_pii=True, near_dup=False
+    )
+    texts = {r["doc_id"]: r["text"] for r in res.curated.collect()}
+    assert "[EMAIL]" in texts[1] and "alice@example.com" not in texts[1]
+    assert set(res.curated.columns) == set(base.columns)  # counts dropped
