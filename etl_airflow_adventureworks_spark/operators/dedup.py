@@ -35,6 +35,12 @@ from ..sources import load_table
 
 #: tokenize + 3-token shingle set (distinct) — same fragments as textops.
 _TOK = r"split(trim(text), '\\s+')"
+
+
+def _tok_expr(col: str) -> str:
+    """Whitespace tokenizer over an arbitrary column (same semantics as
+    ``_TOK``)."""
+    return rf"split(trim({col}), '\\s+')"
 _SHINGLES = (
     "array_distinct(transform(sequence(0, greatest(size(t) - 3, 0)),"
     " i -> concat_ws(' ', slice(t, i + 1, 3))))"
@@ -444,6 +450,131 @@ def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.filter(ham <= 3)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_fingerprints_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``simhash_fingerprints`` over an arbitrary (id, text) frame — same
+    single-shuffle shape (explode → 64 codegen'd vote sums → assembly)."""
+    from pyspark.sql import functions as FF
+
+    toks = docs.selectExpr(
+        f"{id_col}", f"explode({_tok_expr(text_col)}) AS tok"
+    ).selectExpr(id_col, "xxhash64(tok) AS h")
+    votes = [
+        FF.sum(
+            FF.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    assemble = " | ".join(
+        f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)" for j in range(64)
+    )
+    return toks.groupBy(id_col).agg(*votes).selectExpr(
+        id_col, f"({assemble}) AS simhash"
+    )
+
+
+def _block_bounds(n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) of ``n_blocks`` near-equal contiguous bit blocks
+    covering the 64-bit fingerprint."""
+    base, extra = divmod(64, n_blocks)
+    bounds, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+def simhash_block_candidates(
+    fingerprints: DataFrame,
+    n_blocks: int = 6,
+    n_combo: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Block-combination candidate pairs over a (id, simhash) frame —
+    the Manku/Jain/Sarma web-crawl banding: split the 64-bit fingerprint
+    into ``n_blocks`` near-equal blocks and key each document under every
+    ``n_combo``-subset of blocks (key = packed block concatenation,
+    C(n_blocks, n_combo) keys per doc).
+
+    Why this beats the declared query's 4×16-bit banding at scale: a
+    random pair collides on a band with p ≈ 2^-band_bits. Simple banding
+    at radius 3 caps bands at 4 → 16-bit keys → collisions ~n²/2^16
+    (SCALING.md's measured sf10 saturation). Block-combination keys are
+    ~32 bits (3 of 6 blocks) while STILL guaranteeing full recall at
+    Hamming ≤ n_blocks − n_combo by pigeonhole (≤3 flipped bits touch ≤3
+    blocks ⇒ some 3 of the other blocks are clean and that combination
+    matches). The price is C(6,3) = 20 band rows per doc instead of 4 —
+    a 5× constant on the (id, key) shuffle, bought back ~2^16× in random
+    collisions. Exposed separately so tests can measure candidate volume.
+    """
+    from itertools import combinations
+
+    bounds = _block_bounds(n_blocks)
+    keys = []
+    for combo in combinations(range(n_blocks), n_combo):
+        shift, parts = 0, []
+        for b in combo:
+            off, w = bounds[b]
+            parts.append(
+                f"shiftleft(shiftright(simhash, {off}) & {(1 << w) - 1}L, {shift})"
+            )
+            shift += w
+        keys.append(" | ".join(parts))
+    bands = fingerprints.selectExpr(
+        id_col,
+        "simhash",
+        f"posexplode(array({', '.join(keys)})) AS (band_idx, band_key)",
+    )
+    return (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_set(F.struct(id_col, "simhash"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .selectExpr(
+            "explode(flatten(transform(sequence(1, size(ids) - 1),"
+            " i -> transform(slice(ids, i + 1, size(ids) - i),"
+            " y -> named_struct('a', element_at(ids, i), 'b', y))))) AS pair"
+        )
+        .select(
+            F.col(f"pair.a.{id_col}").alias("doc_a"),
+            F.col("pair.a.simhash").alias("sh_a"),
+            F.col(f"pair.b.{id_col}").alias("doc_b"),
+            F.col("pair.b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_block_neardup_pairs(
+    docs: DataFrame,
+    n_blocks: int = 6,
+    n_combo: int = 3,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs via block-combination banding — SAME
+    fingerprint, radius, and therefore result set as the declared
+    ``ext_simhash_neardup`` (asserted in tests), but with ~32-bit band
+    keys so random band collisions stay negligible ~2^16× further up the
+    corpus-size curve. This is the documented ≥sf10 form (SCALING.md)."""
+    if n_blocks - n_combo < max_hamming:
+        raise ValueError(
+            f"pigeonhole broken: need n_blocks - n_combo >= max_hamming"
+            f" (got {n_blocks}-{n_combo} < {max_hamming})"
+        )
+    cand = simhash_block_candidates(
+        simhash_fingerprints_df(docs, id_col, text_col), n_blocks, n_combo, id_col
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.filter(ham <= max_hamming)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )

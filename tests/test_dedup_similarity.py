@@ -204,3 +204,66 @@ def test_ivf_topk_exact_at_full_probe_and_recall_monotone(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= 0.6
     assert r4 >= r1
+
+def test_simhash_block_banding_equals_declared_query(spark):
+    """Block-combination banding (Manku-style C(6,3) 32-bit keys —
+    SCALING.md's sf10 saturation remedy) verifies the SAME fingerprint at
+    the SAME radius, and both bandings guarantee full recall at Hamming
+    <= 3, so the result sets must be IDENTICAL."""
+    from etl_airflow_adventureworks_spark.operators.dedup import (
+        simhash_block_neardup_pairs,
+    )
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    declared = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in _rows(spark, "ext_simhash_neardup")
+    }
+    block = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_block_neardup_pairs(docs).collect()
+    }
+    assert block == declared
+    assert len(block) > 0
+
+
+def test_simhash_block_banding_cuts_false_candidates(spark):
+    """The quantity that saturates at sf10 is FALSE candidates (band
+    collisions failing the Hamming verify). On the same fingerprints,
+    ~32-bit block-combination keys must produce far fewer than the
+    declared 4x16-bit banding."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.operators.dedup import (
+        simhash_block_candidates,
+        simhash_fingerprints_df,
+    )
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    fp = simhash_fingerprints_df(docs)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+
+    # declared banding's candidates == block banding with 4 blocks of 16
+    # bits taken 1 at a time (identical keys)
+    fc_narrow = simhash_block_candidates(fp, n_blocks=4, n_combo=1).filter(ham > 3).count()
+    fc_block = simhash_block_candidates(fp, n_blocks=6, n_combo=3).filter(ham > 3).count()
+    assert fc_block < fc_narrow, (fc_block, fc_narrow)
+    # at 500 uniform docs the 16-bit bands already collide randomly while
+    # 32-bit combination keys should be collision-free or nearly so
+    assert fc_block <= fc_narrow // 10, (fc_block, fc_narrow)
+
+
+def test_simhash_block_banding_rejects_broken_pigeonhole(spark):
+    import pytest as _pytest
+
+    from etl_airflow_adventureworks_spark.operators.dedup import (
+        simhash_block_neardup_pairs,
+    )
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    with _pytest.raises(ValueError):
+        # 6 blocks choose 4 leaves only 2 spare blocks < radius 3
+        simhash_block_neardup_pairs(docs, n_blocks=6, n_combo=4, max_hamming=3)
