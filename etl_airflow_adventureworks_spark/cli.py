@@ -49,6 +49,22 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--path", required=True)
     c.add_argument("--target-mb", type=int, default=128)
 
+    cu = sub.add_parser(
+        "curate", help="run the corpus-curation waterfall and write the result"
+    )
+    cu.add_argument("--sf-dir", required=True, help="dir containing documents.parquet")
+    cu.add_argument("--out", required=True, help="output parquet path")
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--languages", default="en", help="comma list; 'any' disables")
+    cu.add_argument("--max-top-token-frac", type=float, default=None,
+                    help="enable the repetition filter at this threshold")
+    cu.add_argument("--scrub-pii", action="store_true")
+    cu.add_argument("--no-near-dup", action="store_true")
+    cu.add_argument("--eval-parquet", default=None,
+                    help="eval/benchmark parquet (doc_id, text) to decontaminate against")
+    cu.add_argument("--splits", default=None,
+                    help="e.g. train=0.9,val=0.1 (deterministic hash splits)")
+
     sub.add_parser("list", help="list declared queries")
 
     args = p.parse_args(argv)
@@ -97,6 +113,40 @@ def main(argv: list[str] | None = None) -> int:
 
         n = compact_table(spark, args.path, args.target_mb * 1024 * 1024)
         print(f"compacted to {n} file(s)")
+        return 0
+    if args.cmd == "curate":
+        from .operators.curate import curate_corpus
+        from .sources import load_table
+
+        docs = load_table(spark, args.sf_dir, "documents")
+        eval_set = (
+            spark.read.parquet(args.eval_parquet) if args.eval_parquet else None
+        )
+        splits = None
+        if args.splits:
+            splits = {
+                name: float(w)
+                for name, w in (kv.split("=") for kv in args.splits.split(","))
+            }
+        res = curate_corpus(
+            docs,
+            min_quality=args.min_quality if args.min_quality >= 0 else None,
+            languages=(
+                None if args.languages == "any" else tuple(args.languages.split(","))
+            ),
+            max_repetition=(
+                {"max_top_token_frac": args.max_top_token_frac}
+                if args.max_top_token_frac is not None
+                else None
+            ),
+            scrub_pii=args.scrub_pii,
+            near_dup=not args.no_near_dup,
+            eval_set=eval_set,
+            split_weights=splits,
+        )
+        res.curated.write.mode("overwrite").parquet(args.out)
+        for row in res.report():
+            print(f"{row['stage']}: {row['rows']} rows (-{row['dropped']})")
         return 0
     if args.cmd == "query":
         if args.name not in QUERIES:

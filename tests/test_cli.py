@@ -25,3 +25,19 @@ def test_compact_subcommand(spark, tmp_path, capsys):
     assert main(["compact", "--path", out, "--target-mb", "512"]) == 0
     assert "compacted to 1 file(s)" in capsys.readouterr().out
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_curate_subcommand(spark, tmp_path, capsys):
+    out = str(tmp_path / "curated")
+    assert main([
+        "curate", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        "--scrub-pii", "--max-top-token-frac", "0.9",
+        "--splits", "train=0.9,val=0.1",
+    ]) == 0
+    report = capsys.readouterr().out
+    for stage in ("input", "quality", "repetition", "pii", "exact_dedup",
+                  "near_dup", "split"):
+        assert f"{stage}:" in report, report
+    curated = spark.read.parquet(out)
+    assert "split" in curated.columns
+    assert 0 < curated.count() <= 500
