@@ -416,41 +416,29 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ext_simhash_neardup")  # Spark-side xxhash64 → rows-only check
 def ext_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprints, 4×16-bit band join for
-    candidates, bit_count(xor) ≤ 3 verify — the banding guarantees FULL
-    recall at this radius (Hamming ≤ 3 across 4 bands ⇒ ≥1 band identical
-    by pigeonhole). All JVM-native."""
-    docs = simhash_fingerprints(spark, sf_dir)
-    bands = docs.selectExpr(
-        "doc_id",
-        "simhash",
-        "posexplode(transform(sequence(0, 3),"
-        " i -> (shiftright(simhash, i * 16) & 65535))) AS (band_idx, band_key)",
-    )
-    # in-bucket pair expansion (single execution of the fingerprint agg;
-    # see ext_minhash_neardup) carrying (doc_id, simhash) structs so the
-    # Hamming verify needs no extra join.
-    cand = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(
-            F.sort_array(
-                F.collect_set(F.struct("doc_id", "simhash"))
-            ).alias("ids")
-        )
-        .filter(F.size("ids") > 1)
-        .selectExpr(
-            "explode(flatten(transform(sequence(1, size(ids) - 1),"
-            " i -> transform(slice(ids, i + 1, size(ids) - i),"
-            " y -> named_struct('a', element_at(ids, i), 'b', y))))) AS pair"
-        )
-        .select(
-            F.col("pair.a.doc_id").alias("doc_a"),
-            F.col("pair.a.simhash").alias("sh_a"),
-            F.col("pair.b.doc_id").alias("doc_b"),
-            F.col("pair.b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    """SimHash near-dup pairs: 64-bit fingerprints, Manku-style
+    block-combination banding (key on every 3-of-6 block subset → ~32-bit
+    band keys) for candidates, bit_count(xor) ≤ 3 verify. Full recall at
+    the radius by pigeonhole: ≤3 flipped bits touch ≤3 blocks, so some 3
+    of the remaining blocks are clean and that combination key matches.
+
+    The simple 4×16-bit banding (kept as ``simhash_simple_neardup_pairs``,
+    result-identical — asserted) saturated in the measured sf1→sf10 decade
+    (random in-bucket pairs ~n²/2^16 → 38.6× time ratio at 10× data); the
+    combination keys trade C(6,3)=20 band rows per doc for a 2^-32
+    per-band random-collision rate. All JVM-native."""
+    return simhash_block_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_simple_neardup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The simple 4×16-bit banding form of ``ext_simhash_neardup`` — kept
+    as the library twin proving the block-combination declared query
+    returns the identical pair set (``test_dedup_similarity.py``). Fine
+    below ~sf1; saturates beyond (see SCALING.md)."""
+    fps = simhash_fingerprints_df(docs, id_col, text_col)
+    cand = simhash_block_candidates(fps, n_blocks=4, n_combo=1, id_col=id_col)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.filter(ham <= 3)

@@ -205,13 +205,14 @@ def test_ivf_topk_exact_at_full_probe_and_recall_monotone(spark):
     assert r4 >= 0.6
     assert r4 >= r1
 
-def test_simhash_block_banding_equals_declared_query(spark):
-    """Block-combination banding (Manku-style C(6,3) 32-bit keys —
-    SCALING.md's sf10 saturation remedy) verifies the SAME fingerprint at
-    the SAME radius, and both bandings guarantee full recall at Hamming
-    <= 3, so the result sets must be IDENTICAL."""
+def test_simhash_block_banding_equals_simple_banding(spark):
+    """The declared query uses block-combination banding (Manku-style
+    C(6,3) 32-bit keys — SCALING.md's sf10 saturation remedy); the simple
+    4x16-bit banding is kept as the library twin. Both verify the SAME
+    fingerprint at the SAME radius and both guarantee full recall at
+    Hamming <= 3 by pigeonhole, so the result sets must be IDENTICAL."""
     from etl_airflow_adventureworks_spark.operators.dedup import (
-        simhash_block_neardup_pairs,
+        simhash_simple_neardup_pairs,
     )
     from etl_airflow_adventureworks_spark.sources import load_table
 
@@ -220,12 +221,12 @@ def test_simhash_block_banding_equals_declared_query(spark):
         (r["doc_a"], r["doc_b"], r["hamming"])
         for r in _rows(spark, "ext_simhash_neardup")
     }
-    block = {
+    simple = {
         (r["doc_a"], r["doc_b"], r["hamming"])
-        for r in simhash_block_neardup_pairs(docs).collect()
+        for r in simhash_simple_neardup_pairs(docs).collect()
     }
-    assert block == declared
-    assert len(block) > 0
+    assert simple == declared
+    assert len(declared) > 0
 
 
 def test_simhash_block_banding_cuts_false_candidates(spark):
