@@ -96,17 +96,32 @@ def exact_dedup_keep_first(
 
 
 def drop_near_dups(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    policy: str = "greedy",
 ) -> DataFrame:
-    """Drop the greater id of every verified MinHash near-dup pair (the
-    declared ``ext_minhash_neardup`` path: banding candidates + exact
-    Jaccard verify). Shuffle ∝ band collisions, anti-join on the drop set."""
+    """Drop near-duplicates found by the declared ``ext_minhash_neardup``
+    path (banding candidates + exact Jaccard verify).
+
+    ``policy="greedy"`` (default): drop the greater id of every pair — no
+    extra job, at worst keeps one extra member of a transitive chain.
+    ``policy="components"``: resolve the pair graph to connected
+    components first and keep exactly one doc (the min id) per cluster —
+    the principled form when chains matter, at the cost of the iterative
+    CC job (``operators.graph``)."""
     base = docs
     if id_col != "doc_id" or text_col != "text":
         base = docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
     pairs = minhash_neardup_pairs(hashed_shingle_sets_df(base))
+    if policy == "components":
+        from .graph import drop_near_dup_components
+
+        return drop_near_dup_components(docs, pairs, id_col)
+    if policy != "greedy":
+        raise ValueError(f"unknown near-dup policy {policy!r}")
     doomed = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(doomed, id_col, "left_anti")
 
