@@ -234,9 +234,15 @@ def ngram_prefix_candidates(sh: DataFrame, length_filter: bool = True) -> DataFr
     quantify its reduction — production always filters)."""
     inv = sh.select("doc_id", F.explode(F.array_compact("hh")).alias("h"))
     df_rank = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # no broadcast hint: vocab grows with the corpus (8 GB broadcast cap at
-    # 100 TB) — AQE still picks a broadcast join when df_rank is small
-    ranked = inv.join(df_rank, "h")
+    # FORCED sort-merge on the df join. Round 3 left this unhinted ("AQE
+    # broadcasts while small, degrades gracefully at scale") — measured
+    # round 4, that story was wrong twice: AQE's broadcast was SLOWER even
+    # locally (the broadcast side is an aggregate that must finish and
+    # collect before the probe side starts: 4.1 s vs 3.3 s at sf0.1,
+    # 16.1 s vs 11.4 s at sf1), and at sf10 AQE still chose broadcast from
+    # compressed-size estimates and OOM'd the 8 GB driver building the
+    # deserialized relation. Both sides shuffle on h — the 100 TB plan.
+    ranked = inv.join(df_rank.hint("merge"), "h")
     # prefix length |A| - ceil(t·|A|) + 1 over the rare-first (df, h) order,
     # built array-side: sort_array on (df, h) structs == the old window's
     # orderBy; array_compact is the explode-inlining barrier (see

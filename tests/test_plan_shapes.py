@@ -108,20 +108,22 @@ def test_interleave_has_no_global_window(spark):
         assert "ASC" not in first and "DESC" not in first, plan
 
 
-def test_ngram_prefix_build_has_no_windows_and_aqe_broadcasts_df(spark):
+def test_ngram_prefix_build_has_no_windows_and_no_broadcasts(spark):
     # round-2 defect (VERDICT item 1): the prefix build paid two doc_id
     # Window sorts and a full re-shuffle of the inverted index on the df
     # join. The round-3+ form must show NO Window node (prefix is a groupBy
-    # into sorted arrays). Round 4 dropped the df-table broadcast HINT
-    # (vocab grows with the corpus — 8 GB broadcast cap at 100 TB), so the
-    # broadcast now comes from AQE at runtime: assert it on the final
-    # adaptive plan, not the static one.
+    # into sorted arrays). Round 4 (late): EVERY join in the query is
+    # forced sort-merge — AQE's broadcast of the df table was slower even
+    # locally AND OOM'd an 8 GB driver at sf10 (compressed-size estimate
+    # vs multi-GB deserialized relation), so the plan must contain NO
+    # broadcast join at any scale.
     df = entrymod.queries()["ext_ngram_jaccard"](spark, SF_ORACLE)
     opt = optimized_of(df)
     assert "Window" not in opt, opt
     df.count()
     final = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in final, final
+    assert "BroadcastHashJoin" not in final, final
+    assert "SortMergeJoin" in final, final
 
 
 def test_textprep_catalyst_ops_have_no_python(spark):
