@@ -60,6 +60,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="enable the repetition filter at this threshold")
     cu.add_argument("--scrub-pii", action="store_true")
     cu.add_argument("--no-near-dup", action="store_true")
+    cu.add_argument("--near-dup-policy", choices=["greedy", "components"],
+                    default="greedy",
+                    help="components resolves transitive chains (extra iterative job)")
     cu.add_argument("--eval-parquet", default=None,
                     help="eval/benchmark parquet (doc_id, text) to decontaminate against")
     cu.add_argument("--splits", default=None,
@@ -141,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             scrub_pii=args.scrub_pii,
             near_dup=not args.no_near_dup,
+            near_dup_policy=args.near_dup_policy,
             eval_set=eval_set,
             split_weights=splits,
         )

@@ -156,6 +156,7 @@ def curate_corpus(
     max_repetition: dict[str, float] | None = None,
     scrub_pii: bool = False,
     near_dup: bool = True,
+    near_dup_policy: str = "greedy",
     eval_set: DataFrame | None = None,
     decontam_ngram: int = 8,
     mixture_weights: dict[str, float] | None = None,
@@ -207,7 +208,7 @@ def curate_corpus(
     cur = exact_dedup_keep_first(cur, id_col, text_col)
     stages.append(("exact_dedup", cur))
     if near_dup:
-        cur = drop_near_dups(cur, id_col, text_col)
+        cur = drop_near_dups(cur, id_col, text_col, policy=near_dup_policy)
         stages.append(("near_dup", cur))
     if eval_set is not None:
         cur = decontaminate(
