@@ -324,14 +324,20 @@ _STREAM_UID = itertools.count()
 
 def clear_stream_memo() -> None:
     """Forget materialized streaming results (bench uses this so repeated
-    timings re-drive the engine instead of reading the memo) AND drop the
-    underlying memory-sink tables — they hold the full result rows on the
-    driver heap, so keeping each rep's table alive leaks result-set-sized
-    heap per repetition (measured: OOM'd an 8 GB driver at 100× data after
-    a few repetitions of the streaming queries)."""
+    timings re-drive the engine instead of reading the memo) AND release
+    the two driver-heap anchors that otherwise leak result-set-sized heap
+    per repetition (each measured as an 8 GB-driver stall/OOM at 100×
+    data): the memory-sink temp views, and the STOPPED StreamingQuery
+    objects — ``StreamingQueryManager`` keeps every terminated query (and
+    through it the MemorySink's full row set) referenced until
+    ``resetTerminated()``, so dropping the view alone frees nothing."""
+    seen: set[int] = set()
     for spark, table in _STREAM_MEMO.values():
         try:
             spark.catalog.dropTempView(table)
+            if id(spark) not in seen:
+                seen.add(id(spark))
+                spark.streams.resetTerminated()
         except Exception:
             pass  # session already stopped — nothing to free
     _STREAM_MEMO.clear()
