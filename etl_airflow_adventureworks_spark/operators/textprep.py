@@ -71,22 +71,31 @@ def sample_to_mixture(
 
     Sources absent from ``weights`` are dropped. Lazy end to end: the
     per-source counts are a tiny aggregate broadcast back onto the frame,
-    never collected to the driver."""
+    never collected to the driver.
+
+    The keep/drop bucket is salted with a ``'mixture'`` literal so it is
+    statistically independent of ``split_by_hash``'s bucket even when the
+    caller passes the same seed to both — without the salt, mixture keeps
+    exactly the rows with bucket < r_s·1e6, and a later split over the
+    truncated bucket range assigns every survivor to the first split
+    (val/test silently empty)."""
     if not weights:
         raise ValueError("need at least one source weight")
     total = sum(weights.values())
     if any(w < 0 for w in weights.values()) or total <= 0:
         raise ValueError(f"weights must be non-negative and sum > 0, got {weights}")
     norm = {s: w / total for s, w in weights.items()}
-    w_expr = "map(" + ", ".join(
-        f"'{s}', {w!r}D" for s, w in norm.items()
-    ) + ")"
+    # weight lookup as a literal map — never f-string source names into SQL
+    # text (a quote in a source value would break the expression at plan time)
+    w_map = F.create_map(
+        *[lit for s, w in norm.items() for lit in (F.lit(s), F.lit(float(w)))]
+    )
     from pyspark.sql import Window
 
     counts = (
         df.filter(F.col(source_col).isin(*norm))
         .groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn("__w", F.expr(f"{w_expr}[{source_col}]"))
+        .withColumn("__w", w_map[F.col(source_col)])
     )
     # N = min over sources of n_s / w_s (w_s == 0 → source contributes 0
     # rows). Unpartitioned window is fine HERE: the frame is one row per
@@ -98,7 +107,9 @@ def sample_to_mixture(
         source_col,
         F.least(F.lit(1.0), n_expr * F.col("__w") / F.col("__n")).alias("__keep"),
     )
-    bucket = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(1_000_000))
+    bucket = F.pmod(
+        F.xxhash64(F.col(key), F.lit("mixture"), F.lit(seed)), F.lit(1_000_000)
+    )
     return (
         df.join(F.broadcast(rates), source_col)
         .filter(bucket < F.col("__keep") * 1_000_000)

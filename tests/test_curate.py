@@ -155,6 +155,21 @@ def test_full_waterfall_all_stages(spark, docs):
     # final frame carries the split column and only train/val
     splits = {r["split"] for r in res.curated.select("split").distinct().collect()}
     assert splits <= {"train", "val"}
+    # regression: mixture and split hashes must be DECORRELATED. Both key on
+    # xxhash64 of the id with the same seed; without the mixture salt every
+    # mixture survivor has bucket < keep_rate*1e6, so a 0.9/0.1 split over the
+    # truncated range assigns everything to 'train' and val is silently empty.
+    from collections import Counter
+
+    c = Counter(r["split"] for r in res.curated.select("split").collect())
+    n = sum(c.values())
+    assert c["val"] > 0, "val split empty — mixture/split hash correlation"
+    # only ~40 rows survive the full waterfall, so the share check is a loose
+    # 4σ binomial band around the 0.1 target, not a tight tolerance
+    import math
+
+    sigma = math.sqrt(0.1 * 0.9 / n)
+    assert abs(c["val"] / n - 0.1) < 4 * sigma, c
 
 
 def test_pii_stage_rewrites_text_in_place(spark):

@@ -177,6 +177,46 @@ def test_sample_to_mixture_deterministic_and_pure(spark):
     assert a != c  # seed actually matters
 
 
+def test_mixture_then_split_same_seed_decorrelated(spark):
+    """sample_to_mixture and split_by_hash both hash the key with the caller's
+    seed; the mixture salt must make the two buckets independent. Without it,
+    mixture survivors all have split-bucket < keep_rate·1e6, so a downstream
+    0.9/0.1 split assigns every survivor to 'train' (val silently empty)."""
+    from collections import Counter
+
+    from etl_airflow_adventureworks_spark.operators.textprep import (
+        sample_to_mixture,
+        split_by_hash,
+    )
+
+    docs = spark.range(20_000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'big' ELSE 'small' END AS source",
+    )
+    # big keeps ~50% of its rows (keep-rate well under the 0.9 train cutoff)
+    mixed = sample_to_mixture(
+        docs, {"big": 0.5, "small": 0.5}, key="doc_id", seed=7
+    )
+    out = split_by_hash(mixed, "doc_id", {"train": 0.9, "val": 0.1}, seed=7)
+    c = Counter(r["split"] for r in out.select("split").collect())
+    n = sum(c.values())
+    assert c["val"] > 0
+    sigma = (0.1 * 0.9 / n) ** 0.5
+    assert abs(c["val"] / n - 0.1) < 5 * sigma, c
+
+
+def test_sample_to_mixture_quote_in_source_name(spark):
+    """Source names are data, not SQL text — a single quote must not break
+    the weight-map expression at plan time."""
+    from etl_airflow_adventureworks_spark.operators.textprep import sample_to_mixture
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "\"o'reilly\" AS source"
+    )
+    out = sample_to_mixture(docs, {"o'reilly": 1.0}, key="doc_id")
+    assert out.count() == 100
+
+
 def test_sample_to_mixture_rejects_bad_weights(spark):
     import pytest as _pytest
 
