@@ -143,9 +143,12 @@ def ngram_jaccard_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # sizes is one row per DOCUMENT — corpus-growing, so no forced broadcast
+    # (same reasoning as the declared query's verify joins above); merge keeps
+    # the plan shape scale-invariant
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -315,10 +315,19 @@ def ext_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (E4): term frequency × inverse
     document frequency, entirely relational — tf and df are two aggregates
-    over one exploded scan, idf a broadcast of the tiny df table back onto
-    tf. No ML pipeline object, no vocabulary materialized on the driver.
-    Scores rounded to 6 before ranking so libm log differences can't flip
-    cross-engine order; total order via the term tie-break.
+    over one exploded scan, idf joined back onto tf by a FORCED sort-merge
+    on term. No ML pipeline object, no vocabulary materialized on the
+    driver. Scores rounded to 6 before ranking so libm log differences
+    can't flip cross-engine order; total order via the term tie-break.
+
+    Why merge, not broadcast, for the df table: distinct-term vocabulary
+    grows ~linearly with corpus size, so an explicit broadcast hint (which
+    bypasses AQE's size check) walks straight into the 8 GB broadcast hard
+    cap at scale — the same mid-scale cliff measured and removed from
+    ``ngram_prefix_candidates``'s df-table join (operators/dedup.py). Both
+    sides shuffle on term; tf needs that exchange anyway after its
+    (doc_id, term) aggregate. The 1-row corpus-count aggregate stays a
+    broadcast — it cannot grow.
 
     Fully lazy: the corpus size joins in as a 1-row broadcast aggregate
     (no driver-side .count() at plan-construction time — building the plan
@@ -331,7 +340,7 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df.hint("merge"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
