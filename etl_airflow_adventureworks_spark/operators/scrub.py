@@ -31,7 +31,16 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
-    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "[PHONE]"),
+    # two phone shapes, both requiring real phone STRUCTURE rather than "any
+    # long digit/separator run" (the earlier {6,}-run form redacted dates,
+    # timestamps and version strings wholesale):
+    #   1. NANP-style: [+cc] [(]aaa[)] sep bbb sep cccc (3-3-4 blocks)
+    #   2. international: literal '+' country code then 2-4 grouped blocks
+    # Residual false positives (documented, accepted): 10+ contiguous digit
+    # runs (indistinguishable from bare phone numbers) and decimals shaped
+    # like ddd ddd.dddd. YYYY-MM-DD dates, HH:MM:SS times and dotted
+    # versions no longer match (no 3-digit + 3-digit + 4-digit runs).
+    ("phone", r"\+?[0-9]{0,2}[\s.-]?\(?[0-9]{3}\)?[\s.-]?[0-9]{3}[\s.-]?[0-9]{4}\b|\+[0-9]{1,3}([\s.-]?[0-9]{2,4}){2,4}", "[PHONE]"),
 )
 
 

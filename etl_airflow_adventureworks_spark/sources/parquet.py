@@ -36,12 +36,22 @@ def events_ts_physical_type(sf_dir: str) -> str:
     scan): ``timestamp[ns]`` (older driver snapshots), ``timestamp[us]``
     (current — parquet NTZ micros), or ``timestamp[us, tz=UTC]`` (our own
     rewrites). Loaders branch on this so every encoding normalizes to the
-    same Spark ``TimestampType`` micros column."""
+    same Spark ``TimestampType`` micros column.
+
+    The pyarrow footer peek only works for local POSIX paths; on a
+    Hadoop-compatible URI (``s3://``, ``hdfs://``) the caller falls back to
+    ``"unknown"`` and the Spark-side read handles the type (TIMESTAMP(NANOS)
+    files are a local-testdata artifact — cluster warehouses write µs)."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/events.parquet"
+    if "://" in sf_dir and not sf_dir.startswith("file://"):
+        return "unknown"  # non-local URI: let spark.read decide
     if os.path.isdir(path):
-        path = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part-files under {path}")
+        path = parts[0]
     return str(pq.read_schema(path).field("ts").type)
 
 

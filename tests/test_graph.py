@@ -80,6 +80,27 @@ def test_drop_components_resolves_transitive_chain(spark):
     assert kept == {1, 9}
 
 
+def test_iteration_checkpoints_released(spark):
+    # every iteration localCheckpoints a new label frame; the previous
+    # iteration's blocks must be released as it goes (a 17-node chain runs
+    # ~5 propagation passes — without the release, 5+ label frames stay
+    # pinned in executor storage for the life of the job). Only the result
+    # frame's checkpoint may remain.
+    sc = spark.sparkContext
+
+    def persisted():
+        return len(list(sc._jsc.sc().getRDDStorageInfo()))
+
+    ids = list(range(17))
+    edges = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "doc_a long, doc_b long"
+    )
+    before = persisted()
+    res = connected_components(edges)
+    res.count()
+    assert persisted() - before <= 1, "iteration checkpoints leaked"
+
+
 def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"

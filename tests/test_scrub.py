@@ -122,6 +122,34 @@ def test_redact_pii_counts_and_text(spark):
     assert out[4]["text"] == ""
 
 
+def test_phone_pattern_spares_dates_times_versions(spark):
+    """The r4 phone pattern matched any 8+-char digit/separator run, so
+    dates, timestamps and version strings were rewritten to [PHONE] —
+    heavy benign-text corruption for a pretraining corpus. The structured
+    3-3-4 / +cc-grouped pattern must leave these shapes alone while still
+    catching real phone formats."""
+    benign = [
+        (1, "released on 2026-08-14 at 08:14:33 under v2.10.3-rc.1"),
+        (2, "range 100-2000, build 2026.08.14, pi is 3.14159 26535"),
+        (3, "date 14.08.2026 and iso 2026-08-14T08:14:33"),
+    ]
+    phones = [
+        (10, "call 555-123-4567 today"),
+        (11, "call (555) 123 4567 today"),
+        (12, "call +1 (555) 123-4567 today"),
+        (13, "call +44 20 7946 0958 today"),
+        (14, "call 5551234567 today"),
+    ]
+    df = spark.createDataFrame(benign + phones, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    for i, text in benign:
+        assert out[i]["n_phone"] == 0, (i, out[i]["text"])
+        assert out[i]["text"] == text
+    for i, _ in phones:
+        assert out[i]["n_phone"] == 1, (i, out[i]["text"])
+        assert "[PHONE]" in out[i]["text"]
+
+
 def test_redact_pii_duckdb_dialect_parity(spark):
     """The regexes must mean the same thing under Java regex and RE2 —
     sequential replace+count in DuckDB over the planted frame must equal
