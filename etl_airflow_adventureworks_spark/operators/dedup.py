@@ -228,13 +228,31 @@ def xxhash_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_prefix_candidates(sh: DataFrame, length_filter: bool = True) -> DataFrame:
-    """AllPairs candidate generation over hashed shingle sets ``(doc_id,
-    hh)`` → distinct ``(doc_a, doc_b)`` pairs guaranteed to contain every
-    pair with Jaccard ≥ t (prefix pigeonhole), exposed separately so tests
-    can measure candidate volume on adversarial (Zipfian) corpora.
-    ``length_filter=False`` disables the min≥t·max size prune (used only to
-    quantify its reduction — production always filters)."""
+def ngram_prefix_candidates(
+    sh: DataFrame,
+    length_filter: bool = True,
+    positional_filter: bool = True,
+) -> DataFrame:
+    """AllPairs/PPJoin candidate generation over hashed shingle sets
+    ``(doc_id, hh)`` → distinct ``(doc_a, doc_b)`` pairs guaranteed to
+    contain every pair with Jaccard ≥ t (prefix pigeonhole), exposed
+    separately so tests can measure candidate volume on adversarial
+    (Zipfian) corpora. ``length_filter=False`` / ``positional_filter=False``
+    disable the min≥t·max size prune and the PPJoin positional prune
+    (used only to quantify their reduction — production always filters).
+
+    Positional filter (PPJoin, Xiao et al.): Jaccard ≥ t needs overlap
+    ≥ t/(1+t)·(|A|+|B|), and at the pair's FIRST shared prefix element —
+    1-based positions (i*, j*) in the two (df, h)-sorted arrays — the
+    overlap is ≤ 1 + min(|A|−i*, |B|−j*). That tight bound is valid
+    exactly at the first occurrence: both arrays are sorted by the same
+    global order, so a common element before i* in A would sit before j*
+    in B and inside both prefixes, contradicting firstness. The pair
+    expansion therefore aggregates min(pos) per (doc_a, doc_b) — the same
+    shuffle the old distinct paid, now with map-side combine — and prunes
+    on the bound; a looser per-occurrence form (adding the min(i−1, j−1)
+    common-before allowance, valid everywhere) runs pre-shuffle. Neither
+    can lose a true pair; exactness still comes from the Jaccard verify."""
     inv = sh.select("doc_id", F.explode(F.array_compact("hh")).alias("h"))
     df_rank = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # FORCED sort-merge on the df join. Round 3 left this unhinted ("AQE
@@ -256,25 +274,32 @@ def ngram_prefix_candidates(sh: DataFrame, length_filter: bool = True) -> DataFr
         .selectExpr(
             "doc_id",
             "size(arr) AS n",
-            "explode(array_compact(transform("
+            # posexplode: the 1-based position inside the sorted array is
+            # the PPJoin positional-filter input (slice starts at 1, so the
+            # prefix position IS the full-array position)
+            "posexplode(array_compact(transform("
             f" slice(arr, 1, size(arr) - CAST(ceil({JACCARD_THRESHOLD}D * size(arr)) AS INT) + 1),"
-            " x -> x.h))) AS h",
+            " x -> x.h))) AS (p0, h)",
         )
+        .selectExpr("doc_id", "n", "p0 + 1 AS pos", "h")
     )
-    # pair expansion carries both sizes so the length prune runs as a
-    # CODEGEN'D column predicate on the exploded stream (pipelined before
-    # the distinct's shuffle) — measured 0.4 s faster at sf0.1 than the
-    # same prune as an interpreted lambda inside the transform.
+    # pair expansion carries both sizes + prefix positions so the length and
+    # positional prunes run as CODEGEN'D column predicates on the exploded
+    # stream (pipelined before the distinct's shuffle) — measured 0.4 s
+    # faster at sf0.1 than the same prune as an interpreted lambda inside
+    # the transform.
     expanded = (
         prefix.groupBy("h")
-        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ids"))
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n", "pos"))).alias("ids"))
         .filter(F.size("ids") > 1)
         .selectExpr(
             "explode(flatten(transform(sequence(1, size(ids) - 1),"
             " i -> transform(slice(ids, i + 1, size(ids) - i),"
             " y -> named_struct('doc_a', element_at(ids, i).doc_id,"
             "                   'n_a', element_at(ids, i).n,"
-            "                   'doc_b', y.doc_id, 'n_b', y.n))))) AS pair"
+            "                   'pos_a', element_at(ids, i).pos,"
+            "                   'doc_b', y.doc_id, 'n_b', y.n,"
+            "                   'pos_b', y.pos))))) AS pair"
         )
     )
     if length_filter:
@@ -284,7 +309,40 @@ def ngram_prefix_candidates(sh: DataFrame, length_filter: bool = True) -> DataFr
                 f" >= {JACCARD_THRESHOLD}D * greatest(pair.n_a, pair.n_b)"
             )
         )
-    return expanded.select("pair.doc_a", "pair.doc_b").distinct()
+    if not positional_filter:
+        return expanded.select("pair.doc_a", "pair.doc_b").distinct()
+    frac = JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD)
+    # loose per-occurrence prune BEFORE the pair shuffle (valid at any
+    # occurrence: min(i−1, j−1) possible common elements before + this one
+    # + min tail); cheap codegen predicate, trims the shuffle volume
+    expanded = expanded.filter(
+        F.expr(
+            "least(pair.pos_a, pair.pos_b)"
+            " + least(pair.n_a - pair.pos_a, pair.n_b - pair.pos_b)"
+            f" + 1e-9D >= {frac!r}D * (pair.n_a + pair.n_b)"
+        )
+    )
+    # tight PPJoin bound at the pair's FIRST shared prefix element: the
+    # same-global-order argument above means min(pos_a) and min(pos_b) both
+    # come from that first occurrence (positions increase together), so
+    # min-aggregating per pair — the shuffle the old distinct already
+    # paid, now map-side combined — yields (i*, j*) exactly.
+    return (
+        expanded.groupBy("pair.doc_a", "pair.doc_b")
+        .agg(
+            F.min("pair.pos_a").alias("pos_a"),
+            F.min("pair.pos_b").alias("pos_b"),
+            F.first("pair.n_a").alias("n_a"),
+            F.first("pair.n_b").alias("n_b"),
+        )
+        .filter(
+            F.expr(
+                "1 + least(n_a - pos_a, n_b - pos_b) + 1e-9D"
+                f" >= {frac!r}D * (n_a + n_b)"
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
 
 
 def hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,14 +70,24 @@ def test_prefix_and_length_filters_bound_zipf_candidates(spark, zipf_docs_dir):
         .agg(F.sum(F.expr("df * (df - 1) / 2")).alias("n"))
         .collect()[0]["n"]
     )
-    cand_all = ngram_prefix_candidates(sh, length_filter=False).count()
-    cand_filtered = ngram_prefix_candidates(sh, length_filter=True).count()
+    cand_all = ngram_prefix_candidates(
+        sh, length_filter=False, positional_filter=False
+    ).count()
+    cand_len = ngram_prefix_candidates(
+        sh, length_filter=True, positional_filter=False
+    ).count()
+    cand_pos = ngram_prefix_candidates(
+        sh, length_filter=True, positional_filter=True
+    ).count()
     # prefix filtering must collapse the quadratic term (measured r4:
-    # 226.7M naive → 5.49M prefix candidates, 41×), and the length filter
-    # must measurably cut what remains (measured: −20%)
+    # 226.7M naive → 5.49M prefix candidates, 41×), the length filter
+    # must measurably cut what remains (measured: −20%), and the PPJoin
+    # positional filter must cut meaningfully beyond the length prune
     assert naive_pairs > 100_000_000, f"corpus not adversarial enough: {naive_pairs}"
     assert cand_all < naive_pairs / 30, (cand_all, naive_pairs)
-    assert cand_filtered < 0.85 * cand_all, (cand_filtered, cand_all)
+    assert cand_len < 0.85 * cand_all, (cand_len, cand_all)
+    assert cand_pos < 0.7 * cand_len, (cand_pos, cand_len)
+    print(f"[zipf] naive={naive_pairs} prefix={cand_all} +len={cand_len} +pos={cand_pos}")
 
 
 def test_length_filter_is_exact_on_zipf_corpus(spark, zipf_docs_dir):
@@ -104,8 +114,22 @@ def test_length_filter_is_exact_on_zipf_corpus(spark, zipf_docs_dir):
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         )
 
-    with_f = sorted(map(tuple, verify(ngram_prefix_candidates(sh, True)).collect()))
-    without_f = sorted(map(tuple, verify(ngram_prefix_candidates(sh, False)).collect()))
+    with_f = sorted(
+        map(
+            tuple,
+            verify(
+                ngram_prefix_candidates(sh, length_filter=True, positional_filter=True)
+            ).collect(),
+        )
+    )
+    without_f = sorted(
+        map(
+            tuple,
+            verify(
+                ngram_prefix_candidates(sh, length_filter=False, positional_filter=False)
+            ).collect(),
+        )
+    )
     assert with_f == without_f
     found = {(a, b) for a, b, _ in with_f}
     # all 100 planted twins recovered (copy ↔ source, one token changed)
