@@ -334,6 +334,85 @@ def _ivf_topk(
     )
 
 
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    k_cells: int = 16,
+    seed: int = 7,
+) -> int:
+    """Build + PERSIST the IVF index as a serving artifact (no per-query
+    k-means refit): the centroid table commits through ``VersionedTable``'s
+    atomic manifest (readers never see a half-built index; rebuilds are new
+    versions, time-travelable) and the collection is rewritten
+    cell-partitioned under ``<index_path>/layout`` so probes prune files.
+
+    Staleness bookkeeping rides in the centroid table itself — one row per
+    cell carrying ``n_vectors_at_build`` and ``built_from`` — so
+    ``ivf_index_staleness`` can compare against the live collection with
+    one cheap count and no extra metadata channel. Returns the committed
+    centroid-table version."""
+    from ..table import VersionedTable
+
+    cents = fit_ivf_centroids(spark, sf_dir, k_cells=k_cells, seed=seed)
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    write_embeddings_ivf_layout(spark, sf_dir, f"{index_path}/layout", cents)
+    cent_df = spark.createDataFrame(
+        [(i, c, n_vecs, sf_dir) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>, n_vectors_at_build long, built_from string",
+    )
+    return VersionedTable(spark, f"{index_path}/centroids").commit(
+        cent_df, mode="overwrite"
+    )
+
+
+def load_ivf_index(
+    spark: SparkSession, index_path: str, version: int | None = None
+) -> tuple[list[list[float]], dict]:
+    """(centroids ordered by cell, meta) from a persisted IVF index —
+    ``meta`` carries n_vectors_at_build / built_from / version for
+    staleness decisions. Centroid count is k_cells-sized: a driver collect
+    of the index is the serving design, not a scale concern."""
+    from ..table import VersionedTable
+
+    vt = VersionedTable(spark, f"{index_path}/centroids")
+    rows = sorted(vt.read(version).collect(), key=lambda r: r["cell"])
+    if not rows:
+        raise FileNotFoundError(f"empty IVF centroid table at {index_path}")
+    meta = {
+        "n_vectors_at_build": rows[0]["n_vectors_at_build"],
+        "built_from": rows[0]["built_from"],
+        "version": vt.versions()[-1] if version is None else version,
+    }
+    return [list(r["centroid"]) for r in rows], meta
+
+
+def ivf_index_staleness(spark: SparkSession, index_path: str, sf_dir: str) -> float:
+    """Fractional collection growth since the index was built
+    (0.0 = fresh; 0.5 = collection grew 50% — refit advised: new vectors
+    still land in *some* cell, but the quantizer no longer matches the
+    distribution and recall decays silently)."""
+    _, meta = load_ivf_index(spark, index_path)
+    now = load_table(spark, sf_dir, "embeddings").count()
+    built = max(1, int(meta["n_vectors_at_build"]))
+    return abs(now - built) / built
+
+
+def ann_ivf_topk_from_index(
+    spark: SparkSession,
+    index_path: str,
+    nprobe: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Serving-path IVF top-k: centroids load from the persisted versioned
+    index and the probe runs over the cell-partitioned layout — no k-means,
+    no full-collection rewrite, file pruning from the layout. Result-
+    identical to ``ann_ivf_topk`` with the same centroids (asserted in
+    tests/test_bucketing.py)."""
+    cents, _ = load_ivf_index(spark, index_path, version)
+    return ann_ivf_topk_over_layout(spark, f"{index_path}/layout", cents, nprobe)
+
+
 def ann_lsh_single_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-probe LSH top-k (library twin of the declared multiprobe
     query): each query scores only its own bucket — 1/256th of the

@@ -185,3 +185,45 @@ def test_ivf_layout_prunes_to_probed_cells(spark, tmp_path):
 
     want = sorted(map(tuple, ann_ivf_topk(spark, SF_SMOKE, cents, nprobe=nprobe).collect()))
     assert sorted(map(tuple, rows)) == want
+
+
+def test_ivf_persisted_index_round_trip(spark, tmp_path):
+    """The IVF index is a SERVING ARTIFACT: build once (k-means + layout +
+    manifest-committed centroid table), query many times with no refit.
+    The persisted path must return exactly the in-memory result, expose
+    honest staleness, and version rebuilds atomically."""
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_from_index,
+        build_ivf_index,
+        fit_ivf_centroids,
+        ivf_index_staleness,
+        load_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    v1 = build_ivf_index(spark, SF_SMOKE, idx, k_cells=16)
+    assert v1 == 1
+
+    # loaded centroids == a fresh deterministic fit (same seed)
+    cents, meta = load_ivf_index(spark, idx)
+    fresh = fit_ivf_centroids(spark, SF_SMOKE, k_cells=16)
+    assert len(cents) == 16
+    for a, b in zip(cents, fresh):
+        assert a == pytest.approx(b)
+    assert meta["built_from"] == SF_SMOKE and meta["version"] == 1
+
+    # serving path: no refit, file-pruned layout, identical results
+    got = sorted(
+        map(tuple, ann_ivf_topk_from_index(spark, idx, nprobe=3).collect())
+    )
+    want = sorted(map(tuple, ann_ivf_topk(spark, SF_SMOKE, cents, nprobe=3).collect()))
+    assert got == want
+
+    # index built from this collection is fresh; staleness is a count ratio
+    assert ivf_index_staleness(spark, idx, SF_SMOKE) == 0.0
+
+    # a rebuild is a NEW committed version (old one stays time-travelable)
+    v2 = build_ivf_index(spark, SF_SMOKE, idx, k_cells=16)
+    assert v2 == 2
+    assert load_ivf_index(spark, idx, version=1)[1]["version"] == 1
