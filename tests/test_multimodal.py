@@ -145,6 +145,60 @@ def _toy_video(frames: list[bytes]) -> bytes:
     return b"TOY0" + struct.pack("<II", len(frames), fsz) + b"".join(frames)
 
 
+def test_autoregister_codecs_guarded():
+    """Auto-registration mirrors exactly what's importable: with pillow
+    installed image/jpeg+png must be registered (and likewise pyav for
+    video); without, the registries stay honest — no silently-fake
+    codecs. This container ships neither, so the common path here is the
+    clean no-op branch."""
+    from etl_airflow_adventureworks_spark.operators import multimodal as M
+
+    reg = M.autoregister_codecs()  # idempotent re-run of the import-time call
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    try:
+        import av  # noqa: F401
+
+        has_av = True
+    except ImportError:
+        has_av = False
+    assert ("image/jpeg" in reg) == has_pil
+    assert ("image/jpeg" in M.IMAGE_CODECS) == has_pil
+    assert ("video/mp4" in reg) == has_av
+    assert ("video/mp4" in M.VIDEO_CODECS) == has_av
+    assert reg == M.AUTOREGISTERED
+
+
+def test_pillow_jpeg_resize_end_to_end(spark):
+    """With pillow present the auto-registered JPEG codec must carry a real
+    JPEG through the resize plumbing end to end (skipped where pillow is
+    absent — the stub stays honest there, which the guarded test above
+    pins)."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from etl_airflow_adventureworks_spark.operators.multimodal import resize_media
+
+    arr = (np.arange(12 * 8 * 3, dtype=np.uint8).reshape(12, 8, 3) * 5) % 255
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG")
+    df = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(buf.getvalue()))],
+        "doc_id long, media_type string, payload binary",
+    )
+    row = resize_media(df, target_w=4, target_h=6).collect()[0]
+    assert (row["width"], row["height"]) == (4, 6)
+    out = Image.open(io.BytesIO(bytes(row["payload"])))
+    assert out.size == (4, 6)
+
+
 def test_sample_video_frames_toy_codec_end_to_end(spark):
     # VERDICT r3 #4: the codec seam, exercised through the REAL mapInPandas
     # plumbing with a self-contained toy codec (no external libs). The
