@@ -137,6 +137,93 @@ def test_length_filter_is_exact_on_zipf_corpus(spark, zipf_docs_dir):
     assert planted_found >= 100, planted_found
 
 
+@pytest.fixture(scope="module")
+def hot_events_dir(spark, tmp_path_factory):
+    """Events table with a Zipf-head user: user 0 holds ~30% of 150k events
+    over a 30-day range — the straggler shape for user-partitioned windows.
+    Written as a SINGLE driver-layout events.parquet file (pyarrow, NTZ µs
+    ts — the shape stream_events's pathGlobFilter expects) so the declared
+    queries and streaming twins load it unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    n = 150_000
+    hot = rng.random(n) < 0.3
+    user = np.where(hot, 0, 1 + (rng.zipf(1.8, n) % 4000))
+    epoch_2025_us = 1_735_689_600_000_000
+    offs_us = epoch_2025_us + np.sort(rng.integers(0, 30 * 86400 * 1_000_000, n))
+    kinds = np.array(["view", "click", "purchase", "signup", "error"])
+    table = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(offs_us, type=pa.timestamp("us")),
+            "user_id": pa.array(user.astype(np.int64)),
+            "event_type": pa.array(kinds[np.arange(n) % 5]),
+            "value": pa.array(rng.random(n)),
+            "props": pa.array(['{"k": %d}' % (i % 97) for i in range(n)]),
+        }
+    )
+    out = tmp_path_factory.mktemp("hotev") / "sf"
+    out.mkdir()
+    pq.write_table(table, out / "events.parquet", row_group_size=20_000)
+    return str(out)
+
+
+def test_sharded_sessionizer_exact_on_hot_user_corpus(spark, hot_events_dir):
+    """The time-sharded sessionizer must return EXACTLY the declared
+    user-window sessionizer's rows on the hot-user corpus (sessions that
+    span shard boundaries stitch back together), while its heavy pass keys
+    on (user, shard) — the hot user's maximum per-task group shrinks by
+    ~the shard count instead of landing on one window task."""
+    import __spark_entry__ as entrymod
+    from etl_airflow_adventureworks_spark.operators.sessionize import (
+        session_gap_sharded,
+    )
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    ev = load_table(spark, hot_events_dir, "events")
+    want = sorted(
+        map(tuple, entrymod.queries()["ext_session_gap"](spark, hot_events_dir).collect())
+    )
+    got = sorted(map(tuple, session_gap_sharded(ev, shard_hours=24).collect()))
+    assert got == want
+    # skew evidence: the declared form's window partition (user) vs the
+    # sharded form's (user, shard) — max group size drops ~shard-count-fold,
+    # which IS the max-task-input ratio for an indivisible window partition
+    by_user = ev.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    by_user_shard = (
+        ev.selectExpr("user_id", "unix_micros(ts) div 86400000000 AS shard")
+        .groupBy("user_id", "shard")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert by_user > 0.25 * 150_000  # the corpus really is hot
+    assert by_user_shard < by_user / 10, (by_user_shard, by_user)
+
+
+def test_declared_session_queries_green_on_hot_user_corpus(spark, hot_events_dir):
+    """The declared batch sessionizer and the Structured Streaming twin must
+    agree on the adversarial corpus too (r4 proved them equal on uniform
+    events only)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    # the streaming form carries no per-user session ordinal — compare the
+    # session identity tuple both emit
+    batch = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in q["ext_session_gap"](spark, hot_events_dir).collect()
+    )
+    stream = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in q["ext_stream_session_equiv"](spark, hot_events_dir).collect()
+    )
+    assert len(batch) > 0
+    assert batch == stream
+
+
 def test_salted_join_on_hot_key_events(spark, tmp_path):
     """One user holds ~30% of 200k events (a single hash partition would
     carry 60k rows — the straggler shape). The salted join must return
