@@ -365,3 +365,61 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> No
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def session_state_per_batch(
+    spark: SparkSession,
+    files_dir: str,
+    output_mode: str,
+    gap_min: int = SESSION_GAP_MIN,
+    watermark: str = "2 hours",
+) -> list[dict]:
+    """Bounded-state EVIDENCE probe (VERDICT r4 #4): replay a time-ordered
+    multi-file events directory one file per micro-batch through the
+    session aggregation in the given output mode and return, per non-empty
+    micro-batch, the session operator's state-store footprint:
+
+      {rows: numRowsTotal, removed: numRowsRemoved, input: numInputRows}
+
+    The production claim under test: with ``append`` + watermark, state
+    holds only sessions the watermark hasn't closed — the per-batch row
+    count PLATEAUS as the stream advances (eviction ≈ admission) — while
+    ``complete`` retains every session ever seen and numRowsTotal grows
+    monotonically with the stream. The sf10 scaling number for
+    ``ext_stream_session_equiv`` is the complete-mode harness shape; this
+    probe is the measured counterpart showing the production shape is
+    bounded. Files must carry ``ts`` as TimestampType (what
+    ``_split_events_at``-style Spark rewrites produce)."""
+    agg = (
+        spark.readStream.schema(events_schema(T.TimestampType()))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_min} minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("noop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = [
+            p if isinstance(p, dict) else p.asDict() for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
+    out = []
+    for p in progress:
+        if p["numInputRows"] <= 0 or not p.get("stateOperators"):
+            continue
+        op = p["stateOperators"][0]
+        out.append(
+            {
+                "rows": op["numRowsTotal"],
+                "removed": op.get("numRowsRemoved", 0),
+                "input": p["numInputRows"],
+            }
+        )
+    return out

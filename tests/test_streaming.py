@@ -285,3 +285,70 @@ def test_multi_batch_stream_matches_single_batch_oracle(spark, tmp_path):
         )
     )
     assert spanning > 0, "no boundary-spanning session — merge not exercised"
+
+
+def test_append_mode_session_state_plateaus_complete_grows(spark, tmp_path):
+    """VERDICT r4 #4 — bounded-state evidence, measured not asserted: drive
+    the session aggregation over 8 day-sliced files (one per micro-batch).
+    In append mode with a 2 h watermark the state store must EVICT closed
+    sessions as the watermark advances (rows removed > 0; footprint
+    plateaus near the per-day session count), while complete mode retains
+    every session ever seen (monotone growth to the full session count).
+    This is the production-shape counterpart of the complete-mode harness
+    the sf10 scaling number uses."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(31)
+    n_days, per_day, n_users = 8, 6_000, 120
+    t0 = dt.datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+    for d in range(n_days):
+        offs = np.sort(rng.integers(0, 86400 * 1_000_000, per_day))
+        users = rng.integers(0, n_users, per_day)
+        for o, u in zip(offs.tolist(), users.tolist()):
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(days=d, microseconds=o),
+                    int(u),
+                    "view",
+                    0.5,
+                    "{}",
+                )
+            )
+            eid += 1
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = str(tmp_path / "daily")
+    df = spark.createDataFrame(rows, schema)
+    # one file per day, oldest first (FileStreamSource replays in order)
+    for d in range(n_days):
+        day0 = t0 + dt.timedelta(days=d)
+        day1 = day0 + dt.timedelta(days=1)
+        df.filter((F.col("ts") >= day0) & (F.col("ts") < day1)).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+
+    append_hist = se.session_state_per_batch(spark, out, "append")
+    complete_hist = se.session_state_per_batch(spark, out, "complete")
+    assert len(append_hist) >= n_days and len(complete_hist) >= n_days
+
+    a_rows = [h["rows"] for h in append_hist]
+    c_rows = [h["rows"] for h in complete_hist]
+    # complete mode: state never shrinks and ends ~n_days x one day's sessions
+    assert all(b >= a for a, b in zip(c_rows, c_rows[1:])), c_rows
+    assert c_rows[-1] > 3 * c_rows[0], c_rows
+    # append mode: eviction actually ran, and the footprint PLATEAUS —
+    # every steady-state batch stays within 2x the first full batch's
+    # state instead of accumulating across days
+    assert sum(h["removed"] for h in append_hist) > 0, append_hist
+    steady = a_rows[1:]
+    assert max(steady) < 2 * a_rows[0], a_rows
+    # and the bounded footprint is far below complete mode's final state
+    assert max(a_rows) < c_rows[-1] / 2, (a_rows, c_rows)
