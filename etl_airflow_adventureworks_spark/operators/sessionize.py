@@ -103,11 +103,26 @@ def ext_event_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (E5): lag-gap flag + running sum over a
-    user-partitioned window, then per-session aggregates — the classic
-    batch sessionizer (SURVEY.md §2.9 E5, pyspark_guide 'Sessionization').
-    One shuffle on user_id; both windows and the final groupBy reuse it."""
-    ev = load_table(spark, sf_dir, "events")
+    """Gap-based sessionization (E5, SURVEY.md §2.9): declared plan is the
+    TIME-SHARDED form (``session_gap_sharded``) — round 5 measured the
+    classic user-partitioned-window form putting a 30%-hot user's 2.4M
+    events on ONE indivisible window task (6.19 s vs 1.85 s sharded on 32
+    cores, gap growing linearly with corpus; ``tools/measure_hot_sessions
+    .py``, SCALING.md). The sharded plan is exact for any shard width and
+    result-identical to the textbook form (``session_gap_user_window``,
+    kept as the equality twin; proven on the adversarial hot-user corpus
+    in tests/test_skew_zipf.py), so the scale-safe plan is the default."""
+    return session_gap_sharded(load_table(spark, sf_dir, "events"))
+
+
+def session_gap_user_window(ev: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Textbook gap sessionizer (library twin): lag-gap flag + running sum
+    over a user-partitioned window, then per-session aggregates
+    (pyspark_guide 'Sessionization'). One shuffle on user_id; both windows
+    and the final groupBy reuse it. Correct everywhere but a measured
+    straggler on hot-key streams — a window partition is one indivisible
+    task — so the DECLARED ``ext_session_gap`` uses the sharded form; this
+    twin remains the N-line readable spec the tests compare against."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -117,7 +132,7 @@ def ext_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("ts").over(w).isNull()
             | (
                 F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-                > SESSION_GAP_MIN * 60 * 1_000_000
+                > gap_min * 60 * 1_000_000
             ),
             F.lit(1),
         ).otherwise(F.lit(0)),
@@ -143,11 +158,13 @@ def session_gap_sharded(
     gap_min: int = SESSION_GAP_MIN,
     shard_hours: int = 24,
 ) -> DataFrame:
-    """Hot-user-safe gap sessionization (SCALING.md skew prescription,
-    VERDICT r4 #3): ``ext_session_gap`` partitions its windows on user_id,
-    so one ultra-hot user (Zipf head holding 30% of a 100 TB stream) lands
-    on ONE task — the straggler shape no AQE setting can split, because a
-    window's partition is indivisible. This form shards the heavy pass by
+    """Hot-user-safe gap sessionization — the DECLARED ``ext_session_gap``
+    plan since round 6 (SCALING.md skew prescription, VERDICT r5 #1). The
+    textbook form (``session_gap_user_window``) partitions its windows on
+    user_id, so one ultra-hot user (Zipf head holding 30% of a 100 TB
+    stream) lands on ONE task — the straggler shape no AQE setting can
+    split, because a window's partition is indivisible; measured 3.35×
+    slower at 8M events / 30% hot. This form shards the heavy pass by
     TIME as well:
 
     1. sessionize within (user_id, shard = ts div shard_hours) — the hot
@@ -161,10 +178,10 @@ def session_gap_sharded(
     are > gap apart by construction (phase 2 never re-merges them), and a
     boundary-spanning session's inter-event gap equals exactly
     (next mini start − prev mini end), which phase 2 tests against the
-    same threshold. Result-identical to ``ext_session_gap`` (asserted in
-    tests, including on an adversarial hot-user corpus) with the same
-    schema and per-user 1-based session numbering. Decimal sums merge
-    exactly (decimal partials, double only at the boundary)."""
+    same threshold. Result-identical to ``session_gap_user_window``
+    (asserted in tests, including on an adversarial hot-user corpus) with
+    the same schema and per-user 1-based session numbering. Decimal sums
+    merge exactly (decimal partials, double only at the boundary)."""
     from pyspark.sql import Window
 
     gap_us = gap_min * 60 * 1_000_000

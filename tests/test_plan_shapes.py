@@ -155,6 +155,29 @@ def test_ngram_naive_twin_size_joins_not_forced_broadcast(spark):
     assert final_opt.lower().count("merge") >= 2, final_opt
 
 
+def test_declared_sessionizer_heavy_windows_are_time_sharded(spark):
+    # round-6 (VERDICT r5 #1): the declared ext_session_gap must be the
+    # time-sharded plan — no window over RAW EVENTS may partition on
+    # user_id alone (that partition is one indivisible task; a 30%-hot
+    # user measured 3.35x slower at 8M events). In the printed optimized
+    # tree, windows ABOVE the mini-session Aggregate run on per-session
+    # summaries (user-only partitioning is fine: |rows| ~ session count);
+    # every window BELOW it touches raw events and must include the time
+    # shard in its partition spec.
+    import re
+
+    df = entrymod.queries()["ext_session_gap"](spark, SF_ORACLE)
+    plan = optimized_of(df)
+    agg = re.search(r"Aggregate \[[^\]]*shard[^\]]*mini_id[^\]]*\]", plan)
+    assert agg, plan  # the mini-session aggregate exists
+    below = plan[agg.end() :]
+    # Window nodes print as `Window [exprs], [partition], [order]`
+    for m in re.finditer(r"Window \[.*\], \[([^\]]*)\], \[[^\]]*\]", below):
+        part = m.group(1)
+        assert "shard" in part, plan
+    assert "Window" in below, plan  # the heavy pass really is below
+
+
 def test_textprep_catalyst_ops_have_no_python(spark):
     # splits and chunking are pure Catalyst by design (packing is the one
     # declared applyInPandas step)

@@ -171,22 +171,23 @@ def hot_events_dir(spark, tmp_path_factory):
 
 
 def test_sharded_sessionizer_exact_on_hot_user_corpus(spark, hot_events_dir):
-    """The time-sharded sessionizer must return EXACTLY the declared
-    user-window sessionizer's rows on the hot-user corpus (sessions that
-    span shard boundaries stitch back together), while its heavy pass keys
-    on (user, shard) — the hot user's maximum per-task group shrinks by
-    ~the shard count instead of landing on one window task."""
+    """The DECLARED sessionizer (time-sharded since round 6) must return
+    EXACTLY the textbook user-window twin's rows on the hot-user corpus
+    (sessions that span shard boundaries stitch back together), while its
+    heavy pass keys on (user, shard) — the hot user's maximum per-task
+    group shrinks by ~the shard count instead of landing on one window
+    task."""
     import __spark_entry__ as entrymod
     from etl_airflow_adventureworks_spark.operators.sessionize import (
-        session_gap_sharded,
+        session_gap_user_window,
     )
     from etl_airflow_adventureworks_spark.sources import load_table
 
     ev = load_table(spark, hot_events_dir, "events")
-    want = sorted(
+    want = sorted(map(tuple, session_gap_user_window(ev).collect()))
+    got = sorted(
         map(tuple, entrymod.queries()["ext_session_gap"](spark, hot_events_dir).collect())
     )
-    got = sorted(map(tuple, session_gap_sharded(ev, shard_hours=24).collect()))
     assert got == want
     # skew evidence: the declared form's window partition (user) vs the
     # sharded form's (user, shard) — max group size drops ~shard-count-fold,

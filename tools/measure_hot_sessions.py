@@ -1,8 +1,8 @@
 """Hot-user sessionization straggler measurement (VERDICT r4 #3).
 
 Builds a Zipf-head events corpus (one user holds ~30% of N events over a
-30-day span), then times the declared user-window sessionizer against the
-time-sharded form on local[N]. A user-partitioned window is an indivisible
+30-day span), then times the textbook user-window sessionizer against the
+time-sharded form (the DECLARED ext_session_gap since round 6) on local[N]. A user-partitioned window is an indivisible
 task, so the hot user's entire history lands on ONE core while the other
 N−1 idle — the sharded form's heavy pass keys on (user, day) and spreads
 it. The wall-clock ratio IS the straggler evidence: with 32 cores and a
@@ -34,8 +34,8 @@ def main() -> None:
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
     from etl_airflow_adventureworks_spark.operators.sessionize import (
-        ext_session_gap,
         session_gap_sharded,
+        session_gap_user_window,
     )
     from etl_airflow_adventureworks_spark.session import get_spark
     from etl_airflow_adventureworks_spark.sources import load_table
@@ -79,10 +79,10 @@ def main() -> None:
 
     sf = str(out)
     ev = load_table(spark, sf, "events")
-    declared = timed(lambda: ext_session_gap(spark, sf))
+    user_window = timed(lambda: session_gap_user_window(ev))
     sharded = timed(lambda: session_gap_sharded(ev, shard_hours=24))
     # sanity: identical results (cheap checksum)
-    a = ext_session_gap(spark, sf).count()
+    a = session_gap_user_window(ev).count()
     b = session_gap_sharded(ev, shard_hours=24).count()
     print(
         json.dumps(
@@ -90,9 +90,9 @@ def main() -> None:
                 "n_events": n,
                 "hot_share": 0.3,
                 "cpus": cpus,
-                "declared_user_window_sec": round(declared, 2),
+                "user_window_sec": round(user_window, 2),
                 "sharded_user_day_sec": round(sharded, 2),
-                "speedup": round(declared / sharded, 2),
+                "speedup": round(user_window / sharded, 2),
                 "sessions_equal": a == b,
                 "sessions": a,
             }
