@@ -244,8 +244,10 @@ def resize_media(
     payload: route by media_type upstream.
 
     ``codecs`` (default: the module ``IMAGE_CODECS`` registry) maps extra
-    media_types to (decode → (h, w, rgb ndarray), encode → bytes)
-    callables, captured by value into the worker closure — plugging PIL in
+    media_types to ``(decode, encode)`` callables with the registry
+    contract: decode: bytes → uint8 ndarray[h, w, 3] (shape is read off
+    the array; do NOT return a (h, w, array) tuple), encode: ndarray →
+    bytes. Captured by value into the worker closure — plugging PIL in
     for JPEG is one ``register_image_codec`` call, no operator change.
 
     Output: (doc_id, media_type, payload [resized], width, height).

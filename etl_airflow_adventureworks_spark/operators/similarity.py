@@ -345,21 +345,33 @@ def build_ivf_index(
     k-means refit): the centroid table commits through ``VersionedTable``'s
     atomic manifest (readers never see a half-built index; rebuilds are new
     versions, time-travelable) and the collection is rewritten
-    cell-partitioned under ``<index_path>/layout`` so probes prune files.
+    cell-partitioned under an IMMUTABLE per-build directory
+    (``<index_path>/layout-<uuid>``) whose name rides in the committed
+    centroid rows. The layout is therefore versioned WITH the centroids: a
+    rebuild never touches an older build's files, concurrent readers keep
+    scanning the layout their pinned version references, and
+    ``ann_ivf_topk_from_index(version=N)`` always pairs version-N centroids
+    with the version-N cell assignment (cells are meaningless under any
+    other quantizer). Old layouts stay readable for time travel until
+    ``vacuum_ivf_index`` sweeps them.
 
     Staleness bookkeeping rides in the centroid table itself — one row per
     cell carrying ``n_vectors_at_build`` and ``built_from`` — so
     ``ivf_index_staleness`` can compare against the live collection with
     one cheap count and no extra metadata channel. Returns the committed
     centroid-table version."""
+    import uuid
+
     from ..table import VersionedTable
 
     cents = fit_ivf_centroids(spark, sf_dir, k_cells=k_cells, seed=seed)
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
-    write_embeddings_ivf_layout(spark, sf_dir, f"{index_path}/layout", cents)
+    layout_dir = f"layout-{uuid.uuid4().hex[:12]}"
+    write_embeddings_ivf_layout(spark, sf_dir, f"{index_path}/{layout_dir}", cents)
     cent_df = spark.createDataFrame(
-        [(i, c, n_vecs, sf_dir) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>, n_vectors_at_build long, built_from string",
+        [(i, c, n_vecs, sf_dir, layout_dir) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>, n_vectors_at_build long,"
+        " built_from string, layout_dir string",
     )
     return VersionedTable(spark, f"{index_path}/centroids").commit(
         cent_df, mode="overwrite"
@@ -370,18 +382,24 @@ def load_ivf_index(
     spark: SparkSession, index_path: str, version: int | None = None
 ) -> tuple[list[list[float]], dict]:
     """(centroids ordered by cell, meta) from a persisted IVF index —
-    ``meta`` carries n_vectors_at_build / built_from / version for
-    staleness decisions. Centroid count is k_cells-sized: a driver collect
-    of the index is the serving design, not a scale concern."""
+    ``meta`` carries n_vectors_at_build / built_from / layout_dir / version
+    for staleness decisions and layout resolution (the layout is versioned
+    with the centroids; see ``build_ivf_index``). Centroid count is
+    k_cells-sized: a driver collect of the index is the serving design,
+    not a scale concern."""
     from ..table import VersionedTable
 
     vt = VersionedTable(spark, f"{index_path}/centroids")
     rows = sorted(vt.read(version).collect(), key=lambda r: r["cell"])
     if not rows:
         raise FileNotFoundError(f"empty IVF centroid table at {index_path}")
+    head = rows[0].asDict()
     meta = {
-        "n_vectors_at_build": rows[0]["n_vectors_at_build"],
-        "built_from": rows[0]["built_from"],
+        "n_vectors_at_build": head["n_vectors_at_build"],
+        "built_from": head["built_from"],
+        # pre-r6 indexes wrote a single shared "layout" dir (the non-atomic
+        # gap this column closed); fall back to it for those manifests
+        "layout_dir": head.get("layout_dir") or "layout",
         "version": vt.versions()[-1] if version is None else version,
     }
     return [list(r["centroid"]) for r in rows], meta
@@ -405,12 +423,44 @@ def ann_ivf_topk_from_index(
     version: int | None = None,
 ) -> DataFrame:
     """Serving-path IVF top-k: centroids load from the persisted versioned
-    index and the probe runs over the cell-partitioned layout — no k-means,
-    no full-collection rewrite, file pruning from the layout. Result-
-    identical to ``ann_ivf_topk`` with the same centroids (asserted in
-    tests/test_bucketing.py)."""
-    cents, _ = load_ivf_index(spark, index_path, version)
-    return ann_ivf_topk_over_layout(spark, f"{index_path}/layout", cents, nprobe)
+    index and the probe runs over THAT VERSION'S cell-partitioned layout
+    (resolved from the manifest — a version's cells are only meaningful
+    under its own quantizer) — no k-means, no full-collection rewrite, file
+    pruning from the layout. Result-identical to ``ann_ivf_topk`` with the
+    same centroids (asserted in tests/test_bucketing.py)."""
+    cents, meta = load_ivf_index(spark, index_path, version)
+    return ann_ivf_topk_over_layout(
+        spark, f"{index_path}/{meta['layout_dir']}", cents, nprobe
+    )
+
+
+def vacuum_ivf_index(spark: SparkSession, index_path: str, retain_last: int = 1) -> int:
+    """Sweep index storage: vacuum the centroid table to its newest
+    ``retain_last`` versions, then delete every per-build layout directory
+    no retained version references (layouts are immutable and multi-GB at
+    scale — the retention knob IS the time-travel window). Returns the
+    number of layout directories deleted."""
+    from ..table import VersionedTable
+
+    vt = VersionedTable(spark, f"{index_path}/centroids")
+    vt.vacuum(retain_last=retain_last)
+    referenced = set()
+    for v in vt.versions():
+        _, meta = load_ivf_index(spark, index_path, version=v)
+        referenced.add(meta["layout_dir"])
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    deleted = 0
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            is_layout = name == "layout" or name.startswith("layout-")
+            if st.isDirectory() and is_layout and name not in referenced:
+                fs.delete(st.getPath(), True)
+                deleted += 1
+    return deleted
 
 
 def ann_lsh_single_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,7 +46,15 @@ def raw_events_schema(sf_dir: str) -> T.StructType:
     kind = events_ts_physical_type(sf_dir)
     if kind == "timestamp[ns]":
         return events_schema(T.LongType())  # nanos-as-long
-    if kind == "timestamp[us]":
+    if kind in ("timestamp[us]", "unknown"):
+        # "unknown" = non-local URI (s3://, hdfs://) where the pyarrow
+        # footer peek can't run. Streaming binds the schema UP FRONT (the
+        # batch path normalizes post-read), so pick the encoding every
+        # current warehouse snapshot actually uses: NTZ micros. A cluster
+        # whose files carry tz-aware micros hits the explicit branch below
+        # only via a local probe; if its remote files differ, the first
+        # micro-batch fails loudly on the schema mismatch rather than
+        # silently shifting timestamps by the session zone.
         return events_schema(T.TimestampNTZType())
     return events_schema(T.TimestampType())
 

@@ -227,3 +227,45 @@ def test_ivf_persisted_index_round_trip(spark, tmp_path):
     v2 = build_ivf_index(spark, SF_SMOKE, idx, k_cells=16)
     assert v2 == 2
     assert load_ivf_index(spark, idx, version=1)[1]["version"] == 1
+
+
+def test_ivf_rebuild_keeps_pinned_version_layout_consistent(spark, tmp_path):
+    """ADVICE r5 (medium): the layout is versioned WITH the centroids. A
+    rebuild under a DIFFERENT quantizer (other k_cells → other cell
+    assignment) must not disturb a pinned version-1 query: version-1
+    centroids must pair with the version-1 layout, not the latest one —
+    mixing them probes cells assigned by the wrong quantizer and silently
+    drops neighbors. Vacuum then sweeps the unreferenced layout."""
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        ann_ivf_topk_from_index,
+        build_ivf_index,
+        load_ivf_index,
+        vacuum_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    assert build_ivf_index(spark, SF_SMOKE, idx, k_cells=16) == 1
+    before = sorted(map(tuple, ann_ivf_topk_from_index(spark, idx, nprobe=3).collect()))
+
+    # rebuild with a different quantizer: new immutable layout dir, new cells
+    assert build_ivf_index(spark, SF_SMOKE, idx, k_cells=8, seed=11) == 2
+    m1 = load_ivf_index(spark, idx, version=1)[1]
+    m2 = load_ivf_index(spark, idx, version=2)[1]
+    assert m1["layout_dir"] != m2["layout_dir"]
+
+    # the pinned version-1 serving query is byte-identical to its pre-rebuild
+    # answer (same centroids AND same layout)
+    after = sorted(
+        map(tuple, ann_ivf_topk_from_index(spark, idx, nprobe=3, version=1).collect())
+    )
+    assert after == before
+    # the latest version serves from ITS layout
+    assert ann_ivf_topk_from_index(spark, idx, nprobe=3).count() > 0
+
+    # retention sweep: keep only the newest version; v1's layout dir goes
+    assert vacuum_ivf_index(spark, idx, retain_last=1) == 1
+    assert load_ivf_index(spark, idx)[1]["layout_dir"] == m2["layout_dir"]
+    import os
+
+    names = set(os.listdir(idx))
+    assert m2["layout_dir"] in names and m1["layout_dir"] not in names
