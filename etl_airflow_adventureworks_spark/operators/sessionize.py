@@ -264,13 +264,27 @@ def session_gap_sharded(
 def ext_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of attribution (the as-of-join shape, pyspark_guide §Common OLAP
     patterns): each purchase matched to the user's most recent PRIOR view.
-    Because both sides live in one event stream, the as-of join collapses
-    to a last_value(... IGNORE NULLS) window — one shuffle on user_id, no
-    range join needed. Purchases with no prior view keep NULL (left as-of
-    semantics)."""
+    Declared plan is the TIME-SHARDED form since round 6: on a 30%-hot
+    corpus the user-window twin's indivisible hot task made it 2.87 s at
+    8M events but 13.3 s at 32M (super-linear — the hot task IS the
+    stage), while the sharded form went 6.1 s → 8.0 s (near-linear); the
+    crossover sits between, and at 100 TB the sharded plan is the only
+    viable one (tools/measure_hot_asof.py, SCALING.md). Result-identical
+    to ``asof_attribution_user_window`` (equality-tested)."""
+    return asof_attribution_sharded(load_table(spark, sf_dir, "events"))
+
+
+def asof_attribution_user_window(ev: DataFrame) -> DataFrame:
+    """Textbook single-stream as-of (library twin): because both sides live
+    in one event stream, the as-of join collapses to a last_value(...
+    IGNORE NULLS) window — one shuffle on user_id, no range join needed.
+    Purchases with no prior view keep NULL (left as-of semantics). A
+    single cheap pass, so the hot-user straggler penalty is milder than
+    session_gap's — but still super-linear in the hot user's history (one
+    indivisible window task); the DECLARED query uses the sharded form."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = ev.select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
     w = (
@@ -292,6 +306,74 @@ def ext_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ts_us") - F.col("last_view_us")).cast("double") / 1e6).alias(
             "view_to_purchase_sec"
         ),
+    )
+
+
+def asof_attribution_sharded(ev: DataFrame, shard_hours: int = 24) -> DataFrame:
+    """Hot-user-safe as-of attribution (same skew prescription as
+    ``session_gap_sharded``): the window form's user-partitioned
+    last_value(...) puts a hot user's whole history on one indivisible
+    task. Shard by time instead:
+
+    1. within (user_id, shard), the running last-prior-view is the same
+       last_value(... IGNORE NULLS) window — heavy pass, now divisible;
+    2. the carry-in from earlier shards is the running max of each
+       shard's last view ts over the per-(user, shard) SUMMARY rows (one
+       row per user-shard — orders of magnitude smaller than events; max
+       ≡ latest because shards are time-ordered);
+    3. a purchase's attributed view = its within-shard prior view, else
+       the shard's carry-in.
+
+    Exact for any shard width (a prior view is either in my shard before
+    me — case 1 — or the latest view of some earlier shard — case 2);
+    result-identical to ``asof_attribution_user_window`` (asserted in
+    tests, including the hot-user corpus). The summary join is co-keyed on
+    (user_id, shard) with the heavy side's existing partitioning."""
+    from pyspark.sql import Window
+
+    shard_us = shard_hours * 3600 * 1_000_000
+    base = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    ).withColumn("shard", F.expr(f"ts_us div {shard_us}"))
+    w1 = (
+        Window.partitionBy("user_id", "shard")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "local_last_view",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts_us")), ignorenulls=True
+        ).over(w1),
+    )
+    # one summary row per (user, shard): the shard's latest view ts (NULL
+    # for view-less shards — max-over-window skips them in the carry)
+    shard_summary = base.groupBy("user_id", "shard").agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias(
+            "shard_last_view"
+        )
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = shard_summary.withColumn("carry_in", F.max("shard_last_view").over(w2)).select(
+        "user_id", "shard", "carry_in"
+    )
+    return (
+        local.filter(F.col("event_type") == "purchase")
+        .join(carry, ["user_id", "shard"])
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.coalesce("local_last_view", "carry_in").alias("last_view_us"),
+            (
+                (F.col("ts_us") - F.coalesce("local_last_view", "carry_in")).cast("double")
+                / 1e6
+            ).alias("view_to_purchase_sec"),
+        )
     )
 
 

@@ -204,6 +204,28 @@ def test_sharded_sessionizer_exact_on_hot_user_corpus(spark, hot_events_dir):
     assert by_user_shard < by_user / 10, (by_user_shard, by_user)
 
 
+def test_sharded_asof_exact_on_hot_user_corpus(spark, hot_events_dir):
+    """The DECLARED as-of attribution (time-sharded since round 6) must
+    return EXACTLY the textbook user-window twin's rows on the hot-user
+    corpus — including purchases whose most recent prior view sits in an
+    EARLIER time shard (the carry-in stitch)."""
+    import __spark_entry__ as entrymod
+    from etl_airflow_adventureworks_spark.operators.sessionize import (
+        asof_attribution_user_window,
+    )
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    ev = load_table(spark, hot_events_dir, "events")
+    want = sorted(map(tuple, asof_attribution_user_window(ev).collect()))
+    got = sorted(
+        map(
+            tuple,
+            entrymod.queries()["ext_asof_attribution"](spark, hot_events_dir).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_declared_session_queries_green_on_hot_user_corpus(spark, hot_events_dir):
     """The declared batch sessionizer and the Structured Streaming twin must
     agree on the adversarial corpus too (r4 proved them equal on uniform
