@@ -152,6 +152,10 @@ def decode_media(payload: bytes, media_type: str) -> tuple[bytes, dict]:
 #: Python-boundary op here.
 IMAGE_CODECS: dict = {}
 VIDEO_CODECS: dict = {}
+#: Audio codecs: decode: bytes → (pcm_bytes, sample_rate) — the same
+#: contract the built-in WAV walk satisfies, so registered formats flow
+#: through extract_features unchanged (decoded_len/md5 over the PCM plane).
+AUDIO_CODECS: dict = {}
 
 
 def register_image_codec(media_type: str, decode, encode) -> None:
@@ -160,6 +164,10 @@ def register_image_codec(media_type: str, decode, encode) -> None:
 
 def register_video_codec(media_type: str, decode_frames) -> None:
     VIDEO_CODECS[media_type] = decode_frames
+
+
+def register_audio_codec(media_type: str, decode) -> None:
+    AUDIO_CODECS[media_type] = decode
 
 
 def autoregister_codecs() -> dict[str, str]:
@@ -223,6 +231,25 @@ def autoregister_codecs() -> dict[str, str]:
         for mt in ("video/mp4", "video/webm"):
             register_video_codec(mt, _pyav_frames)
             registered[mt] = "pyav"
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        def _soundfile_decode(b: bytes):
+            import io
+
+            import soundfile as _sf
+
+            samples, rate = _sf.read(io.BytesIO(b), dtype="int16", always_2d=False)
+            return samples.tobytes(), int(rate)
+
+        # soundfile (libsndfile) reads MP3 since 0.12 / libsndfile 1.1,
+        # plus FLAC/OGG natively — the compressed-audio analogue of the
+        # pillow/pyav hooks
+        for mt in ("audio/mpeg", "audio/flac", "audio/ogg"):
+            register_audio_codec(mt, _soundfile_decode)
+            registered[mt] = "soundfile"
     return registered
 
 
@@ -514,13 +541,22 @@ def synthesize_media(df: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, codecs: dict | None = None) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow
     batches): REAL decode (RIFF walk / DEFLATE) per payload, then
     length + digest of the decoded plane and container metadata. The
     worker function is fully self-contained (local imports, local decoder
     copy) so Python workers need neither this package installed nor repo
-    paths on sys.path — required under an external driver harness."""
+    paths on sys.path — required under an external driver harness.
+
+    ``codecs`` (default: the module ``AUDIO_CODECS`` registry, which
+    ``autoregister_codecs`` fills from soundfile when installed) maps
+    extra media_types to ``decode: bytes → (pcm_bytes, sample_rate)``
+    callables, captured by value into the worker closure — compressed
+    audio (MP3/FLAC/OGG) then flows through the same feature columns as
+    the built-in WAV path. Unknown types without a codec still raise
+    NotImplementedError per payload."""
+    plugins = dict(AUDIO_CODECS if codecs is None else codecs)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -548,6 +584,10 @@ def extract_features(df: DataFrame) -> DataFrame:
                 return data, rate
             if mt == "application/zlib":
                 return _zlib.decompress(bytes(b)), 0
+            dec = plugins.get(mt)
+            if dec is not None:
+                pcm, rate = dec(b)
+                return bytes(pcm), int(rate)
             raise NotImplementedError(f"no codec for {mt}")
 
         for pdf in batches:
