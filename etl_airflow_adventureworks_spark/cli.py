@@ -68,6 +68,28 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--splits", default=None,
                     help="e.g. train=0.9,val=0.1 (deterministic hash splits)")
 
+    bi = sub.add_parser(
+        "build-index",
+        help="build + persist the IVF ANN serving index (k-means centroids "
+        "via a versioned manifest + an immutable cell-partitioned layout)",
+    )
+    bi.add_argument("--sf-dir", required=True, help="dir containing embeddings.parquet")
+    bi.add_argument("--index", required=True, help="index root path")
+    bi.add_argument("--k-cells", type=int, default=16)
+    bi.add_argument("--seed", type=int, default=7)
+
+    qi = sub.add_parser(
+        "query-index",
+        help="serve IVF top-k from a persisted index (no refit, file-pruned "
+        "probes); reports index staleness vs the live collection",
+    )
+    qi.add_argument("--sf-dir", required=True, help="live collection (staleness probe)")
+    qi.add_argument("--index", required=True)
+    qi.add_argument("--nprobe", type=int, default=4)
+    qi.add_argument("--version", type=int, default=None,
+                    help="pin a committed index version (default latest)")
+    qi.add_argument("--limit", type=int, default=20)
+
     sub.add_parser("list", help="list declared queries")
 
     args = p.parse_args(argv)
@@ -151,6 +173,24 @@ def main(argv: list[str] | None = None) -> int:
         res.curated.write.mode("overwrite").parquet(args.out)
         for row in res.report():
             print(f"{row['stage']}: {row['rows']} rows (-{row['dropped']})")
+        return 0
+    if args.cmd == "build-index":
+        from .operators.similarity import build_ivf_index
+
+        v = build_ivf_index(
+            spark, args.sf_dir, args.index, k_cells=args.k_cells, seed=args.seed
+        )
+        print(f"committed IVF index version {v} at {args.index}")
+        return 0
+    if args.cmd == "query-index":
+        from .operators.similarity import ann_ivf_topk_from_index, ivf_index_staleness
+
+        staleness = ivf_index_staleness(spark, args.index, args.sf_dir)
+        print(f"index staleness vs {args.sf_dir}: {staleness:.1%}"
+              + (" — refit advised" if staleness > 0.25 else ""))
+        ann_ivf_topk_from_index(
+            spark, args.index, nprobe=args.nprobe, version=args.version
+        ).show(args.limit, truncate=False)
         return 0
     if args.cmd == "query":
         if args.name not in QUERIES:

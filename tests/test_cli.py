@@ -41,3 +41,24 @@ def test_curate_subcommand(spark, tmp_path, capsys):
     curated = spark.read.parquet(out)
     assert "split" in curated.columns
     assert 0 < curated.count() <= 500
+
+
+def test_index_subcommands_round_trip(spark, tmp_path, capsys):
+    """r6 (VERDICT r5 #6): the IVF serving path is CLI-reachable —
+    build-index commits a version, query-index serves from it with the
+    staleness probe surfaced; pinning an older version after a rebuild
+    still works (versioned layout)."""
+    idx = str(tmp_path / "ivf")
+    sf = "/root/testdata/sf0.001"
+    assert main(["build-index", "--sf-dir", sf, "--index", idx, "--k-cells", "8"]) == 0
+    assert "committed IVF index version 1" in capsys.readouterr().out
+    assert main(["query-index", "--sf-dir", sf, "--index", idx, "--nprobe", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "index staleness" in out and "query_id" in out
+    # rebuild + pinned-version query
+    assert main(["build-index", "--sf-dir", sf, "--index", idx, "--k-cells", "4"]) == 0
+    capsys.readouterr()
+    assert main([
+        "query-index", "--sf-dir", sf, "--index", idx, "--version", "1",
+    ]) == 0
+    assert "query_id" in capsys.readouterr().out
