@@ -185,7 +185,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "query-index":
         from .operators.similarity import ann_ivf_topk_from_index, ivf_index_staleness
 
-        staleness = ivf_index_staleness(spark, args.index, args.sf_dir)
+        staleness = ivf_index_staleness(
+            spark, args.index, args.sf_dir, version=args.version
+        )
         print(f"index staleness vs {args.sf_dir}: {staleness:.1%}"
               + (" — refit advised" if staleness > 0.25 else ""))
         ann_ivf_topk_from_index(

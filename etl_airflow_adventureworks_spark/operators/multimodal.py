@@ -244,10 +244,17 @@ def autoregister_codecs() -> dict[str, str]:
             samples, rate = _sf.read(io.BytesIO(b), dtype="int16", always_2d=False)
             return samples.tobytes(), int(rate)
 
-        # soundfile (libsndfile) reads MP3 since 0.12 / libsndfile 1.1,
-        # plus FLAC/OGG natively — the compressed-audio analogue of the
-        # pillow/pyav hooks
-        for mt in ("audio/mpeg", "audio/flac", "audio/ogg"):
+        # soundfile (libsndfile) reads FLAC/OGG natively in every version;
+        # MP3 only since soundfile 0.12 / libsndfile 1.1, so gate it on the
+        # runtime's actual format table — otherwise an older libsndfile
+        # would get a registered codec that throws on every MP3 payload
+        # instead of the honest NotImplementedError stub
+        import soundfile as _sf_probe
+
+        formats = ("audio/flac", "audio/ogg")
+        if "MPEG" in _sf_probe.available_formats():
+            formats = ("audio/mpeg",) + formats
+        for mt in formats:
             register_audio_codec(mt, _soundfile_decode)
             registered[mt] = "soundfile"
     return registered

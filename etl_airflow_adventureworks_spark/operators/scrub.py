@@ -36,17 +36,21 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     # timestamps and version strings wholesale):
     #   1. NANP-style: [+cc] [(]aaa[)] sep bbb sep cccc (3-3-4 blocks)
     #   2. international: literal '+' country code then 2-4 grouped blocks
-    # Residual false positives (documented, accepted): 10-17 digit
-    # standalone runs (indistinguishable from bare phone numbers) and
+    #   3. bare standalone 11-15 digit runs (cc+NANP with no separators,
+    #      e.g. 15551234567; 15 = the E.164 maximum) — these ARE phone
+    #      shapes; 16+ digit standalone runs (card/serial ids) stay whole
+    # Residual false positives (documented, accepted): standalone 10-15
+    # digit runs (indistinguishable from bare phone numbers), a
+    # '+'-prefixed grouped run up to the grammar's 19-digit max, and
     # decimals shaped like ddd ddd.dddd. YYYY-MM-DD dates, HH:MM:SS times
-    # and dotted versions no longer match (no 3-digit + 3-digit + 4-digit
-    # runs). Both alternatives are WORD-BOUNDED on both sides (\b is
+    # and dotted versions do not match (no 3-digit + 3-digit + 4-digit
+    # runs). Every alternative is WORD-BOUNDED on both sides (\b is
     # RE2-compatible; lookbehind is not): the leading \b sits after the
     # optional '(' so '(555)' still matches, and a digit preceded by a
-    # digit or letter fails it — so neither alternative can start or stop
-    # mid-token, and runs longer than the grammar's 19-digit max (long
-    # numeric ids) are left whole instead of partially redacted.
-    ("phone", r"\+?[0-9]{0,2}[\s.-]?\(?\b[0-9]{3}\)?[\s.-]?[0-9]{3}[\s.-]?[0-9]{4}\b|\+[0-9]{1,3}([\s.-]?[0-9]{2,4}){2,4}\b", "[PHONE]"),
+    # digit or letter fails it — so no alternative can start or stop
+    # mid-token, and over-long numeric ids are left whole instead of
+    # partially redacted.
+    ("phone", r"\+?[0-9]{0,2}[\s.-]?\(?\b[0-9]{3}\)?[\s.-]?[0-9]{3}[\s.-]?[0-9]{4}\b|\+[0-9]{1,3}([\s.-]?[0-9]{2,4}){2,4}\b|\b[0-9]{11,15}\b", "[PHONE]"),
 )
 
 

@@ -405,12 +405,17 @@ def load_ivf_index(
     return [list(r["centroid"]) for r in rows], meta
 
 
-def ivf_index_staleness(spark: SparkSession, index_path: str, sf_dir: str) -> float:
-    """Fractional collection growth since the index was built
-    (0.0 = fresh; 0.5 = collection grew 50% — refit advised: new vectors
-    still land in *some* cell, but the quantizer no longer matches the
-    distribution and recall decays silently)."""
-    _, meta = load_ivf_index(spark, index_path)
+def ivf_index_staleness(
+    spark: SparkSession, index_path: str, sf_dir: str, version: int | None = None
+) -> float:
+    """Fractional collection growth since ``version`` of the index was
+    built (default latest; pass the version you are SERVING — each
+    version has its own build size, so latest-version staleness says
+    nothing about a pinned older quantizer). 0.0 = fresh; 0.5 =
+    collection grew 50% — refit advised: new vectors still land in *some*
+    cell, but the quantizer no longer matches the distribution and recall
+    decays silently."""
+    _, meta = load_ivf_index(spark, index_path, version)
     now = load_table(spark, sf_dir, "embeddings").count()
     built = max(1, int(meta["n_vectors_at_build"]))
     return abs(now - built) / built
@@ -434,12 +439,27 @@ def ann_ivf_topk_from_index(
     )
 
 
-def vacuum_ivf_index(spark: SparkSession, index_path: str, retain_last: int = 1) -> int:
+def vacuum_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    retain_last: int = 1,
+    min_age_sec: int = 3600,
+) -> int:
     """Sweep index storage: vacuum the centroid table to its newest
     ``retain_last`` versions, then delete every per-build layout directory
     no retained version references (layouts are immutable and multi-GB at
     scale — the retention knob IS the time-travel window). Returns the
-    number of layout directories deleted."""
+    number of layout directories deleted.
+
+    ``min_age_sec``: an unreferenced layout younger than this is SKIPPED —
+    ``build_ivf_index`` writes its layout BEFORE committing the centroid
+    manifest, so a concurrent build's brand-new layout is legitimately
+    unreferenced for a short window; sweeping it would leave the
+    about-to-commit version pointing at a vanished directory. Same
+    retention-window convention every manifest-based table format uses
+    for uncommitted files. Pass 0 only when no build can be in flight."""
+    import time as _time
+
     from ..table import VersionedTable
 
     vt = VersionedTable(spark, f"{index_path}/centroids")
@@ -453,13 +473,17 @@ def vacuum_ivf_index(spark: SparkSession, index_path: str, retain_last: int = 1)
     root = HPath(index_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     deleted = 0
+    cutoff_ms = (_time.time() - min_age_sec) * 1000.0
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             is_layout = name == "layout" or name.startswith("layout-")
-            if st.isDirectory() and is_layout and name not in referenced:
-                fs.delete(st.getPath(), True)
-                deleted += 1
+            if not (st.isDirectory() and is_layout and name not in referenced):
+                continue
+            if st.getModificationTime() > cutoff_ms:
+                continue  # possibly an in-flight build's layout
+            fs.delete(st.getPath(), True)
+            deleted += 1
     return deleted
 
 

@@ -41,20 +41,25 @@ def events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def raw_events_schema(sf_dir: str) -> T.StructType:
-    """Schema matching ``{sf_dir}/events.parquet`` as physically stored."""
+def raw_events_schema(sf_dir: str, spark: SparkSession | None = None) -> T.StructType:
+    """Schema matching ``{sf_dir}/events.parquet`` as physically stored.
+
+    For non-local URIs (s3://, hdfs://) the pyarrow footer peek returns
+    "unknown"; streaming binds its schema UP FRONT (the batch path
+    normalizes post-read), so with a session available we resolve the
+    stored ``ts`` class through a Spark batch footer read of the same
+    path — works on every Hadoop filesystem and distinguishes NTZ from
+    tz-aware micros (both encodings this repo itself produces). Only when
+    no session is passed does "unknown" fall back to NTZ micros (what
+    current warehouse snapshots store), failing loudly on the first
+    micro-batch if the remote files disagree."""
     kind = events_ts_physical_type(sf_dir)
+    if kind == "unknown" and spark is not None:
+        ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+        return events_schema(ts_type)
     if kind == "timestamp[ns]":
         return events_schema(T.LongType())  # nanos-as-long
     if kind in ("timestamp[us]", "unknown"):
-        # "unknown" = non-local URI (s3://, hdfs://) where the pyarrow
-        # footer peek can't run. Streaming binds the schema UP FRONT (the
-        # batch path normalizes post-read), so pick the encoding every
-        # current warehouse snapshot actually uses: NTZ micros. A cluster
-        # whose files carry tz-aware micros hits the explicit branch below
-        # only via a local probe; if its remote files differ, the first
-        # micro-batch fails loudly on the schema mismatch rather than
-        # silently shifting timestamps by the session zone.
         return events_schema(T.TimestampNTZType())
     return events_schema(T.TimestampType())
 
@@ -65,7 +70,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if events_ts_physical_type(sf_dir) == "timestamp[ns]":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_events_ts(
-        spark.readStream.schema(raw_events_schema(sf_dir))
+        spark.readStream.schema(raw_events_schema(sf_dir, spark))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)

@@ -262,10 +262,14 @@ def test_ivf_rebuild_keeps_pinned_version_layout_consistent(spark, tmp_path):
     # the latest version serves from ITS layout
     assert ann_ivf_topk_from_index(spark, idx, nprobe=3).count() > 0
 
-    # retention sweep: keep only the newest version; v1's layout dir goes
-    assert vacuum_ivf_index(spark, idx, retain_last=1) == 1
-    assert load_ivf_index(spark, idx)[1]["layout_dir"] == m2["layout_dir"]
+    # retention sweep: with the default age guard a just-written layout is
+    # NOT swept (it could be an in-flight build's uncommitted layout) ...
+    assert vacuum_ivf_index(spark, idx, retain_last=1) == 0
     import os
 
+    assert m1["layout_dir"] in set(os.listdir(idx))
+    # ... with the guard waived, keep only the newest version; v1's goes
+    assert vacuum_ivf_index(spark, idx, retain_last=1, min_age_sec=0) == 1
+    assert load_ivf_index(spark, idx)[1]["layout_dir"] == m2["layout_dir"]
     names = set(os.listdir(idx))
     assert m2["layout_dir"] in names and m1["layout_dir"] not in names

@@ -317,13 +317,16 @@ def test_autoregister_audio_codecs_guarded():
 
     reg = M.autoregister_codecs()
     try:
-        import soundfile  # noqa: F401
+        import soundfile
 
         has_sf = True
+        has_mp3 = "MPEG" in soundfile.available_formats()
     except ImportError:
-        has_sf = False
-    assert ("audio/mpeg" in reg) == has_sf
+        has_sf = has_mp3 = False
+    assert ("audio/flac" in reg) == has_sf
     assert ("audio/flac" in M.AUDIO_CODECS) == has_sf
+    # MP3 registers only when the runtime libsndfile actually supports it
+    assert ("audio/mpeg" in M.AUDIO_CODECS) == has_mp3
 
 
 def test_soundfile_flac_features_end_to_end(spark):

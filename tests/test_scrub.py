@@ -151,19 +151,22 @@ def test_phone_pattern_spares_dates_times_versions(spark):
 
 
 def test_phone_pattern_never_matches_mid_token(spark):
-    """ADVICE r5: the international alternative lacked a trailing \\b (its
-    leading slice of a long digit run got redacted mid-token), and the
-    NANP alternative could start mid-run and clip a 12-digit suffix. With
-    both alternatives word-bounded, a digit run longer than the grammar's
-    19-digit maximum, or one glued to letters, stays fully intact; real
-    phones (and 10-17 digit standalone runs, the documented residual)
-    still redact as whole tokens."""
+    """ADVICE r5 + review fix: the international alternative lacked a
+    trailing \\b (its leading slice of a long digit run got redacted
+    mid-token), and the NANP alternative could start mid-run and clip a
+    12-digit suffix. With every alternative word-bounded, a digit run
+    longer than 15 (E.164 max) or glued to letters stays fully intact;
+    real phones — including bare cc+NANP runs like 15551234567, which the
+    first boundary fix briefly stopped catching — redact as whole
+    tokens."""
     df = spark.createDataFrame(
         [
             (1, "ref +123456789012345678901 is an id, not a phone"),
             (2, "serial ABC5551234567 tail"),
             (3, "but +49 151 2345 6789 is one"),
             (4, "run +12345678901234567 reads as a bare number"),
+            (5, "call me at 15551234567 now"),
+            (6, "card 4111111111111111 on file"),
         ],
         "doc_id long, text string",
     )
@@ -171,10 +174,14 @@ def test_phone_pattern_never_matches_mid_token(spark):
     assert out[1]["n_phone"] == 0 and "+123456789012345678901" in out[1]["text"]
     assert out[2]["n_phone"] == 0 and "ABC5551234567" in out[2]["text"]
     assert out[3]["n_phone"] == 1 and "[PHONE]" in out[3]["text"]
-    # documented residual: a standalone 17-digit run redacts WHOLE — no
+    # documented residual: a '+'-prefixed 17-digit run redacts WHOLE — no
     # leftover digit fragments on either side of the token
     assert out[4]["n_phone"] == 1
     assert "[PHONE] reads" in out[4]["text"] and "run +" not in out[4]["text"]
+    # bare 11-digit cc+NANP run is a phone (the review-caught regression)
+    assert out[5]["n_phone"] == 1 and "[PHONE] now" in out[5]["text"]
+    # 16-digit standalone runs (cards/serials) are ids, left whole
+    assert out[6]["n_phone"] == 0 and "4111111111111111" in out[6]["text"]
 
 
 def test_redact_pii_duckdb_dialect_parity(spark):

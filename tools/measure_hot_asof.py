@@ -94,9 +94,22 @@ def main() -> None:
     ev = load_table(spark, sf, "events")
     user_window = timed(lambda: asof_attribution_user_window(ev))
     sharded = timed(lambda: asof_attribution_sharded(ev, shard_hours=24))
-    # sanity: identical results (cheap checksum)
-    a = asof_attribution_user_window(ev).count()
-    b = asof_attribution_sharded(ev, shard_hours=24).count()
+    # sanity: identical ATTRIBUTIONS, not just identical row counts — both
+    # forms emit one row per purchase by construction, so a count compare
+    # is vacuous; hash the full (purchase, attributed-view) mapping
+    # order-insensitively instead (full tuple-equality lives in
+    # tests/test_skew_zipf.py)
+    def checksum(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("purchase_id", "last_view_us").cast("decimal(38,0)")
+            ).alias("x"),
+        ).collect()[0]
+        return row["n"], row["x"]
+
+    a = checksum(asof_attribution_user_window(ev))
+    b = checksum(asof_attribution_sharded(ev, shard_hours=24))
     print(
         json.dumps(
             {
@@ -106,8 +119,8 @@ def main() -> None:
                 "user_window_sec": round(user_window, 2),
                 "sharded_user_day_sec": round(sharded, 2),
                 "speedup": round(user_window / sharded, 2),
-                "purchases_equal": a == b,
-                "purchases": a,
+                "attribution_checksums_equal": a == b,
+                "purchases": a[0],
             }
         )
     )
