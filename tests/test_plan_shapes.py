@@ -159,7 +159,7 @@ def test_declared_sessionizer_heavy_windows_are_time_sharded(spark):
     # round-6 (VERDICT r5 #1): the declared ext_session_gap must be the
     # time-sharded plan — no window over RAW EVENTS may partition on
     # user_id alone (that partition is one indivisible task; a 30%-hot
-    # user measured 3.35x slower at 8M events). In the printed optimized
+    # user measured 2.06x slower at 8M events, linearly worse). In the optimized
     # tree, windows ABOVE the mini-session Aggregate run on per-session
     # summaries (user-only partitioning is fine: |rows| ~ session count);
     # every window BELOW it touches raw events and must include the time
@@ -180,11 +180,12 @@ def test_declared_sessionizer_heavy_windows_are_time_sharded(spark):
 
 def test_declared_asof_heavy_window_is_time_sharded(spark):
     # round-6 (VERDICT r5 #5): same skew contract as the sessionizer —
-    # measured crossover on the 30%-hot corpus (user-window 2.9s@8M but
-    # 13.3s@32M super-linear; sharded 6.1s -> 8.0s near-linear). The only
-    # window allowed to partition on user_id alone is the carry-in stitch,
-    # which ORDERS BY the shard — i.e. it runs over per-(user, shard)
-    # summary rows, never raw events.
+    # measured on the 30%-hot corpus, idle machine, median-of-5: sharded
+    # wins 2.0-3.0x at every scale (2M/8M/32M events), widening as the
+    # indivisible hot window task grows. The only window allowed to
+    # partition on user_id alone is the carry-in stitch, which ORDERS BY
+    # the shard — i.e. it runs over per-(user, shard) summary rows, never
+    # raw events.
     import re
 
     df = entrymod.queries()["ext_asof_attribution"](spark, SF_ORACLE)
