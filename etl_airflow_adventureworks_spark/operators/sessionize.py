@@ -106,10 +106,10 @@ def ext_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (E5, SURVEY.md §2.9): declared plan is the
     TIME-SHARDED form (``session_gap_sharded``) — the classic
     user-partitioned-window form puts a 30%-hot user's 2.4M events on ONE
-    indivisible window task (measured r6, idle machine, median-of-5:
-    3.35 s vs 1.63 s sharded on 32 cores at 8M events = 2.06×, gap
-    growing linearly with corpus; ``tools/measure_hot_sessions.py``,
-    SCALING.md). The sharded plan is exact for any shard width and
+    indivisible window task (measured r6, idle machine, warmup +
+    median-of-5, 32 cores: 1.17×/2.04×/2.64× slower than sharded at
+    2M/8M/32M events — monotone in corpus size;
+    ``tools/measure_hot_sessions.py``, SCALING.md). The sharded plan is exact for any shard width and
     result-identical to the textbook form (``session_gap_user_window``,
     kept as the equality twin; proven on the adversarial hot-user corpus
     in tests/test_skew_zipf.py), so the scale-safe plan is the default."""
@@ -164,9 +164,10 @@ def session_gap_sharded(
     textbook form (``session_gap_user_window``) partitions its windows on
     user_id, so one ultra-hot user (Zipf head holding 30% of a 100 TB
     stream) lands on ONE task — the straggler shape no AQE setting can
-    split, because a window's partition is indivisible; measured 2.06×
-    slower at 8M events / 30% hot (idle machine, median-of-5), widening
-    with corpus size. This form shards the heavy pass by TIME as well:
+    split, because a window's partition is indivisible; measured
+    1.17×/2.04×/2.64× slower at 2M/8M/32M events, 30% hot (idle machine,
+    warmup + median-of-5) — monotone in corpus size. This form shards
+    the heavy pass by TIME as well:
 
     1. sessionize within (user_id, shard = ts div shard_hours) — the hot
        user's events spread over time_range/shard_hours tasks;
@@ -266,11 +267,10 @@ def ext_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of attribution (the as-of-join shape, pyspark_guide §Common OLAP
     patterns): each purchase matched to the user's most recent PRIOR view.
     Declared plan is the TIME-SHARDED form since round 6: on a 30%-hot
-    corpus (idle machine, median-of-5) the user-window twin's indivisible
-    hot task costs 3.2 s at 2M events, 13.4 s at 8M, 16.8 s at 32M while
-    the sharded form stays 1.5–6.7 s — a 2.0–3.0× win at every measured
-    scale, widening as the hot task grows (tools/measure_hot_asof.py,
-    SCALING.md). Result-identical to ``asof_attribution_user_window``
+    corpus (idle machine, warmup + median-of-5) the user-window twin's
+    indivisible hot task costs 1.00/2.57/10.05 s at 2M/8M/32M events vs
+    sharded 0.89/1.47/4.76 s — 1.11×/1.75×/2.11×, monotone and widening
+    as the hot task grows (tools/measure_hot_asof.py, SCALING.md). Result-identical to ``asof_attribution_user_window``
     (equality-tested)."""
     return asof_attribution_sharded(load_table(spark, sf_dir, "events"))
 
@@ -328,8 +328,8 @@ def asof_attribution_sharded(ev: DataFrame, shard_hours: int = 24) -> DataFrame:
     Exact for any shard width (a prior view is either in my shard before
     me — case 1 — or the latest view of some earlier shard — case 2);
     result-identical to ``asof_attribution_user_window`` (asserted in
-    tests, including the hot-user corpus; measured 2–3× faster on it at
-    2M–32M events). The summary join is co-keyed on (user_id, shard) with
+    tests, including the hot-user corpus; measured up to 2.1× faster on
+    it, monotone in corpus size through 32M events). The summary join is co-keyed on (user_id, shard) with
     the heavy side's existing partitioning."""
     from pyspark.sql import Window
 

@@ -159,7 +159,7 @@ def test_declared_sessionizer_heavy_windows_are_time_sharded(spark):
     # round-6 (VERDICT r5 #1): the declared ext_session_gap must be the
     # time-sharded plan — no window over RAW EVENTS may partition on
     # user_id alone (that partition is one indivisible task; a 30%-hot
-    # user measured 2.06x slower at 8M events, linearly worse). In the optimized
+    # user measured 1.17x/2.04x/2.64x slower at 2M/8M/32M). In the optimized
     # tree, windows ABOVE the mini-session Aggregate run on per-session
     # summaries (user-only partitioning is fine: |rows| ~ session count);
     # every window BELOW it touches raw events and must include the time
@@ -180,9 +180,9 @@ def test_declared_sessionizer_heavy_windows_are_time_sharded(spark):
 
 def test_declared_asof_heavy_window_is_time_sharded(spark):
     # round-6 (VERDICT r5 #5): same skew contract as the sessionizer —
-    # measured on the 30%-hot corpus, idle machine, median-of-5: sharded
-    # wins 2.0-3.0x at every scale (2M/8M/32M events), widening as the
-    # indivisible hot window task grows. The only window allowed to
+    # measured on the 30%-hot corpus, idle machine, warmup + median-of-5:
+    # sharded wins 1.11x/1.75x/2.11x at 2M/8M/32M events, monotone and
+    # widening as the indivisible hot window task grows. The only window allowed to
     # partition on user_id alone is the carry-in stitch, which ORDERS BY
     # the shard — i.e. it runs over per-(user, shard) summary rows, never
     # raw events.

@@ -1,13 +1,19 @@
 """Hot-user as-of attribution straggler measurement (VERDICT r5 #5).
 
-Same harness as measure_hot_sessions.py: a Zipf-head events corpus (one
-user holds ~30% of N events over 30 days, view/purchase mix), timing the
-user-window as-of twin against the time-sharded form (the DECLARED
-ext_asof_attribution since round 6) on local[N]. The
-window form's last_value(... IGNORE NULLS) partitions on user_id — one
-indivisible task per user — so the hot user's history is the stage's
-critical path; the sharded form's heavy window keys on (user, day) and
-stitches the carry-in over per-shard summaries.
+Same harness as measure_hot_sessions.py (shared via tools/hotcorpus.py):
+a Zipf-head events corpus (one user holds ~30% of N events over 30 days,
+view/purchase mix), timing the user-window as-of twin against the
+time-sharded form (the DECLARED ext_asof_attribution since round 6) on
+local[N]. The window form's last_value(... IGNORE NULLS) partitions on
+user_id — one indivisible task per user — so the hot user's history is
+the stage's critical path; the sharded form's heavy window keys on
+(user, day) and stitches the carry-in over per-shard summaries.
+
+Measured round 6 (idle machine, 1 warmup + median-of-5): user-window
+1.00 / 2.57 / 10.05 s at 2M / 8M / 32M events vs sharded 0.89 / 1.47 /
+4.76 s = 1.11x / 1.75x / 2.11x, monotone and widening with the hot
+task. Run on an IDLE machine: concurrent load distorted an earlier
+in-round measurement.
 
 Usage: python tools/measure_hot_asof.py [n_events] [cpus]
 Prints one JSON line; numbers are recorded in SCALING.md.
@@ -16,22 +22,21 @@ Prints one JSON line; numbers are recorded in SCALING.md.
 from __future__ import annotations
 
 import json
-import shutil
 import sys
-import tempfile
-import time
 from pathlib import Path
-
-import numpy as np
 
 REPO = str(Path(__file__).resolve().parent.parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+from tools.hotcorpus import cleanup, median_timed, write_hot_events  # noqa: E402
+
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from pyspark.sql import functions as F
 
     from etl_airflow_adventureworks_spark.operators.sessionize import (
         asof_attribution_sharded,
@@ -43,57 +48,22 @@ def main() -> None:
     spark = get_spark(app_name="hot-asof", cpus=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    rng = np.random.default_rng(43)
-    hot = rng.random(n) < 0.3
-    user = np.where(hot, 0, 1 + (rng.zipf(1.8, n) % 50_000)).astype(np.int64)
-    epoch_us = 1_735_689_600_000_000 + np.sort(
-        rng.integers(0, 30 * 86400 * 1_000_000, n)
-    )
     # ~70% views / 10% purchases / 20% other — the attribution mix
-    kind_draw = rng.random(n)
-    kinds = np.where(kind_draw < 0.7, "view", np.where(kind_draw < 0.8, "purchase", "click"))
-    out = Path(tempfile.mkdtemp(prefix="hotasof")) / "sf"
-    out.mkdir()
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array(np.arange(n, dtype=np.int64)),
-                "ts": pa.array(epoch_us, type=pa.timestamp("us")),
-                "user_id": pa.array(user),
-                "event_type": pa.array(kinds.tolist()),
-                "value": pa.array(rng.random(n)),
-                "props": pa.array(["{}"] * n),
-            }
-        ),
-        out / "events.parquet",
-        row_group_size=max(8_192, n // 64),
+    out = write_hot_events(
+        n, seed=43, event_types=[("view", 0.7), ("purchase", 0.8), ("click", 1.0)]
     )
-
-    from pyspark.sql import functions as F
 
     def consume(df):
         # NOT count(): the attributed column is cardinality-neutral, so a
         # bare count lets Catalyst eliminate the Window node entirely and
         # the "measurement" times a filtered scan. Aggregating the column
-        # forces the full attribution compute on both forms.
-        # avg, not sum: epoch-µs values overflow a long sum at ~10k rows
+        # (avg — epoch-µs overflows a long sum) forces the full compute.
         return df.agg(F.avg("last_view_us"), F.count(F.lit(1))).collect()
 
-    def timed(fn, reps=5):
-        samples = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            consume(fn())
-            samples.append(time.perf_counter() - t0)
-        return sorted(samples)[len(samples) // 2]
+    ev = load_table(spark, str(out), "events")
+    user_window = median_timed(lambda: asof_attribution_user_window(ev), consume)
+    sharded = median_timed(lambda: asof_attribution_sharded(ev, shard_hours=24), consume)
 
-    sf = str(out)
-    ev = load_table(spark, sf, "events")
-    user_window = timed(lambda: asof_attribution_user_window(ev))
-    sharded = timed(lambda: asof_attribution_sharded(ev, shard_hours=24))
     # sanity: identical ATTRIBUTIONS, not just identical row counts — both
     # forms emit one row per purchase by construction, so a count compare
     # is vacuous; hash the full (purchase, attributed-view) mapping
@@ -124,7 +94,7 @@ def main() -> None:
             }
         )
     )
-    shutil.rmtree(out.parent, ignore_errors=True)
+    cleanup(out)
     spark.stop()
 
 
