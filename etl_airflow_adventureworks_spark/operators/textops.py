@@ -280,7 +280,21 @@ def ext_group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-group downsampling (training-data mixture control):
     at most 20 documents per source, keeping the lowest doc_ids — the
     reproducible alternative to sampleBy() when dataset cards must be
-    re-derivable. One shuffle on the group key; rank-and-filter."""
+    re-derivable.
+
+    Skew audit (r6): ``source`` has single-digit cardinality, so this
+    LOOKS like the indivisible-window straggler the sessionizer needed
+    manual sharding for — but rank-limit pushdown (Spark 3.5+
+    ``WindowGroupLimit``) already makes the physical plan two-stage: a
+    PARTIAL group-limit runs map-side on every input split (each task
+    top-20s its own slice, no shuffle of the full corpus), and only the
+    ≤ 20 × partitions survivors reach the exchange and the final
+    per-group rank. A hand-rolled (group, partition-id) two-stage rewrite
+    was measured REDUNDANT — it re-shuffles the full corpus on the
+    composite key for the same final shape. The partial phase is pinned
+    by ``test_group_cap_has_partial_window_group_limit``; the manual
+    sharding pattern stays reserved for lag/running-sum windows, which
+    this pushdown cannot serve."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("source").orderBy("doc_id")

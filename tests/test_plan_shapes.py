@@ -198,6 +198,31 @@ def test_declared_asof_heavy_window_is_time_sharded(spark):
             assert "shard" in order, plan  # summary stitch, not raw events
 
 
+def test_group_cap_has_partial_window_group_limit(spark):
+    # round-6 skew audit: ext_group_cap_sample windows on `source`
+    # (single-digit cardinality) — safe ONLY because Spark's rank-limit
+    # pushdown inserts a map-side Partial WindowGroupLimit BEFORE the
+    # exchange, so each input split top-20s locally and the per-group
+    # final sort sees <= 20 x partitions rows instead of the whole
+    # corpus. Pin that physical shape: if a regression (or a rewrite to
+    # rank-over-expression this rule can't serve) drops the Partial
+    # phase, this query becomes a terabyte-sort-per-source straggler.
+    # Same contract for the ANN top-k family: its rank window partitions
+    # on query_id (|queries| partitions over |collection| x |queries|
+    # joined rows) — only the Partial phase keeps that from being a few
+    # full-collection sort tasks. Spark emits the `Partial` mode marker
+    # exclusively in the pre-shuffle position, so its presence IS the
+    # map-side-prune proof (a positional check on the printed tree is
+    # fragile across multi-branch plans).
+    import re
+
+    for name in ["ext_group_cap_sample", "ext_ann_cosine_topk", "ext_ann_lsh_topk"]:
+        df = entrymod.queries()[name](spark, SF_ORACLE)
+        df.count()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"WindowGroupLimit .*Partial", final), (name, final)
+
+
 def test_textprep_catalyst_ops_have_no_python(spark):
     # splits and chunking are pure Catalyst by design (packing is the one
     # declared applyInPandas step)
