@@ -183,15 +183,22 @@ def main(argv: list[str] | None = None) -> int:
         print(f"committed IVF index version {v} at {args.index}")
         return 0
     if args.cmd == "query-index":
-        from .operators.similarity import ann_ivf_topk_from_index, ivf_index_staleness
+        # one manifest read serves both the staleness probe and the query
+        # (loading twice doubled manifest IO per serve invocation, r6 ADVICE)
+        from .operators.similarity import (
+            ann_ivf_topk_over_layout,
+            ivf_index_staleness,
+            load_ivf_index,
+        )
 
+        cents, meta = load_ivf_index(spark, args.index, version=args.version)
         staleness = ivf_index_staleness(
-            spark, args.index, args.sf_dir, version=args.version
+            spark, args.index, args.sf_dir, version=args.version, meta=meta
         )
         print(f"index staleness vs {args.sf_dir}: {staleness:.1%}"
               + (" — refit advised" if staleness > 0.25 else ""))
-        ann_ivf_topk_from_index(
-            spark, args.index, nprobe=args.nprobe, version=args.version
+        ann_ivf_topk_over_layout(
+            spark, f"{args.index}/{meta['layout_dir']}", cents, args.nprobe
         ).show(args.limit, truncate=False)
         return 0
     if args.cmd == "query":

@@ -40,17 +40,23 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     #      e.g. 15551234567; 15 = the E.164 maximum) — these ARE phone
     #      shapes; 16+ digit standalone runs (card/serial ids) stay whole
     # Residual false positives (documented, accepted): standalone 10-15
-    # digit runs (indistinguishable from bare phone numbers), a
-    # '+'-prefixed grouped run up to the grammar's 19-digit max, and
-    # decimals shaped like ddd ddd.dddd. YYYY-MM-DD dates, HH:MM:SS times
-    # and dotted versions do not match (no 3-digit + 3-digit + 4-digit
-    # runs). Every alternative is WORD-BOUNDED on both sides (\b is
-    # RE2-compatible; lookbehind is not): the leading \b sits after the
-    # optional '(' so '(555)' still matches, and a digit preceded by a
-    # digit or letter fails it — so no alternative can start or stop
-    # mid-token, and over-long numeric ids are left whole instead of
-    # partially redacted.
-    ("phone", r"\+?[0-9]{0,2}[\s.-]?\(?\b[0-9]{3}\)?[\s.-]?[0-9]{3}[\s.-]?[0-9]{4}\b|\+[0-9]{1,3}([\s.-]?[0-9]{2,4}){2,4}\b|\b[0-9]{11,15}\b", "[PHONE]"),
+    # digit runs (indistinguishable from bare phone numbers — this class
+    # INCLUDES 13-digit epoch-millisecond timestamps; callers embedding
+    # raw epoch-millis in prose should redact-then-restore or pick
+    # epoch-seconds/ISO forms), a '+'-prefixed grouped run up to the
+    # grammar's 19-digit max, and decimals shaped like ddd ddd.dddd.
+    # YYYY-MM-DD dates, HH:MM:SS times and dotted versions do not match
+    # (no 3-digit + 3-digit + 4-digit runs). Every alternative is
+    # WORD-BOUNDED on both sides (\b is RE2-compatible; lookbehind is
+    # not): alternative 1's optional country code is anchored via the
+    # (?:\+...|\b...) split — bare cc digits require a leading boundary,
+    # a '+' is its own anchor ('A1 555 123 4567' no longer matches
+    # starting mid-token at the '1'; the 3-3-4 tail still redacts on its
+    # own \b) — the area-code \b sits after the optional '(' so '(555)'
+    # still matches, and a digit preceded by a digit or letter fails it;
+    # so no alternative can start or stop mid-token, and over-long
+    # numeric ids are left whole instead of partially redacted.
+    ("phone", r"(?:\+[0-9]{0,2}|\b[0-9]{1,2})?[\s.-]?\(?\b[0-9]{3}\)?[\s.-]?[0-9]{3}[\s.-]?[0-9]{4}\b|\+[0-9]{1,3}([\s.-]?[0-9]{2,4}){2,4}\b|\b[0-9]{11,15}\b", "[PHONE]"),
 )
 
 

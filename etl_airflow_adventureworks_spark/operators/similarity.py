@@ -406,7 +406,11 @@ def load_ivf_index(
 
 
 def ivf_index_staleness(
-    spark: SparkSession, index_path: str, sf_dir: str, version: int | None = None
+    spark: SparkSession,
+    index_path: str,
+    sf_dir: str,
+    version: int | None = None,
+    meta: dict | None = None,
 ) -> float:
     """Fractional collection growth since ``version`` of the index was
     built (default latest; pass the version you are SERVING — each
@@ -414,8 +418,11 @@ def ivf_index_staleness(
     nothing about a pinned older quantizer). 0.0 = fresh; 0.5 =
     collection grew 50% — refit advised: new vectors still land in *some*
     cell, but the quantizer no longer matches the distribution and recall
-    decays silently."""
-    _, meta = load_ivf_index(spark, index_path, version)
+    decays silently. Pass ``meta`` from an already-loaded index
+    (``load_ivf_index``) to skip re-reading the manifest — the serve CLI
+    loads once and shares it between the staleness probe and the query."""
+    if meta is None:
+        _, meta = load_ivf_index(spark, index_path, version)
     now = load_table(spark, sf_dir, "embeddings").count()
     built = max(1, int(meta["n_vectors_at_build"]))
     return abs(now - built) / built
@@ -457,9 +464,13 @@ def vacuum_ivf_index(
     unreferenced for a short window; sweeping it would leave the
     about-to-commit version pointing at a vanished directory. Same
     retention-window convention every manifest-based table format uses
-    for uncommitted files. Pass 0 only when no build can be in flight."""
-    import time as _time
+    for uncommitted files. Pass 0 only when no build can be in flight.
 
+    The age cutoff is derived from the FILESYSTEM's clock (mtime of a
+    just-written probe file), not the driver's wall clock — layout mtimes
+    are stamped by the storage system, and clock skew between driver and
+    a remote object store would otherwise silently shrink the safety
+    window and sweep an in-flight build's layout (r6 ADVICE)."""
     from ..table import VersionedTable
 
     vt = VersionedTable(spark, f"{index_path}/centroids")
@@ -473,7 +484,13 @@ def vacuum_ivf_index(
     root = HPath(index_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     deleted = 0
-    cutoff_ms = (_time.time() - min_age_sec) * 1000.0
+    # filesystem "now": mtime of a probe file written through the same FS,
+    # so layout ages compare against the clock that stamped them
+    probe = HPath(f"{index_path}/.vacuum-probe")
+    fs.create(probe, True).close()
+    fs_now_ms = fs.getFileStatus(probe).getModificationTime()
+    fs.delete(probe, False)
+    cutoff_ms = fs_now_ms - min_age_sec * 1000.0
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()

@@ -55,7 +55,24 @@ def raw_events_schema(sf_dir: str, spark: SparkSession | None = None) -> T.Struc
     micro-batch if the remote files disagree."""
     kind = events_ts_physical_type(sf_dir)
     if kind == "unknown" and spark is not None:
-        ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+        # the probe read itself must tolerate TIMESTAMP(NANOS) footers —
+        # without nanosAsLong a NANOS file makes the probe throw, leaving
+        # one of the two encodings this docstring promises to distinguish
+        # unresolvable over s3://-style paths (r6 ADVICE). Set it for the
+        # probe, restore after: NANOS then resolves to LongType (the
+        # nanos-as-long schema), MICROS paths are unaffected by the flag.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema[
+                "ts"
+            ].dataType
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         return events_schema(ts_type)
     if kind == "timestamp[ns]":
         return events_schema(T.LongType())  # nanos-as-long
@@ -67,10 +84,14 @@ def raw_events_schema(sf_dir: str, spark: SparkSession | None = None) -> T.Struc
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded scan of the events table (one-file-per-trigger so a local
     run exercises multiple micro-batches)."""
-    if events_ts_physical_type(sf_dir) == "timestamp[ns]":
+    schema = raw_events_schema(sf_dir, spark)
+    # key the session conf off the RESOLVED schema, not the local peek —
+    # a remote NANOS file resolves to LongType through the probe above and
+    # needs the same flag for the streaming read itself (r6 ADVICE)
+    if isinstance(schema["ts"].dataType, T.LongType):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_events_ts(
-        spark.readStream.schema(raw_events_schema(sf_dir, spark))
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)

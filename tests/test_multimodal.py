@@ -302,11 +302,12 @@ def test_extract_features_pluggable_audio_codec(spark):
     assert row["decoded_len"] == 64
     assert row["decoded_md5"] == hashlib.md5(want).hexdigest()
     assert row["sample_rate"] == 4000
-    # without the codec the same payload stays an honest stub
+    # without the codec the same payload stays an honest stub — assert the
+    # SPECIFIC missing-codec message propagates through Py4J, so a schema
+    # mismatch or fixture bug can't pass this vacuously (r6 ADVICE)
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
-    with _pytest.raises((Py4JJavaError, Exception)):
+    with _pytest.raises(Exception, match="no codec for audio/x-toy"):
         extract_features(df, codecs={}).collect()
 
 
