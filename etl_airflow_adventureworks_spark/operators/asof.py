@@ -1,49 +1,54 @@
 """Two-table as-of join — an operator Spark lacks natively.
 
-Preference order per the charter: (a) compose built-ins — possible when
-both sides share one stream (see ext_asof_attribution's window form) —
-else (b) applyInPandas with ``pd.merge_asof`` per group, which is this
-module. Left rows match the most recent right row with right_on ≤ left_on
-within the same ``by`` key (backward as-of).
+Preference order per the charter: (a) compose built-ins — the DEFAULT
+``asof_join`` is now a pure-Catalyst time-sharded plan (tagged union +
+within-shard running ``last() IGNORE NULLS`` window + per-shard carry-in),
+zero Python — else (b) applyInPandas with ``pd.merge_asof`` per group
+(``asof_join_grouped``, the readable twin and the fallback for
+non-shardable ``on`` types). Left rows match the most recent right row
+with right_on ≤ left_on within the same ``by`` key (backward as-of).
 
-Scale shape: one shuffle co-locates both sides on the ``by`` key (tagged
-union, single groupBy — not two separate shuffles), then per-group sorted
-merges run in Arrow batches. Skewy entities are the caveat; salt or split
-heavy keys upstream if one entity dominates.
+Scale shape of the default plan (the same skew prescription as
+``sessionize.session_gap_sharded`` / ``asof_attribution_sharded``, which
+it generalizes to a second table): one shuffle co-locates both sides on
+(by, shard) — the hot entity's rows spread over range/shard_width
+DIVISIBLE tasks instead of one indivisible per-entity window/pandas task
+— plus a summary-sized window over one row per (by, shard) to carry the
+latest right row across shard boundaries. Exact for any shard width: a
+left row's as-of match is either in its own shard at or before it (the
+within-shard window finds the max such) or it is the latest right row of
+some earlier shard (the carry — shards are time-ordered, so the last
+non-null per-shard latest IS the global latest among earlier shards).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources import load_table
+
+#: `on` types the sharded plan can bucket into numeric shards
+_SHARDABLE = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
 
 
-def asof_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: str,
-    by: str,
-    suffix: str = "_right",
-    max_group_rows: int = 5_000_000,
-) -> DataFrame:
-    """Backward as-of join. ``on``: orderable column in both sides; ``by``:
-    entity key in both sides. Right's non-key columns surface with
-    ``suffix``. Left rows with no earlier right row keep NULLs.
+def _validate(left: DataFrame, right: DataFrame, on: str, by: str, suffix: str):
+    """Shared column-collision validation; returns (lcols, rvals, out_cols).
 
     Raises ValueError on column-name collisions: a shared non-key column
     would appear twice in the tagged union, and a left column already named
     ``<rightcol><suffix>`` would collide with the suffixed output — both
-    silently corrupt results otherwise.
-
-    Skew guard: each ``by`` group becomes ONE pandas frame on one task, so
-    a pathological entity (a bot user with 100M events) would OOM that
-    executor quietly. Groups larger than ``max_group_rows`` fail loud with
-    the remedy instead: split the hot entity's timeline upstream (e.g.
-    sub-key by time bucket with per-bucket boundary rows, or salt + re-merge)
-    before re-running. Raise the limit deliberately if your executors are
-    sized for more."""
-    types = {f.name: f.dataType.simpleString() for f in left.schema.fields}
-    rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    silently corrupt results otherwise."""
     lcols = list(left.columns)
     rvals = [c for c in right.columns if c not in (on, by)]
     shared = set(rvals) & set(lcols)
@@ -59,12 +64,178 @@ def asof_join(
             f"asof_join: left column(s) {sorted(clash)} collide with the "
             f"suffixed right output; pick a different suffix"
         )
+    out_cols = lcols + [f"{on}{suffix}"] + [f"{c}{suffix}" for c in rvals]
+    return lcols, rvals, out_cols
+
+
+def _shard_base_expr(on: str, dtype: T.DataType):
+    """Numeric shard basis for the `on` column: micros for timestamps,
+    days for dates, the value itself for integers."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(on).cast("timestamp"))
+    if isinstance(dtype, T.DateType):
+        return F.datediff(F.col(on), F.lit("1970-01-01")).cast("long")
+    return F.col(on).cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    suffix: str = "_right",
+    shard_width: int | str | None = "auto",
+    max_group_rows: int = 5_000_000,
+) -> DataFrame:
+    """Backward as-of join, hot-entity-safe by default. ``on``: orderable
+    column in both sides (same name); ``by``: entity key in both sides.
+    Right's ``on`` and non-key columns surface with ``suffix``. Left rows
+    with no earlier right row keep NULLs. ``on`` must be non-null on both
+    sides — a NULL has no position on the time axis: the sharded plan
+    excludes such rows, the grouped plan's ``merge_asof`` rejects them.
+
+    ``shard_width`` picks the plan:
+
+    - ``"auto"`` (default): time-sharded pure-DataFrame plan; the width is
+      left's ``on`` range / 256 — one cheap min/max aggregate (parquet
+      footer stats make it near-free) buys a plan with no indivisible
+      per-entity task. 256 shards ≈ plenty of divisibility without
+      drowning the carry summary.
+    - an int: the same plan with an explicit width in the ``on`` column's
+      shard units (micros for timestamps, days for dates, raw value for
+      ints) — no probe job.
+    - ``None``: the per-group Arrow ``merge_asof`` plan
+      (``asof_join_grouped``) with its ``max_group_rows`` fail-loud guard.
+
+    ``on`` must be numeric, date, or timestamp — an as-of needs a real
+    axis; non-orderable-as-number types (strings, decimals) raise
+    ValueError up front (``pd.merge_asof`` rejects them too, so there is
+    no slower-but-working fallback to route to).
+
+    Determinism caveat (both plans): if several right rows share the same
+    (by, on) the one carried is engine/input-order dependent — pre-dedup
+    the right side to one row per (by, on) when that matters (the declared
+    ``ext_asof_twotable`` query does exactly that)."""
+    on_type = dict(zip(right.columns, [f.dataType for f in right.schema.fields]))[on]
+    if not isinstance(on_type, _SHARDABLE):
+        raise ValueError(
+            f"asof_join: `on` column {on!r} has type "
+            f"{on_type.simpleString()}; an as-of join needs a numeric, "
+            "date, or timestamp axis (pd.merge_asof rejects other types "
+            "too — cast or derive a numeric order key first)"
+        )
+    if shard_width is None:
+        return asof_join_grouped(
+            left, right, on, by, suffix=suffix, max_group_rows=max_group_rows
+        )
+    lcols, rvals, _ = _validate(left, right, on, by, suffix)
+
+    if shard_width == "auto":
+        base_probe = _shard_base_expr(on, on_type)
+        lo, hi = left.agg(
+            F.min(base_probe).alias("lo"), F.max(base_probe).alias("hi")
+        ).first()
+        if lo is None:  # empty left → any width; 1 keeps the plan valid
+            width = 1
+        else:
+            width = max((int(hi) - int(lo)) // 256, 1)
+    else:
+        width = max(int(shard_width), 1)
+
+    # tagged union so ONE (by, shard) shuffle co-locates both sides
+    all_cols = [by, on] + [c for c in lcols if c not in (by, on)] + rvals
+    l_tagged = left.select(
+        *[F.col(c) if c in left.columns else F.lit(None).alias(c) for c in all_cols],
+        F.lit(0).alias("__side"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) if c in right.columns else F.lit(None).alias(c) for c in all_cols],
+        F.lit(1).alias("__side"),
+    )
+    # integer `div` bucketing (same as session_gap_sharded): monotone in
+    # `on`, so an earlier shard's rows are all strictly before a later
+    # shard's — the invariant the carry-in correctness proof rests on
+    u = (
+        l_tagged.unionByName(r_tagged)
+        .filter(F.col(on).isNotNull())
+        .withColumn("__basis", _shard_base_expr(on, on_type))
+        .withColumn("__shard", F.expr(f"__basis div {width}"))
+        .drop("__basis")
+    )
+
+    from pyspark.sql import Window
+
+    # right row as one struct so the window/carry move whole rows
+    rstruct = F.when(
+        F.col("__side") == 1, F.struct(*[F.col(c) for c in [on] + rvals])
+    )
+    # within (by, shard): running latest right row at-or-before me.
+    # Right sorts BEFORE left at equal `on` (__side DESC) — backward as-of
+    # is inclusive of equal timestamps, same as merge_asof/DuckDB ASOF.
+    w1 = (
+        Window.partitionBy(by, "__shard")
+        .orderBy(F.col(on).asc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = u.withColumn("__match", F.last(rstruct, ignorenulls=True).over(w1))
+
+    # one summary row per (by, shard) — the shard's LATEST right row (null
+    # for right-less shards; max_by skips null ordering keys) — then the
+    # carry-in is the last non-null latest over all EARLIER shards. The
+    # summary frame is ~|distinct (by, shard)| rows: the hot entity
+    # contributes one row per shard here, not one row per event.
+    summ = u.groupBy(by, "__shard").agg(
+        F.max_by(rstruct, F.when(F.col("__side") == 1, F.col(on))).alias("__latest")
+    )
+    w2 = (
+        Window.partitionBy(by)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summ.withColumn(
+        "__carry", F.last("__latest", ignorenulls=True).over(w2)
+    ).select(by, "__shard", "__carry")
+
+    # every left (by, shard) exists in summ by construction → inner join,
+    # co-keyed with the heavy side's existing (by, shard) partitioning
+    best = F.coalesce(F.col("__match"), F.col("__carry"))
+    return (
+        local.filter(F.col("__side") == 0)
+        .join(carry, [by, "__shard"])
+        .select(
+            *lcols,
+            best.getField(on).alias(f"{on}{suffix}"),
+            *[best.getField(c).alias(f"{c}{suffix}") for c in rvals],
+        )
+    )
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    suffix: str = "_right",
+    max_group_rows: int = 5_000_000,
+) -> DataFrame:
+    """Per-entity Arrow ``merge_asof`` as-of join — the readable twin the
+    sharded default is equality-tested against, and the fallback for
+    ``on`` types the shard bucketing can't handle (strings, decimals).
+
+    Skew guard: each ``by`` group becomes ONE pandas frame on one task, so
+    a pathological entity (a bot user with 100M events) would OOM that
+    executor quietly. Groups larger than ``max_group_rows`` fail loud with
+    the remedy instead: use the default sharded ``asof_join`` (this guard
+    predates it; the sharded plan has no per-entity frame at all), or
+    raise the limit deliberately if your executors are sized for more."""
+    types = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    lcols, rvals, out_cols = _validate(left, right, on, by, suffix)
     out_schema = ", ".join(
         [f"{c} {types[c]}" for c in lcols]
         + [f"{on}{suffix} {rtypes[on]}"]
         + [f"{c}{suffix} {rtypes[c]}" for c in rvals]
     )
-    out_cols = lcols + [f"{on}{suffix}"] + [f"{c}{suffix}" for c in rvals]
 
     # tagged union so ONE grouped shuffle co-locates both sides per key
     all_cols = [by, on] + [c for c in lcols if c not in (by, on)] + rvals
@@ -85,9 +256,10 @@ def asof_join(
             raise ValueError(
                 f"asof_join: group {by}={key_val!r} has {len(pdf)} rows "
                 f"(> max_group_rows={max_group_rows}); one pandas frame per "
-                "group would exhaust task memory. Split or salt the hot "
-                "entity upstream (e.g. sub-key by time bucket), or raise "
-                "max_group_rows if executors are sized for it."
+                "group would exhaust task memory. Use the default sharded "
+                "asof_join (shard_width='auto') which has no per-entity "
+                "frame, or raise max_group_rows if executors are sized "
+                "for it."
             )
         l = (
             pdf[pdf["__side"] == 0][lcols]
@@ -97,6 +269,7 @@ def asof_join(
         r = (
             pdf[pdf["__side"] == 1][[on] + rvals]
             .rename(columns={c: f"{c}{suffix}" for c in [on] + rvals})
+            .dropna(subset=[f"{on}{suffix}"])
             .sort_values(f"{on}{suffix}", kind="mergesort")
             .reset_index(drop=True)
         )
@@ -114,4 +287,68 @@ def asof_join(
         l_tagged.unionByName(r_tagged)
         .groupBy(by)
         .applyInPandas(merge, schema=out_schema)
+    )
+
+
+@query(
+    "ext_asof_twotable",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_ts_us,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, epoch_us(ts) AS price_ts_us, max(event_id) AS price_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, epoch_us(ts)
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts_us, p.purchase_value,
+           v.price_ts_us AS price_ts_us, v.price_id AS price_id
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.purchase_ts_us >= v.price_ts_us
+    """,
+)
+def ext_asof_twotable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared two-table as-of (round 7, VERDICT r6 #3): purchases joined
+    to the most recent prior row of a SECOND table (a per-user "price list"
+    derived from view events, payload-bearing and deduped to one row per
+    (user, ts) so the carried row is deterministic), through the generic
+    ``asof_join`` operator — gated by DuckDB's native ``ASOF LEFT JOIN``.
+    Unlike ``ext_asof_attribution`` (one stream, window form), this row
+    exercises the two-input operator: tagged union, within-shard running
+    match, carry-in of whole right rows across shard boundaries.
+
+    Slot provenance: freed by folding ``ext_lang_id`` into
+    ``ext_quality_score`` (COVERAGE.md fold log, policy (b)). Explicit
+    24 h shard width — the declared corpus spans ~30 days, and a fixed
+    width keeps the plan probe-free (``"auto"`` adds one min/max job)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts_us",
+        F.col("value").alias("purchase_value"),
+    )
+    pricelist = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("price_id"))
+    )
+    joined = asof_join(
+        purchases,
+        pricelist,
+        on="ts_us",
+        by="user_id",
+        shard_width=24 * 3600 * 1_000_000,
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "purchase_value",
+        F.col("ts_us_right").alias("price_ts_us"),
+        F.col("price_id_right").alias("price_id"),
     )

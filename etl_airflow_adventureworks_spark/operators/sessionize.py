@@ -423,3 +423,81 @@ def ext_event_funnel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("error_n"), F.lit(0)).alias("n_error"),
         F.col("purchase_v").cast("double").alias("purchase_value"),
     )
+
+
+def max_key_share(df: DataFrame, key: str, fraction: float = 0.01, seed: int = 7) -> float:
+    """Sampled share of the hottest ``key`` value — the skew probe behind
+    the ``*_auto`` dispatchers. One cheap job: a single-column sample
+    (column-pruned scan, no full-data shuffle — only the sample crosses),
+    groupBy, max/sum. Returns 0.0 on an empty sample."""
+    s = df.select(key).sample(fraction=fraction, seed=seed)
+    row = (
+        s.groupBy(key)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .first()
+    )
+    if row is None or not row["n"]:
+        return 0.0
+    return float(row["mx"]) / float(row["n"])
+
+
+def _skew_threshold(df: DataFrame, threshold: float | None) -> float:
+    """Default dispatch threshold: 1/defaultParallelism. Rationale: a
+    user-partitioned window puts the hottest key on ONE indivisible task,
+    so skew starts hurting once that key holds more rows than an even
+    core-share — below it the stage is balanced anyway and the textbook
+    plan's single pass is cheaper (the sharded forms cost ~2x on the
+    uniform sf0.1 bench corpus). On a 1000-executor cluster the threshold
+    is tiny and the dispatch lands on sharded almost always — which is the
+    posture the declared queries hard-code."""
+    if threshold is not None:
+        return threshold
+    return 1.0 / max(df.sparkSession.sparkContext.defaultParallelism, 2)
+
+
+def session_gap_auto(
+    ev: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    shard_hours: int = 24,
+    threshold: float | None = None,
+    sample_fraction: float = 0.01,
+) -> DataFrame:
+    """Skew-dispatched sessionizer for library callers (VERDICT r6 #4): a
+    sampled max-key-share probe picks ``session_gap_user_window`` (one
+    pass, cheaper on uniform data) below ``threshold`` and
+    ``session_gap_sharded`` (divisible hot-key tasks) at or above it.
+    Both forms are result-identical (proven in tests), so the dispatch is
+    a pure cost decision and cannot change answers. The DECLARED
+    ``ext_session_gap`` stays hard-wired to the sharded form: the driver
+    corpus is uniform, but a declared plan must be the one that survives
+    the adversarial case without a probe job in front.
+
+    Decision table (sf0.1, measured r7, warmup + median-of-5 — see
+    SCALING.md): probe 0.32 s; user-window 0.61 s; sharded 0.83 s. So for
+    a ONE-SHOT call at this size the probe does not pay (0.32 + 0.61 >
+    0.83) — use the dispatcher when the corpus is bigger (the hot-corpus
+    saving is 0.2-6 s at 2M-32M events and grows with data, while the
+    probe is one column-pruned sample scan), when skew is unknown and an
+    indivisible-task stall is worse than +0.3 s, or when the probed share
+    is reused across several windowed queries on the same frame."""
+    share = max_key_share(ev, "user_id", sample_fraction)
+    if share >= _skew_threshold(ev, threshold):
+        return session_gap_sharded(ev, gap_min=gap_min, shard_hours=shard_hours)
+    return session_gap_user_window(ev, gap_min=gap_min)
+
+
+def asof_attribution_auto(
+    ev: DataFrame,
+    shard_hours: int = 24,
+    threshold: float | None = None,
+    sample_fraction: float = 0.01,
+) -> DataFrame:
+    """Skew-dispatched as-of attribution (same contract as
+    ``session_gap_auto``): user-window form below the sampled hot-share
+    threshold, time-sharded form at or above it; result-identical either
+    way. The DECLARED ``ext_asof_attribution`` stays the sharded form."""
+    share = max_key_share(ev, "user_id", sample_fraction)
+    if share >= _skew_threshold(ev, threshold):
+        return asof_attribution_sharded(ev, shard_hours=shard_hours)
+    return asof_attribution_user_window(ev)

@@ -114,29 +114,18 @@ def _lang_pred_case(score_col: dict[str, str]) -> str:
     return "CASE " + " ".join(clauses) + " END"
 
 
-@query(
-    "ext_lang_id",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, lang, {_TOK_DUCK} AS t FROM documents),
-    scores AS (
-      SELECT doc_id, lang,
-        {", ".join(
-            f"CAST(len(list_filter(t, x -> list_contains({_sw_array_sql(lang)}, x))) AS BIGINT)"
-            f" AS score_{lang}"
-            for lang in _LANG_ORDER
-        )}
-      FROM toks
-    )
-    SELECT doc_id, lang AS lang_declared,
-           {_lang_pred_case({lang: f"score_{lang}" for lang in _LANG_ORDER})} AS lang_pred,
-           {", ".join(f"score_{lang}" for lang in _LANG_ORDER)}
-    FROM scores
-    """,
-)
 def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (E4): per-language stopword hit counts, argmax
     with a fixed preference order. Native higher-order functions — the whole
-    classifier is one codegen'd projection."""
+    classifier is one codegen'd projection.
+
+    Library twin since round 7: its registry slot was FOLDED into
+    ``ext_quality_score`` per the COVERAGE.md eviction policy (b) — both
+    are per-document projections over the SAME documents scan and the same
+    tokenization, so the combined suite carries both column sets under one
+    oracle (and saves a duplicate tokenize pass). This form stays in the
+    bench headline set and is result-identity-tested against the absorber
+    (tests/test_oracle_parity.py)."""
     score_exprs = [
         f"CAST(size(filter(t, x -> array_contains(array({', '.join(repr(w) for w in STOPWORDS[lang])}), x))) AS BIGINT) AS score_{lang}"
         for lang in _LANG_ORDER
@@ -159,10 +148,19 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_quality_score",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, n_chars, {_TOK_DUCK} AS toks,
+      SELECT doc_id, lang, {_TOK_DUCK} AS toks,
              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
              length(text) AS len_text
       FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang, toks, n_punct, len_text,
+        {", ".join(
+            f"CAST(len(list_filter(toks, x -> list_contains({_sw_array_sql(lang)}, x))) AS BIGINT)"
+            f" AS score_{lang}"
+            for lang in _LANG_ORDER
+        )}
+      FROM t
     )
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -175,23 +173,39 @@ def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             + CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_sw_array_sql("en")}, x)))
                          AS DOUBLE) / len(toks) BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
             + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.3
-                   THEN 0.25 ELSE 0.0 END) AS quality
-    FROM t
+                   THEN 0.25 ELSE 0.0 END) AS quality,
+           lang AS lang_declared,
+           {_lang_pred_case({lang: f"score_{lang}" for lang in _LANG_ORDER})} AS lang_pred,
+           {", ".join(f"score_{lang}" for lang in _LANG_ORDER)}
+    FROM scores
     """,
 )
 def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring (E4): length / punctuation / stopword-ratio /
     lexical-diversity heuristics combined into a [0,1] score — the classic
-    pretraining-data filter shape (C4/Gopher-style rules) as one projection."""
+    pretraining-data filter shape (C4/Gopher-style rules) as one projection.
+
+    Since round 7 this suite also carries the ``ext_lang_id`` columns
+    (COVERAGE.md fold, policy (b)): both were per-document projections over
+    the same documents scan and the SAME tokenization, so the combined form
+    tokenizes once and one oracle gates both semantics. The standalone
+    ``ext_lang_id`` stays as the library twin (benched; equality-tested)."""
     en = f"array({', '.join(repr(w) for w in STOPWORDS['en'])})"
+    score_exprs = [
+        f"CAST(size(filter(toks, x -> array_contains(array({', '.join(repr(w) for w in STOPWORDS[lang])}), x))) AS BIGINT) AS score_{lang}"
+        for lang in _LANG_ORDER
+    ]
+    pred = _lang_pred_case({lang: f"score_{lang}" for lang in _LANG_ORDER})
     return (
         load_table(spark, sf_dir, "documents")
         .selectExpr(
             "doc_id",
+            "lang",
             f"{_TOK_SPARK} AS toks",
             "length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS n_punct",
             "length(text) AS len_text",
         )
+        .selectExpr("doc_id", "lang", "toks", "n_punct", "len_text", *score_exprs)
         .selectExpr(
             "doc_id",
             "CAST(size(toks) AS BIGINT) AS n_tokens",
@@ -205,6 +219,9 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / size(toks) BETWEEN 0.05 AND 0.6 THEN 0.25D ELSE 0.0D END
              + CASE WHEN CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) > 0.3
                     THEN 0.25D ELSE 0.0D END) AS quality""",
+            "lang AS lang_declared",
+            f"{pred} AS lang_pred",
+            *[f"score_{lang}" for lang in _LANG_ORDER],
         )
     )
 

@@ -1,17 +1,23 @@
-"""Two-table as-of join verified against the window-form attribution query."""
+"""Two-table as-of join: sharded default vs grouped merge_asof twin vs the
+window-form attribution query, including hot-entity and shard-boundary
+corpora."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_ORACLE
 
 import __spark_entry__ as entrymod
-from etl_airflow_adventureworks_spark.operators.asof import asof_join
+from etl_airflow_adventureworks_spark.operators.asof import (
+    asof_join,
+    asof_join_grouped,
+)
 from etl_airflow_adventureworks_spark.sources import load_table
 
 
-def test_asof_join_matches_window_form(spark):
+def _purchases_views(spark):
     ev = load_table(spark, SF_ORACLE, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
@@ -19,6 +25,12 @@ def test_asof_join_matches_window_form(spark):
         "user_id", F.col("event_id").alias("purchase_id"), "ts_us"
     )
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us")
+    return purchases, views
+
+
+def test_asof_join_matches_window_form(spark):
+    # the sharded DEFAULT must agree with the oracle-gated window form
+    purchases, views = _purchases_views(spark)
     joined = asof_join(purchases, views, on="ts_us", by="user_id")
     got = {
         r["purchase_id"]: r["ts_us_right"] for r in joined.collect()
@@ -30,6 +42,20 @@ def test_asof_join_matches_window_form(spark):
     assert got == want
 
 
+def test_asof_join_sharded_equals_grouped_on_real_data(spark):
+    purchases, views = _purchases_views(spark)
+    a = sorted(
+        map(tuple, asof_join(purchases, views, on="ts_us", by="user_id").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            asof_join_grouped(purchases, views, on="ts_us", by="user_id").collect(),
+        )
+    )
+    assert a == b
+
+
 def test_asof_join_no_right_rows(spark):
     left = spark.createDataFrame([(1, 10), (1, 20)], "k int, t int")
     right = spark.createDataFrame([], "k int, t int, v string")
@@ -38,14 +64,139 @@ def test_asof_join_no_right_rows(spark):
     assert all(r["v_right"] is None for r in out)
 
 
-def test_asof_join_skew_guard_fails_loud(spark):
-    """A group over max_group_rows must raise the documented remedy error
+def test_asof_join_boundary_cases_every_width(spark):
+    """Adversarial shard boundaries: right rows exactly AT shard edges,
+    equal left/right timestamps (backward as-of is inclusive), carries
+    across multiple right-less shards, and lefts before any right (NULL).
+    The sharded result must be width-invariant and equal the grouped
+    twin for every width."""
+    rows_l = [(1, t) for t in [0, 5, 10, 15, 29, 30, 31, 90, 100]] + [
+        (2, 50),
+        (3, 7),
+    ]
+    # entity 1: rights at 0, 10 (== a width-10 edge), 30; entity 2: right
+    # far earlier (carry across empty shards); entity 3: no rights at all
+    rows_r = [(1, 0, "a"), (1, 10, "b"), (1, 30, "c"), (2, 3, "z")]
+    left = spark.createDataFrame(rows_l, "k int, t long")
+    right = spark.createDataFrame(rows_r, "k int, t long, v string")
+    want = sorted(
+        map(tuple, asof_join_grouped(left, right, on="t", by="k").collect())
+    )
+    assert [r for r in want if r[0] == 3] == [(3, 7, None, None)]
+    for width in (1, 7, 10, 1000):
+        got = sorted(
+            map(
+                tuple,
+                asof_join(left, right, on="t", by="k", shard_width=width).collect(),
+            )
+        )
+        assert got == want, f"width={width}"
+    # auto width agrees too
+    got_auto = sorted(map(tuple, asof_join(left, right, on="t", by="k").collect()))
+    assert got_auto == want
+    # spot-check the inclusive-equality semantics: left t=10 matches right
+    # t=10, left t=30 matches right t=30, left t=29 matches right t=10
+    m = {(r[0], r[1]): r[2] for r in want}
+    assert m[(1, 10)] == 10 and m[(1, 30)] == 30 and m[(1, 29)] == 10
+
+
+def test_asof_join_hot_entity_sharded_equals_grouped(spark):
+    """The r6 fail-loud scenario, now HANDLED: one entity holds most of
+    both streams. The sharded default must process it (no per-entity
+    pandas frame to guard) and agree with the grouped twin row-for-row."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 6_000
+    user = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 40, n))
+    ts = np.sort(rng.integers(0, 10**9, n))
+    side = rng.random(n) < 0.6  # 60% rights ("price rows")
+    rows = [
+        (int(u), int(t), bool(s), i)
+        for i, (u, t, s) in enumerate(zip(user.tolist(), ts.tolist(), side.tolist()))
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, is_r boolean, rid long")
+    left = df.filter(~F.col("is_r")).select("k", "t", F.col("rid").alias("lid"))
+    # unique (k, t) on the right so the carried row is deterministic
+    right = (
+        df.filter(F.col("is_r"))
+        .groupBy("k", "t")
+        .agg(F.max("rid").alias("price"))
+    )
+    got = sorted(
+        map(
+            tuple,
+            asof_join(left, right, on="t", by="k", shard_width=10**7).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, asof_join_grouped(left, right, on="t", by="k").collect())
+    )
+    assert got == want
+    # the hot entity actually carries values across shards (not all local)
+    hot_matched = [r for r in got if r[0] == 0 and r[3] is not None]
+    assert len(hot_matched) > 100
+
+
+def test_asof_join_string_on_rejected_up_front(spark):
+    """Non-orderable-as-number `on` types fail loud at plan time — pandas
+    merge_asof rejects them too, so a silent fallback would just move the
+    error to a worker traceback."""
+    left = spark.createDataFrame([(1, "b"), (1, "d")], "k int, t string")
+    right = spark.createDataFrame([(1, "a", 10), (1, "c", 20)], "k int, t string, v int")
+    with pytest.raises(ValueError, match="numeric, date, or timestamp"):
+        asof_join(left, right, on="t", by="k")
+
+
+def test_asof_join_timestamp_on_sharded(spark):
+    """Timestamp `on` shards through unix_micros; result matches grouped."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=h)) for h in (1, 30, 80)], "k int, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=h), h) for h in (0, 25, 79)],
+        "k int, t timestamp, v int",
+    )
+    for sw in ("auto", 3_600_000_000):
+        got = sorted(
+            map(
+                tuple,
+                asof_join(left, right, on="t", by="k", shard_width=sw).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, asof_join_grouped(left, right, on="t", by="k").collect())
+        )
+        assert got == want
+    vs = {r["t"]: r["v_right"] for r in asof_join(left, right, on="t", by="k").collect()}
+    assert list(vs.values()) == [0, 25, 79]
+
+
+def test_asof_join_grouped_skew_guard_fails_loud(spark):
+    """The grouped FALLBACK keeps its guard: a group over max_group_rows
+    raises the documented remedy (which now points at the sharded default)
     instead of quietly building an oversized pandas frame."""
-    import pytest
     from pyspark.errors import PythonException
 
     left = spark.range(50).selectExpr("1 AS ent", "id AS t", "id AS lv")
     right = spark.range(10).selectExpr("1 AS ent", "id * 5 AS t", "id AS rv")
-    out = asof_join(left, right, on="t", by="ent", max_group_rows=20)
+    out = asof_join(left, right, on="t", by="ent", shard_width=None, max_group_rows=20)
     with pytest.raises(PythonException, match="max_group_rows"):
         out.collect()
+    # the sharded DEFAULT handles the same shape with no guard in the plan
+    res = asof_join(left, right, on="t", by="ent", shard_width=5).collect()
+    assert len(res) == 50
+
+
+def test_asof_join_collision_validation(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "k int, t int, payload string")
+    right = spark.createDataFrame([(1, 5, "y")], "k int, t int, payload string")
+    with pytest.raises(ValueError, match="both sides"):
+        asof_join(left, right, on="t", by="k")
+    left2 = spark.createDataFrame([(1, 10, "x")], "k int, t int, t_right string")
+    right2 = spark.createDataFrame([(1, 5)], "k int, t int")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right2, on="t", by="k")

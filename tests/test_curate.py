@@ -34,17 +34,38 @@ def test_quality_stage_matches_declared_query(spark, docs):
 
 
 def test_lang_stage_matches_declared_query(spark, docs):
+    # lang_pred is carried by ext_quality_score since the r7 fold
     got = {
         r["doc_id"]: r["lang_pred"]
         for r in C.with_lang_pred(docs).select("doc_id", "lang_pred").collect()
     }
     want = {
         r["doc_id"]: r["lang_pred"]
-        for r in entrymod.queries()["ext_lang_id"](spark, SF_SMOKE)
+        for r in entrymod.queries()["ext_quality_score"](spark, SF_SMOKE)
         .select("doc_id", "lang_pred")
         .collect()
     }
     assert got == want
+
+
+def test_lang_id_library_twin_matches_absorber(spark):
+    """COVERAGE.md fold contract: the evicted ext_lang_id library form must
+    stay result-identical to the columns its absorber carries."""
+    from etl_airflow_adventureworks_spark.operators.textops import ext_lang_id
+
+    cols = ["doc_id", "lang_declared", "lang_pred"] + [
+        c for c in ext_lang_id(spark, SF_SMOKE).columns if c.startswith("score_")
+    ]
+    twin = sorted(map(tuple, ext_lang_id(spark, SF_SMOKE).select(*cols).collect()))
+    absorbed = sorted(
+        map(
+            tuple,
+            entrymod.queries()["ext_quality_score"](spark, SF_SMOKE)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert twin == absorbed
 
 
 def test_exact_dedup_stage_matches_declared_query(spark, docs):

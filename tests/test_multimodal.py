@@ -358,3 +358,37 @@ def test_soundfile_flac_features_end_to_end(spark):
     row = extract_features(df).collect()[0]
     assert row["sample_rate"] == 16000
     assert row["decoded_len"] == samples.tobytes().__len__()
+
+
+def test_soundfile_mp3_features_end_to_end(spark):
+    """Skip-if-absent e2e for MP3 (VERDICT r6 #5): identical shape to the
+    FLAC test so the audio/mpeg gate is exercised the day the runtime
+    libsndfile gains MPEG support. Skips when soundfile is missing OR its
+    libsndfile build lacks the MPEG format; when present, a REAL MP3 byte
+    stream must decode through the auto-registered codec (lossy — assert
+    rate and a sane PCM length, not bit-equality; MP3 frames pad the tail,
+    so decoded length is >= the input sample count)."""
+    import pytest as _pytest
+
+    sf_mod = _pytest.importorskip("soundfile")
+    if "MPEG" not in sf_mod.available_formats():
+        _pytest.skip("runtime libsndfile lacks MPEG support")
+    import io
+
+    import numpy as np
+
+    from etl_airflow_adventureworks_spark.operators import multimodal as M
+
+    M.autoregister_codecs()
+    assert "audio/mpeg" in M.AUDIO_CODECS  # the gate this test covers
+    rng = np.random.default_rng(6)
+    samples = (rng.integers(-3000, 3000, 8000)).astype("int16")
+    buf = io.BytesIO()
+    sf_mod.write(buf, samples, 16000, format="MP3")
+    df = spark.createDataFrame(
+        [(1, "audio/mpeg", bytearray(buf.getvalue()))],
+        "doc_id long, media_type string, payload binary",
+    )
+    row = M.extract_features(df).collect()[0]
+    assert row["sample_rate"] == 16000
+    assert row["decoded_len"] >= samples.tobytes().__len__()

@@ -291,3 +291,46 @@ def test_salted_join_on_hot_key_events(spark, tmp_path):
     )
     hot_rows = int(hot.sum())
     assert groups < hot_rows * 0.12  # ≈1/16 + slack, vs 1.0 unsalted
+
+
+def test_skew_dispatch_routes_by_sampled_hot_share(spark, hot_events_dir):
+    """r7 dispatcher (VERDICT r6 #4): on the 30%-hot corpus the sampled
+    probe must route to the sharded forms; on a uniform corpus it must
+    pick the user-window twins (cheaper there). Either way results are
+    identical to the declared queries, so dispatch is pure cost."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.operators.sessionize import (
+        asof_attribution_auto,
+        max_key_share,
+        session_gap_auto,
+    )
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    ev_hot = load_table(spark, hot_events_dir, "events")
+    share_hot = max_key_share(ev_hot, "user_id", fraction=0.05)
+    assert share_hot > 0.2  # the probe sees the hot user
+
+    # hot corpus → sharded plan (windows partitioned on (user, shard))
+    plan = session_gap_auto(ev_hot)._jdf.queryExecution().optimizedPlan().toString()
+    assert "shard" in plan
+    plan = asof_attribution_auto(ev_hot)._jdf.queryExecution().optimizedPlan().toString()
+    assert "shard" in plan
+
+    # uniform corpus → user-window plan (no shard column anywhere)
+    ev_uni = ev_hot.withColumn(
+        "user_id", F.xxhash64("event_id") % 10_000
+    )
+    assert max_key_share(ev_uni, "user_id", fraction=0.05) < 0.01
+    plan = session_gap_auto(ev_uni)._jdf.queryExecution().optimizedPlan().toString()
+    assert "shard" not in plan
+    plan = asof_attribution_auto(ev_uni)._jdf.queryExecution().optimizedPlan().toString()
+    assert "shard" not in plan
+
+    # and the dispatched result equals the declared sharded query (hot path)
+    got = sorted(map(tuple, session_gap_auto(ev_hot).collect()))
+    want = sorted(
+        map(tuple, entrymod.queries()["ext_session_gap"](spark, hot_events_dir).collect())
+    )
+    assert got == want

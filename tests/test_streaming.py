@@ -155,14 +155,153 @@ def test_foreachbatch_upsert_sink(spark, events_stream, tmp_path):
     assert got == want
 
 
-def test_append_mode_with_watermark_smoke(spark, events_stream):
-    # append mode only emits windows the watermark has passed; over a static
-    # source the final windows stay open — smoke-check it runs and emits a
-    # subset of the complete-mode result.
-    se.run_to_memory(se.windowed_counts(events_stream), "win_append", "append")
-    appended = spark.sql("SELECT * FROM win_append").collect()
-    complete = spark.sql("SELECT * FROM win_out").collect()
-    assert len(appended) <= len(complete)
+def _write_daily_corpus(
+    spark, out_dir: str, n_days: int = 8, per_day: int = 6_000, n_users: int = 120,
+    seed: int = 31,
+):
+    """Multi-day events corpus written one file per day, oldest first, so
+    FileStreamSource replays it as an in-order multi-batch stream with a
+    genuinely advancing watermark. Shared by the bounded-state plateau test
+    and the append-mode result oracle."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+    for d in range(n_days):
+        offs = np.sort(rng.integers(0, 86400 * 1_000_000, per_day))
+        users = rng.integers(0, n_users, per_day)
+        for o, u in zip(offs.tolist(), users.tolist()):
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(days=d, microseconds=o),
+                    int(u),
+                    "view",
+                    0.5,
+                    "{}",
+                )
+            )
+            eid += 1
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    for d in range(n_days):
+        day0 = t0 + dt.timedelta(days=d)
+        day1 = day0 + dt.timedelta(days=1)
+        df.filter((F.col("ts") >= day0) & (F.col("ts") < day1)).coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+    return n_days
+
+
+def _drive_append_to_memory(df, name):
+    """Run a streaming plan in APPEND mode to a memory sink over a static
+    multi-file source; returns the final event-time watermark as epoch
+    micros (from the engine's own progress — the number the emit/evict
+    decisions actually used)."""
+    import datetime as dt
+
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        wm = q.lastProgress["eventTime"]["watermark"]
+    finally:
+        q.stop()
+    parsed = dt.datetime.strptime(wm, "%Y-%m-%dT%H:%M:%S.%fZ")
+    return int(parsed.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def test_append_mode_windows_equal_batch_restricted_to_closed(spark, tmp_path):
+    """VERDICT r6 #1 (replaces the vacuous `len(append) <= len(complete)`
+    smoke): drive the multi-day corpus through the append+watermark
+    tumbling-window query and assert the emitted rows are EXACTLY the batch
+    result restricted to windows the final watermark closed — dropping a
+    closed window, duplicating one, or leaking an open one all fail."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out = str(tmp_path / "daily_win")
+    _write_daily_corpus(spark, out)
+    raw = (
+        spark.readStream.schema(se.events_schema(T.TimestampType()))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    wm_us = _drive_append_to_memory(se.windowed_counts(raw), "win_append_strict")
+    got = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_append_strict").collect()
+    }
+    batch = (
+        spark.read.parquet(out)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").cast("long").alias("window_start_s"),
+            F.unix_timestamp("window.end").cast("long").alias("window_end_s"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    )
+    closed = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in batch
+        if r["window_end_s"] * 1_000_000 <= wm_us
+    }
+    open_ = {k for k in (
+        (r["window_start_s"], r["event_type"]) for r in batch
+    ) if k not in closed}
+    # the scenario must exercise both regimes or the equality is weak
+    assert closed and open_, (len(closed), len(open_))
+    assert got == closed
+
+
+def test_append_mode_sessions_equal_batch_restricted_to_closed(spark, tmp_path):
+    """Same strict oracle for the SESSION path: append-mode emitted sessions
+    == the batch gap-sessionizer restricted to sessions whose window end
+    (last event + gap) the final watermark passed — this pins the content
+    of what session-state eviction emits, not just that state is bounded."""
+    from pyspark.sql import types as T
+
+    from etl_airflow_adventureworks_spark.operators.sessionize import (
+        SESSION_GAP_MIN,
+        session_gap_sharded,
+    )
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    out = str(tmp_path / "daily_sess")
+    _write_daily_corpus(spark, out)
+    raw = (
+        spark.readStream.schema(se.events_schema(T.TimestampType()))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    wm_us = _drive_append_to_memory(se.session_windows(raw), "sess_append_strict")
+    got = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_append_strict").collect()
+    }
+    batch = session_gap_sharded(spark.read.parquet(out)).collect()
+    closed = {
+        (r["user_id"], r["session_start_us"]): r["n_events"]
+        for r in batch
+        if r["session_end_us"] + gap_us <= wm_us
+    }
+    open_keys = {
+        (r["user_id"], r["session_start_us"])
+        for r in batch
+        if r["session_end_us"] + gap_us > wm_us
+    }
+    assert closed and open_keys, (len(closed), len(open_keys))
+    assert got == closed
 
 
 def _split_events_at(spark, src_sf, out_dir, cuts_us):
@@ -296,44 +435,8 @@ def test_append_mode_session_state_plateaus_complete_grows(spark, tmp_path):
     every session ever seen (monotone growth to the full session count).
     This is the production-shape counterpart of the complete-mode harness
     the sf10 scaling number uses."""
-    import datetime as dt
-
-    import numpy as np
-    from pyspark.sql import functions as F
-
-    rng = np.random.default_rng(31)
-    n_days, per_day, n_users = 8, 6_000, 120
-    t0 = dt.datetime(2025, 3, 1)
-    rows = []
-    eid = 0
-    for d in range(n_days):
-        offs = np.sort(rng.integers(0, 86400 * 1_000_000, per_day))
-        users = rng.integers(0, n_users, per_day)
-        for o, u in zip(offs.tolist(), users.tolist()):
-            rows.append(
-                (
-                    eid,
-                    t0 + dt.timedelta(days=d, microseconds=o),
-                    int(u),
-                    "view",
-                    0.5,
-                    "{}",
-                )
-            )
-            eid += 1
-    schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    )
     out = str(tmp_path / "daily")
-    df = spark.createDataFrame(rows, schema)
-    # one file per day, oldest first (FileStreamSource replays in order)
-    for d in range(n_days):
-        day0 = t0 + dt.timedelta(days=d)
-        day1 = day0 + dt.timedelta(days=1)
-        df.filter((F.col("ts") >= day0) & (F.col("ts") < day1)).coalesce(1).write.mode(
-            "append"
-        ).parquet(out)
+    n_days = _write_daily_corpus(spark, out)
 
     append_hist = se.session_state_per_batch(spark, out, "append")
     complete_hist = se.session_state_per_batch(spark, out, "complete")
