@@ -1,0 +1,294 @@
+"""Range (interval) join — points matched to the intervals containing them.
+
+An operator Spark lacks natively (the charter names it beside the as-of
+join). Expressed naively, ``points JOIN intervals ON p BETWEEN s AND e``
+is a non-equi join: with a ``by`` key Spark runs it as an equi-join whose
+range residual re-scans every same-key pair (quadratic in the hot key);
+without one it plans BroadcastNestedLoopJoin — O(|P|·|I|) and undriveable
+at 100 TB. The default plan here is the standard shard-bucketing rewrite
+(the same family as Databricks' range-join binning and Flink's interval
+join, built from public DataFrame primitives):
+
+1. pick a shard width ``w`` on the point axis (``"auto"`` probes one
+   AVG(interval length) aggregate — width ≈ mean length keeps the
+   expected exploded copies per interval at ~2);
+2. each interval explodes to the shards it covers
+   (``sequence(g(start), g(end-1))`` for half-open bounds, with
+   ``g = basis div w`` — ``div`` is monotone for any sign, and a step
+   function with unit steps, so that sequence is EXACTLY the set of
+   shards containing points of the interval: every true (point,
+   interval) pair meets in the point's single shard, no pair meets
+   twice, hence no post-join dedup);
+3. points bucket to their one shard; ONE shuffle co-locates both sides
+   on (by…, shard); the exact range predicate runs as the join residual
+   inside each co-partition.
+
+Shuffle volume is |points| + Σ(len/w + 1) interval copies; the residual
+scans only same-shard candidates instead of same-key pairs. A pathological
+interval spanning more than ``max_shards_per_interval`` shards fails loud
+with the remedy (raise the width) rather than silently materializing a
+million-row explode.
+
+``range_join_naive`` is the readable non-equi twin the sharded default is
+equality-tested against (`tests/test_rangejoin.py`), and the right plan
+when one side is small enough to broadcast anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources import load_table
+
+#: axis types the shard bucketing can map to integers (same set as
+#: operators.asof — an interval join needs a real numeric axis)
+_SHARDABLE = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def _basis_expr(col: str, dtype: T.DataType):
+    """Integer basis for an axis column: micros for timestamps, days for
+    dates, the value itself for integers (same convention as asof_join)."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    if isinstance(dtype, T.DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("long")
+    return F.col(col).cast("long")
+
+
+def _axis_type(df: DataFrame, col: str, side: str) -> T.DataType:
+    dtype = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[col]
+    if not isinstance(dtype, _SHARDABLE):
+        raise ValueError(
+            f"range_join: {side} axis column {col!r} has type "
+            f"{dtype.simpleString()}; a range join needs a numeric, date, "
+            "or timestamp axis (cast or derive a numeric order key first)"
+        )
+    return dtype
+
+
+def _validate_cols(points: DataFrame, intervals: DataFrame, by: list[str], suffix: str):
+    """Collision check mirroring asof_join._validate: every interval
+    column except the ``by`` keys surfaces with ``suffix``; a point column
+    already bearing a suffixed name would silently shadow it."""
+    pcols = list(points.columns)
+    ivals = [c for c in intervals.columns if c not in by]
+    clash = {f"{c}{suffix}" for c in ivals} & set(pcols)
+    if clash:
+        raise ValueError(
+            f"range_join: point column(s) {sorted(clash)} collide with the "
+            f"suffixed interval output; pick a different suffix"
+        )
+    return pcols, ivals
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_on: str,
+    start: str,
+    end: str,
+    by: str | list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_iv",
+    bounds: str = "[)",
+    shard_width: int | str | None = "auto",
+    max_shards_per_interval: int = 4096,
+) -> DataFrame:
+    """Join each point row to every interval row containing it.
+
+    ``point_on``: axis column on ``points``; ``start``/``end``: axis
+    columns on ``intervals`` (all three numeric, date, or timestamp —
+    mixed kinds are fine as long as their integer bases are comparable,
+    e.g. timestamp points against timestamp intervals). ``by``: optional
+    equality key(s) present on both sides (standard join semantics: a
+    NULL key never matches). ``bounds``: ``"[)"`` (default) or ``"[]"``.
+    ``how``: ``"inner"`` or ``"left"`` (left keeps pointless… pointless
+    points — points with no covering interval — null-extended).
+
+    Interval columns surface with ``suffix`` (keys excluded). Intervals
+    that are empty under ``bounds`` (end ≤ start for ``[)``, end < start
+    for ``[]``) or have a NULL endpoint match nothing; points with a NULL
+    axis match nothing (and survive null-extended under ``"left"``).
+
+    ``shard_width``: ``"auto"`` (one AVG-length probe), an explicit int in
+    basis units (micros/days/value — probe-free, the declared-query
+    choice), or ``None`` for the naive non-equi plan."""
+    by_keys = [by] if isinstance(by, str) else list(by or [])
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how={how!r}; use 'inner' or 'left'")
+    if bounds not in ("[)", "[]"):
+        raise ValueError(f"range_join: bounds={bounds!r}; use '[)' or '[]'")
+    if shard_width is None:
+        return range_join_naive(
+            points, intervals, point_on, start, end,
+            by=by_keys, how=how, suffix=suffix, bounds=bounds,
+        )
+    p_type = _axis_type(points, point_on, "point")
+    s_type = _axis_type(intervals, start, "interval start")
+    e_type = _axis_type(intervals, end, "interval end")
+    pcols, ivals = _validate_cols(points, intervals, by_keys, suffix)
+
+    s_basis = _basis_expr(start, s_type)
+    e_basis = _basis_expr(end, e_type)
+    if shard_width == "auto":
+        row = intervals.agg(F.avg(e_basis - s_basis).alias("w")).first()
+        width = max(int(row["w"]), 1) if row["w"] is not None else 1
+    else:
+        width = max(int(shard_width), 1)
+
+    # last covered shard: g(end-1) for [), g(end) for [] — intervals whose
+    # span is empty under `bounds` get hi < lo → sequence invalid, so they
+    # are dropped up front (they can match nothing)
+    iv = intervals.withColumn("__lo_b", s_basis).withColumn(
+        "__hi_b", e_basis - (1 if bounds == "[)" else 0)
+    )
+    iv = iv.filter(F.col("__lo_b").isNotNull() & (F.col("__hi_b") >= F.col("__lo_b")))
+    # fail-loud explosion guard BEFORE the sequence materializes: a caller
+    # passing width=1micro over year-long intervals would otherwise build
+    # ~3e13-element arrays per row; raise_error evaluates inside the
+    # sequence bound so it cannot be optimized past
+    n_shards = F.expr(f"(__hi_b div {width}) - (__lo_b div {width}) + 1")
+    guarded_hi = F.when(
+        n_shards <= max_shards_per_interval, F.expr(f"__hi_b div {width}")
+    ).otherwise(
+        F.expr(
+            "CAST(raise_error(concat('range_join: an interval spans ', "
+            f"CAST((__hi_b div {width}) - (__lo_b div {width}) + 1 AS STRING), "
+            f"' shards (> max_shards_per_interval={max_shards_per_interval}); "
+            "raise shard_width (basis units) or max_shards_per_interval')) "
+            "AS BIGINT)"
+        )
+    )
+    iv_sharded = iv.select(
+        *by_keys,
+        F.col("__lo_b"),
+        F.col("__hi_b"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in ivals],
+        F.explode(F.sequence(F.expr(f"__lo_b div {width}"), guarded_hi)).alias(
+            "__shard"
+        ),
+    )
+
+    p_basis = _basis_expr(point_on, p_type)
+    pt = points.withColumn("__p_b", p_basis).withColumn(
+        "__shard", F.expr(f"__p_b div {width}")
+    )
+    # the [] / [) distinction is already folded into __hi_b; the residual
+    # is basis-inclusive on both ends of the adjusted span
+    in_range = (F.col("__p_b") >= F.col("__lo_b")) & (F.col("__p_b") <= F.col("__hi_b"))
+    cond = in_range
+    for k in by_keys:
+        cond = (pt[k] == iv_sharded[k]) & cond
+    cond = (pt["__shard"] == iv_sharded["__shard"]) & cond
+    joined = pt.join(iv_sharded, cond, how)
+    return joined.select(
+        *[pt[c] for c in pcols],
+        *[iv_sharded[f"{c}{suffix}"] for c in ivals],
+    )
+
+
+def range_join_naive(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_on: str,
+    start: str,
+    end: str,
+    by: str | list[str] | None = None,
+    how: str = "inner",
+    suffix: str = "_iv",
+    bounds: str = "[)",
+) -> DataFrame:
+    """The direct non-equi plan (readable twin / broadcast-scale path):
+    equality on ``by`` plus the range predicate, planned by Spark as an
+    equi-join with a range residual (or BroadcastNestedLoopJoin with no
+    ``by``). Correct at any size, quadratic on hot keys — the sharded
+    default exists because of exactly that."""
+    by_keys = [by] if isinstance(by, str) else list(by or [])
+    p_type = _axis_type(points, point_on, "point")
+    s_type = _axis_type(intervals, start, "interval start")
+    e_type = _axis_type(intervals, end, "interval end")
+    pcols, ivals = _validate_cols(points, intervals, by_keys, suffix)
+    iv = intervals.select(
+        *by_keys, *[F.col(c).alias(f"{c}{suffix}") for c in ivals]
+    ).withColumn("__s_b", _basis_expr(f"{start}{suffix}", s_type)).withColumn(
+        "__e_b", _basis_expr(f"{end}{suffix}", e_type)
+    )
+    pt = points.withColumn("__p_b", _basis_expr(point_on, p_type))
+    upper = (
+        F.col("__p_b") < F.col("__e_b")
+        if bounds == "[)"
+        else F.col("__p_b") <= F.col("__e_b")
+    )
+    cond = (F.col("__p_b") >= F.col("__s_b")) & upper
+    for k in by_keys:
+        cond = (pt[k] == iv[k]) & cond
+    joined = pt.join(iv, cond, how)
+    return joined.select(
+        *[pt[c] for c in pcols],
+        *[iv[f"{c}{suffix}"] for c in ivals],
+    )
+
+
+@query(
+    "ext_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           e.event_id AS error_id, epoch_us(e.ts) AS win_start_us
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND epoch_us(p.ts) >= epoch_us(e.ts)
+     AND epoch_us(p.ts) < epoch_us(e.ts) + CAST(21600 AS BIGINT) * 1000000
+    """,
+)
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared range join (round 7): purchases matched to the 6-hour
+    "error windows" the same user opened — one row per (purchase, window)
+    containment pair, through the generic sharded ``range_join`` — gated
+    by DuckDB's plain inequality join. Explicit 6 h shard width (= the
+    interval length, so each interval explodes to exactly 2 shards and
+    the plan is probe-free); plan-pinned python-free with no nested-loop
+    or cartesian node in `tests/test_plan_shapes.py`."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_ts_us"),
+    )
+    win_us = 21600 * 1_000_000
+    windows = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts_us").alias("win_start_us"),
+        (F.col("ts_us") + F.lit(win_us)).alias("win_end_us"),
+    )
+    joined = range_join(
+        purchases,
+        windows,
+        point_on="purchase_ts_us",
+        start="win_start_us",
+        end="win_end_us",
+        by="user_id",
+        shard_width=win_us,
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts_us",
+        F.col("error_id_iv").alias("error_id"),
+        F.col("win_start_us_iv").alias("win_start_us"),
+    )

@@ -312,25 +312,60 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'hist' AS stat,
            CAST(CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT) AS VARCHAR) AS k,
            CAST(COUNT(*) AS DOUBLE) AS v1,
-           CAST(NULL AS DOUBLE) AS v2
+           CAST(NULL AS DOUBLE) AS v2,
+           CAST(NULL AS DOUBLE) AS v3,
+           CAST(NULL AS DOUBLE) AS v4,
+           CAST(NULL AS DOUBLE) AS v5
     FROM orders
     GROUP BY 2
     UNION ALL
     SELECT 'pct', o_orderpriority,
            round(quantile_cont(o_totalprice, 0.5), 4),
-           round(quantile_cont(o_totalprice, 0.9), 4)
+           round(quantile_cont(o_totalprice, 0.9), 4),
+           NULL, NULL, NULL
     FROM orders
     GROUP BY 2
+    UNION ALL
+    SELECT 'profile', col, CAST(n_rows AS DOUBLE), CAST(n_null AS DOUBLE),
+           CAST(n_distinct AS DOUBLE), min_val, max_val
+    FROM (
+      SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_custkey) AS n_null,
+             COUNT(DISTINCT o_custkey) AS n_distinct,
+             CAST(min(o_custkey) AS DOUBLE) AS min_val,
+             CAST(max(o_custkey) AS DOUBLE) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice),
+             CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+             COUNT(DISTINCT o_orderkey),
+             CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE)
+      FROM orders
+    )
     """,
 )
 def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution profiling in one declared query: an equi-width histogram
-    (12 × 50k top-clamped buckets — floor division, identical IEEE ops both
-    engines) unioned with exact interpolated per-group percentiles (both
-    engines sort + linearly interpolate; pinned at 4 decimals). The 100 TB
-    path for the percentile half is percentile_approx (one-pass sketch);
-    this exact form is the audit twin."""
+    """Distribution + profile suite in one declared query over ONE scan
+    source: an equi-width histogram (12 × 50k top-clamped buckets — floor
+    division, identical IEEE ops both engines) unioned with exact
+    interpolated per-group percentiles (both engines sort + linearly
+    interpolate; pinned at 4 decimals) and — since the round-7 fold
+    (COVERAGE.md policy (b)) — the per-column row/null/distinct/min/max
+    profile rows that used to be the standalone ``ext_table_profile``
+    (which stays in the library, equality-tested against this absorber's
+    'profile' rows in `tests/test_relational_suites.py`). The 100 TB path
+    for the percentile half is percentile_approx (one-pass sketch); this
+    exact form is the audit twin."""
     orders = load_table(spark, sf_dir, "orders")
+    nulls3 = [
+        F.lit(None).cast("double").alias("v3"),
+        F.lit(None).cast("double").alias("v4"),
+        F.lit(None).cast("double").alias("v5"),
+    ]
     hist = (
         orders.groupBy(
             F.expr("CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT)").alias("bucket")
@@ -341,6 +376,7 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket").cast("string").alias("k"),
             F.col("n").cast("double").alias("v1"),
             F.lit(None).cast("double").alias("v2"),
+            *nulls3,
         )
     )
     pct = (
@@ -354,37 +390,32 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("k"),
             F.col("p50").alias("v1"),
             F.col("p90").alias("v2"),
+            *nulls3,
         )
     )
-    return hist.unionByName(pct)
+    profile = ext_table_profile(spark, sf_dir).select(
+        F.lit("profile").alias("stat"),
+        F.col("col").alias("k"),
+        F.col("n_rows").cast("double").alias("v1"),
+        F.col("n_null").cast("double").alias("v2"),
+        F.col("n_distinct").cast("double").alias("v3"),
+        F.col("min_val").alias("v4"),
+        F.col("max_val").alias("v5"),
+    )
+    return hist.unionByName(pct).unionByName(profile)
 
 
-@query(
-    "ext_table_profile",
-    oracle="""
-    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
-           COUNT(*) - COUNT(o_custkey) AS n_null,
-           COUNT(DISTINCT o_custkey) AS n_distinct,
-           CAST(min(o_custkey) AS DOUBLE) AS min_val,
-           CAST(max(o_custkey) AS DOUBLE) AS max_val
-    FROM orders
-    UNION ALL
-    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
-           COUNT(DISTINCT o_totalprice),
-           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
-           COUNT(DISTINCT o_orderkey),
-           CAST(min(o_orderkey) AS DOUBLE), CAST(max(o_orderkey) AS DOUBLE)
-    FROM orders
-    """,
-)
 def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile (ETL audit surface the reference does by eye,
     README.md:62 'validadas via SQL'): per-column row/null/distinct/min/max
     in ONE scan — all three columns' aggregates computed in a single pass
-    then unpivoted, instead of one scan per column."""
+    then unpivoted, instead of one scan per column.
+
+    De-registered round 7 (COVERAGE.md fold policy (b)): its rows are now
+    the 'profile' section of ``ext_distribution_suite`` (same orders scan),
+    which carries the oracle for both; the freed slot declares
+    ``ext_range_join``. This standalone form remains the library surface
+    and is equality-tested against the absorber."""
     orders = load_table(spark, sf_dir, "orders")
     cols = ["o_custkey", "o_totalprice", "o_orderkey"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]

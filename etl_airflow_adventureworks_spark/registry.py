@@ -46,6 +46,7 @@ _MODULES = [
     "etl_airflow_adventureworks_spark.operators.relational",
     "etl_airflow_adventureworks_spark.operators.functions_suite",
     "etl_airflow_adventureworks_spark.operators.asof",
+    "etl_airflow_adventureworks_spark.operators.rangejoin",
 ]
 
 _loaded = False

@@ -260,3 +260,23 @@ def test_textprep_catalyst_ops_have_no_python(spark):
     ]:
         plan = plan_of(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_declared_range_join_is_sharded_and_python_free(spark):
+    # round-7: ext_range_join must run the shard-bucketing rewrite — an
+    # equi-join on (user_id, shard) with the range residual, never a
+    # nested-loop/cartesian (the naive no-`by` plan) and never Python.
+    # The explode of intervals into covered shards is the plan's signature.
+    df = entrymod.queries()["ext_range_join"](spark, SF_ORACLE)
+    plan = optimized_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Generate explode" in plan, plan  # interval → covered shards
+    df.count()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in final and "Cartesian" not in final, final
+    # the join is a real equi-join on (user_id, __shard) with the range
+    # containment left as its residual condition
+    assert ("SortMergeJoin" in final) or ("ShuffledHashJoin" in final) or (
+        "BroadcastHashJoin" in final  # AQE may broadcast the small side at sf0.01
+    ), final
+    assert "__shard" in final, final
