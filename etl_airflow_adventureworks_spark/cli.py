@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--max-top-token-frac", type=float, default=None,
                     help="enable the repetition filter at this threshold")
     cu.add_argument("--scrub-pii", action="store_true")
+    cu.add_argument("--boilerplate-min-docs", type=int, default=None,
+                    help="drop lines recurring in >= N distinct docs (off by default)")
     cu.add_argument("--no-near-dup", action="store_true")
     cu.add_argument("--near-dup-policy", choices=["greedy", "components"],
                     default="greedy",
@@ -165,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
                 else None
             ),
             scrub_pii=args.scrub_pii,
+            boilerplate_min_docs=args.boilerplate_min_docs,
             near_dup=not args.no_near_dup,
             near_dup_policy=args.near_dup_policy,
             eval_set=eval_set,

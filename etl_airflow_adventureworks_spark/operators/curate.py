@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from .decontam import decontaminate
 from .dedup import hashed_shingle_sets_df, minhash_neardup_pairs
+from .linededup import remove_boilerplate_lines
 from .scrub import redact_pii, repetition_filter
 from .textops import STOPWORDS, _LANG_ORDER, _lang_pred_case
 from .textprep import sample_to_mixture, split_by_hash
@@ -155,6 +156,7 @@ def curate_corpus(
     languages: tuple[str, ...] | None = ("en",),
     max_repetition: dict[str, float] | None = None,
     scrub_pii: bool = False,
+    boilerplate_min_docs: int | None = None,
     near_dup: bool = True,
     near_dup_policy: str = "greedy",
     eval_set: DataFrame | None = None,
@@ -166,7 +168,10 @@ def curate_corpus(
 ) -> CurationResult:
     """The standard pretraining curation waterfall over any (id, text)
     frame: quality floor → language allowlist → repetition filter → PII
-    redaction → exact dedup → near-dup drop → benchmark decontamination →
+    redaction → line-level boilerplate removal (``boilerplate_min_docs``:
+    drop every line recurring in at least that many distinct documents —
+    C4/CCNet style, see ``linededup``) → exact dedup → near-dup drop →
+    benchmark decontamination →
     mixture downsampling → deterministic split assignment. Any stage can
     be disabled (None/False — only exact dedup always runs); the result
     records each stage's lazy frame so callers can audit drops
@@ -205,6 +210,14 @@ def curate_corpus(
             "n_email", "n_ssn", "n_ipv4", "n_phone"
         )
         stages.append(("pii", cur))
+    if boilerplate_min_docs is not None:
+        # line-level boilerplate removal BEFORE dedup for the same reason
+        # PII runs before it: documents differing only in shared banners/
+        # footers collapse to one in the digest pass once those lines go
+        cur = remove_boilerplate_lines(
+            cur, id_col, text_col, min_docs=boilerplate_min_docs
+        )
+        stages.append(("boilerplate", cur))
     cur = exact_dedup_keep_first(cur, id_col, text_col)
     stages.append(("exact_dedup", cur))
     if near_dup:

@@ -207,3 +207,41 @@ def test_pii_stage_rewrites_text_in_place(spark):
     texts = {r["doc_id"]: r["text"] for r in res.curated.collect()}
     assert "[EMAIL]" in texts[1] and "alice@example.com" not in texts[1]
     assert set(res.curated.columns) == set(base.columns)  # counts dropped
+
+
+def test_boilerplate_stage_matches_standalone_and_feeds_dedup(spark):
+    # r7: the boilerplate stage must equal remove_boilerplate_lines, and
+    # docs differing ONLY in shared banner lines must collapse to one in
+    # the exact-dedup pass that follows it (the stage-order rationale)
+    from etl_airflow_adventureworks_spark.operators.linededup import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "Accept cookies\nsame unique body", "web"),
+        (2, "Accept cookies\nsame unique body", "web"),
+        (3, "Accept cookies\nother body", "web"),
+        (4, "Accept cookies\nfourth body", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # min_docs=3: the 4-doc banner is boilerplate, the 2-doc shared body
+    # is not (a full-duplicate pair's content must survive for dedup to
+    # see it — at min_docs=2 this stage would blank duplicate docs itself)
+    res = C.curate_corpus(
+        docs,
+        min_quality=None,
+        languages=None,
+        near_dup=False,
+        boilerplate_min_docs=3,
+    )
+    staged = dict(res.stages)
+    got = {r["doc_id"]: r["text"] for r in staged["boilerplate"].collect()}
+    want = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert got == want
+    assert got[1] == "same unique body"
+    # banner-only variants of the same body dedup to the smallest id
+    final_ids = {r["doc_id"] for r in res.curated.collect()}
+    assert final_ids == {1, 3, 4}
