@@ -77,10 +77,14 @@ def _axis_type(df: DataFrame, col: str, side: str) -> T.DataType:
     return dtype
 
 
+_RESERVED = {"__p_b", "__lo_b", "__hi_b", "__shard", "__s_b", "__e_b"}
+
+
 def _validate_cols(points: DataFrame, intervals: DataFrame, by: list[str], suffix: str):
     """Collision check mirroring asof_join._validate: every interval
     column except the ``by`` keys surfaces with ``suffix``; a point column
-    already bearing a suffixed name would silently shadow it."""
+    already bearing a suffixed name would silently shadow it, and a column
+    named like an internal working column would be overwritten."""
     pcols = list(points.columns)
     ivals = [c for c in intervals.columns if c not in by]
     clash = {f"{c}{suffix}" for c in ivals} & set(pcols)
@@ -88,6 +92,12 @@ def _validate_cols(points: DataFrame, intervals: DataFrame, by: list[str], suffi
         raise ValueError(
             f"range_join: point column(s) {sorted(clash)} collide with the "
             f"suffixed interval output; pick a different suffix"
+        )
+    internal = _RESERVED & (set(pcols) | set(intervals.columns))
+    if internal:
+        raise ValueError(
+            f"range_join: column(s) {sorted(internal)} collide with internal "
+            "working names; rename them first"
         )
     return pcols, ivals
 

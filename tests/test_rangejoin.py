@@ -254,3 +254,16 @@ def test_declared_query_matches_naive_twin(spark):
     )
     assert got == want
     assert len(got) > 100  # the declared corpus has a real match set
+
+
+def test_internal_column_collision_raises(spark):
+    pts = _mk_points(spark, [(1, 0, 5)]).withColumnRenamed("pid", "__shard")
+    ivs = _mk_intervals(spark, [(1, 0, 0, 10)])
+    with pytest.raises(ValueError, match="internal"):
+        range_join(pts, ivs, "p", "s", "e", by="k", shard_width=2)
+    with pytest.raises(ValueError, match="internal"):
+        range_join_naive(
+            _mk_points(spark, [(1, 0, 5)]),
+            ivs.withColumnRenamed("iid", "__e_b"),
+            "p", "s", "e", by="k",
+        )
