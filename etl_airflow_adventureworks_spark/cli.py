@@ -189,19 +189,19 @@ def main(argv: list[str] | None = None) -> int:
         # one manifest read serves both the staleness probe and the query
         # (loading twice doubled manifest IO per serve invocation, r6 ADVICE)
         from .operators.similarity import (
-            ann_ivf_topk_over_layout,
+            ann_ivf_topk_from_index,
             ivf_index_staleness,
             load_ivf_index,
         )
 
-        cents, meta = load_ivf_index(spark, args.index, version=args.version)
+        index = load_ivf_index(spark, args.index, version=args.version)
         staleness = ivf_index_staleness(
-            spark, args.index, args.sf_dir, version=args.version, meta=meta
+            spark, args.index, args.sf_dir, version=args.version, meta=index[1]
         )
         print(f"index staleness vs {args.sf_dir}: {staleness:.1%}"
               + (" — refit advised" if staleness > 0.25 else ""))
-        ann_ivf_topk_over_layout(
-            spark, f"{args.index}/{meta['layout_dir']}", cents, args.nprobe
+        ann_ivf_topk_from_index(
+            spark, args.index, args.nprobe, preloaded=index
         ).show(args.limit, truncate=False)
         return 0
     if args.cmd == "query":

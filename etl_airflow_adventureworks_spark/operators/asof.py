@@ -42,15 +42,27 @@ _SHARDABLE = (
 )
 
 
+#: internal working columns — user columns with these names would be
+#: silently overwritten by withColumn (same guard as rangejoin/linededup)
+_RESERVED = {"__side", "__basis", "__shard", "__match", "__latest", "__carry"}
+
+
 def _validate(left: DataFrame, right: DataFrame, on: str, by: str, suffix: str):
     """Shared column-collision validation; returns (lcols, rvals, out_cols).
 
     Raises ValueError on column-name collisions: a shared non-key column
-    would appear twice in the tagged union, and a left column already named
-    ``<rightcol><suffix>`` would collide with the suffixed output — both
-    silently corrupt results otherwise."""
+    would appear twice in the tagged union, a left column already named
+    ``<rightcol><suffix>`` would collide with the suffixed output, and a
+    column named like an internal working column would be overwritten —
+    all silently corrupt results otherwise."""
     lcols = list(left.columns)
     rvals = [c for c in right.columns if c not in (on, by)]
+    internal = _RESERVED & (set(lcols) | set(right.columns))
+    if internal:
+        raise ValueError(
+            f"asof_join: column(s) {sorted(internal)} collide with internal "
+            "working names; rename them first"
+        )
     shared = set(rvals) & set(lcols)
     if shared:
         raise ValueError(
@@ -112,18 +124,28 @@ def asof_join(
     ValueError up front (``pd.merge_asof`` rejects them too, so there is
     no slower-but-working fallback to route to).
 
+    NULL ``by`` keys: a NULL entity is ONE group — NULL-keyed left rows
+    match NULL-keyed right rows (groupBy/Window semantics, which the
+    grouped ``merge_asof`` twin inherits from ``groupBy(by)``; the sharded
+    plan's carry join is null-safe to agree). This differs deliberately
+    from SQL join semantics (where NULL matches nothing — what
+    ``range_join`` does): an as-of is a per-entity alignment, not a join
+    predicate, and dropping un-keyed rows silently would lose data.
+
     Determinism caveat (both plans): if several right rows share the same
     (by, on) the one carried is engine/input-order dependent — pre-dedup
     the right side to one row per (by, on) when that matters (the declared
     ``ext_asof_twotable`` query does exactly that)."""
+    for side, df in (("left", left), ("right", right)):
+        side_type = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[on]
+        if not isinstance(side_type, _SHARDABLE):
+            raise ValueError(
+                f"asof_join: {side} `on` column {on!r} has type "
+                f"{side_type.simpleString()}; an as-of join needs a numeric, "
+                "date, or timestamp axis (pd.merge_asof rejects other types "
+                "too — cast or derive a numeric order key first)"
+            )
     on_type = dict(zip(right.columns, [f.dataType for f in right.schema.fields]))[on]
-    if not isinstance(on_type, _SHARDABLE):
-        raise ValueError(
-            f"asof_join: `on` column {on!r} has type "
-            f"{on_type.simpleString()}; an as-of join needs a numeric, "
-            "date, or timestamp axis (pd.merge_asof rejects other types "
-            "too — cast or derive a numeric order key first)"
-        )
     if shard_width is None:
         return asof_join_grouped(
             left, right, on, by, suffix=suffix, max_group_rows=max_group_rows
@@ -197,13 +219,20 @@ def asof_join(
     ).select(by, "__shard", "__carry")
 
     # every left (by, shard) exists in summ by construction → inner join,
-    # co-keyed with the heavy side's existing (by, shard) partitioning
-    best = F.coalesce(F.col("__match"), F.col("__carry"))
+    # co-keyed with the heavy side's existing (by, shard) partitioning.
+    # NULL-SAFE on `by`: groupBy/Window treat a NULL entity as one group
+    # (so the grouped twin matches NULL-keyed rows among themselves), and a
+    # plain equality here would silently DROP those left rows instead
+    lhs = local.filter(F.col("__side") == 0)
+    best = F.coalesce(lhs["__match"], carry["__carry"])
     return (
-        local.filter(F.col("__side") == 0)
-        .join(carry, [by, "__shard"])
+        lhs
+        .join(
+            carry,
+            lhs[by].eqNullSafe(carry[by]) & (lhs["__shard"] == carry["__shard"]),
+        )
         .select(
-            *lcols,
+            *[lhs[c] for c in lcols],
             best.getField(on).alias(f"{on}{suffix}"),
             *[best.getField(c).alias(f"{c}{suffix}") for c in rvals],
         )

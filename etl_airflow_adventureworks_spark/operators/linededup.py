@@ -95,7 +95,9 @@ def remove_boilerplate_lines(
     """Rewrite ``text_col`` with boilerplate lines removed; every other
     column passes through unchanged, every document survives (a document
     that was ALL boilerplate comes back with empty text — dropping rows
-    is the caller's policy, e.g. a quality re-filter downstream).
+    is the caller's policy, e.g. a quality re-filter downstream). A NULL
+    text stays NULL (it has no lines): collapsing it to ``''`` would make
+    downstream exact-dedup merge never-had-text docs with emptied ones.
 
     ``normalize``: match lines case- and edge-whitespace-insensitively
     (the removed text is still the document's ORIGINAL line). ``sep`` is
@@ -133,8 +135,10 @@ def remove_boilerplate_lines(
             ).alias("__new_text")
         )
     )
+    new_text = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.coalesce(F.col("__new_text"), F.lit("")))
     out_cols = [
-        F.coalesce(F.col("__new_text"), F.lit("")).alias(c) if c == text_col else F.col(c)
-        for c in docs.columns
+        new_text.alias(c) if c == text_col else F.col(c) for c in docs.columns
     ]
     return docs.join(rebuilt, id_col, "left").select(*out_cols)

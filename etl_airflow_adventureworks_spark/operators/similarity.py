@@ -433,14 +433,21 @@ def ann_ivf_topk_from_index(
     index_path: str,
     nprobe: int = 4,
     version: int | None = None,
+    preloaded: tuple[list[list[float]], dict] | None = None,
 ) -> DataFrame:
     """Serving-path IVF top-k: centroids load from the persisted versioned
     index and the probe runs over THAT VERSION'S cell-partitioned layout
     (resolved from the manifest — a version's cells are only meaningful
     under its own quantizer) — no k-means, no full-collection rewrite, file
     pruning from the layout. Result-identical to ``ann_ivf_topk`` with the
-    same centroids (asserted in tests/test_bucketing.py)."""
-    cents, meta = load_ivf_index(spark, index_path, version)
+    same centroids (asserted in tests/test_bucketing.py).
+
+    ``preloaded``: the ``(centroids, meta)`` pair from an earlier
+    ``load_ivf_index`` call — the serve CLI reads the manifest once and
+    shares it between the staleness probe and the query, and this is the
+    ONE place layout paths are resolved from meta (callers must not
+    rebuild ``<index>/<layout_dir>`` by hand)."""
+    cents, meta = preloaded or load_ivf_index(spark, index_path, version)
     return ann_ivf_topk_over_layout(
         spark, f"{index_path}/{meta['layout_dir']}", cents, nprobe
     )

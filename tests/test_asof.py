@@ -200,3 +200,47 @@ def test_asof_join_collision_validation(spark):
     right2 = spark.createDataFrame([(1, 5)], "k int, t int")
     with pytest.raises(ValueError, match="collide"):
         asof_join(left2, right2, on="t", by="k")
+
+
+def test_asof_join_null_entity_keys_match_grouped_twin(spark):
+    # r7 review finding: NULL `by` is ONE group (groupBy semantics, which
+    # the grouped twin inherits); the sharded default's carry join must be
+    # null-safe or those left rows silently vanish
+    left = spark.createDataFrame(
+        [(None, 10, 1), (None, 30, 2), (1, 20, 3)], "ent long, t long, lv long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, 7), (None, 25, 8), (1, 15, 9)], "ent long, t long, rv long"
+    )
+    for width in [1, 7, "auto"]:
+        got = {
+            (r["ent"], r["t"]): (r["t_right"], r["rv_right"])
+            for r in asof_join(left, right, on="t", by="ent", shard_width=width).collect()
+        }
+        assert got == {
+            (None, 10): (5, 7),
+            (None, 30): (25, 8),
+            (1, 20): (15, 9),
+        }, width
+    want = {
+        (r["ent"], r["t"]): (r["t_right"], r["rv_right"])
+        for r in asof_join(left, right, on="t", by="ent", shard_width=None).collect()
+    }
+    assert want == got  # sharded == grouped twin on NULL-keyed rows
+
+
+def test_asof_join_left_on_type_validated(spark):
+    # r7 review finding: the axis-type check must cover BOTH sides — a
+    # string left `on` used to die mid-execution (or silently null-drop
+    # with ANSI off) instead of failing loud at plan time
+    left = spark.createDataFrame([(1, "not-a-time", 1)], "k long, t string, lv long")
+    right = spark.createDataFrame([(1, 5, 2)], "k long, t long, rv long")
+    with pytest.raises(ValueError, match="left `on`"):
+        asof_join(left, right, on="t", by="k")
+
+
+def test_asof_join_internal_column_collision_raises(spark):
+    left = spark.createDataFrame([(1, 10, 5)], "k long, t long, __shard long")
+    right = spark.createDataFrame([(1, 5, 2)], "k long, t long, rv long")
+    with pytest.raises(ValueError, match="internal"):
+        asof_join(left, right, on="t", by="k")

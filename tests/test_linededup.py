@@ -170,3 +170,19 @@ def test_plan_is_python_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate posexplode" in plan  # the narrow line explode
+
+
+def test_null_text_stays_null(spark):
+    # r7 review finding: NULL text (no lines) must stay NULL — '' would
+    # make downstream exact-dedup merge never-had-text docs with emptied
+    # ones
+    docs = spark.createDataFrame(
+        [(1, None, "s"), (2, f"{BANNER}\nkeep", "s"), (3, f"{BANNER}\nx", "s")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    assert got[1] is None
+    assert got[2] == "keep" and got[3] == "x"

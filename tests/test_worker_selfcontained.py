@@ -54,7 +54,9 @@ assert pack_sequences(docs, budget=512, n_shards=4).count() > 0
 from etl_airflow_adventureworks_spark.operators.asof import asof_join
 left = spark.range(20).selectExpr("id % 3 AS ent", "id AS t", "id AS lv")
 right = spark.range(5).selectExpr("id % 3 AS ent", "id * 3 AS t", "id AS rv")
-assert asof_join(left, right, on="t", by="ent").count() == 20
+# shard_width=None forces the GROUPED merge_asof plan — the default is
+# pure Catalyst now (r7), and this test exists to ship the Python closure
+assert asof_join(left, right, on="t", by="ent", shard_width=None).count() == 20
 
 print("SELFCONTAINED_OK")
 """

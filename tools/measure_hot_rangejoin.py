@@ -107,8 +107,9 @@ def main() -> None:
             naive = sorted(samples)[len(samples) // 2]
             result["naive_nonequi_sec"] = round(naive, 2)
             result["speedup"] = round(naive / sharded, 2)
-        result["checksums_equal"] = checksum(sharded_fn()) == checksum(naive_fn())
-        result["pairs"] = checksum(sharded_fn())[0]
+        cs = checksum(sharded_fn())
+        result["checksums_equal"] = cs == checksum(naive_fn())
+        result["pairs"] = cs[0]
     print(json.dumps(result))
     cleanup(out)
     spark.stop()
