@@ -92,6 +92,21 @@ def generate(multiplier: int, src_dir: str, out_dir: str) -> None:
         print(f"{t}: {src.num_rows} rows (copied)")
     for t, keys in SHIFT_KEYS.items():
         src = pq.read_table(f"{src_dir}/{t}.parquet")
+        # refuse to re-scale already-scaled output: a second-level shift
+        # by the SAME stride folds replica (i, j) onto (i', j') whenever
+        # i+j == i'+j', so keys collide and FK joins multi-match — at sf10
+        # that inflated etl_fact_sales 50x before this guard existed.
+        # Always scale from the ORIGINAL driver corpus (M=100 for sf10).
+        for c in keys:
+            mx = pc.max(src.column(c)).as_py()
+            if mx is not None and mx >= STRIDE:
+                raise SystemExit(
+                    f"gen_scale: {t}.{c} max={mx} >= STRIDE={STRIDE} — "
+                    f"{src_dir} is already a scaled corpus; re-scaling it "
+                    "would collide keys across replicas. Generate every "
+                    "scale factor directly from the original testdata "
+                    "(e.g. gen_scale.py 100 /root/testdata/sf0.1 for sf10)."
+                )
         replicas = []
         for k in range(multiplier):
             rep = _shift(src, keys, k * STRIDE)
