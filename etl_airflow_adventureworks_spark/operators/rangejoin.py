@@ -32,6 +32,13 @@ million-row explode.
 ``range_join_naive`` is the readable non-equi twin the sharded default is
 equality-tested against (`tests/test_rangejoin.py`), and the right plan
 when one side is small enough to broadcast anyway.
+
+No ``*_auto`` skew dispatcher here (unlike ``session_gap_auto``): the
+sessionizer's sharded form costs a measured ~2x on uniform corpora, so a
+probe can pay for itself — the sharded range join's only overhead is the
+bounded interval explode (~2 copies at width = mean length) and it ties
+the naive plan even on the uniform sf0.1 corpus, so there is no regime
+where probing buys anything.
 """
 
 from __future__ import annotations
