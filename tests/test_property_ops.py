@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the round-7 operators: the
+sharded range join and line-level boilerplate removal each checked
+against an independent pure-python reference on randomized corpora.
+Example counts are small (each example is a real Spark job) — the
+breadth comes from hypothesis shrinking whatever it finds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_airflow_adventureworks_spark.operators.linededup import (
+    remove_boilerplate_lines,
+)
+from etl_airflow_adventureworks_spark.operators.rangejoin import range_join
+
+# -- range join ------------------------------------------------------------
+
+_keys = st.one_of(st.none(), st.integers(0, 2))
+_points = st.lists(
+    st.tuples(_keys, st.one_of(st.none(), st.integers(-20, 40))),
+    min_size=0,
+    max_size=25,
+)
+_intervals = st.lists(
+    st.tuples(_keys, st.integers(-20, 40), st.integers(-25, 45)),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _brute_pairs(pts, ivs, bounds):
+    out = []
+    for pid, (pk, p) in enumerate(pts):
+        for iid, (ik, s, e) in enumerate(ivs):
+            if pk is None or ik is None or pk != ik or p is None:
+                continue
+            hit = s <= p < e if bounds == "[)" else s <= p <= e
+            if hit:
+                out.append((pid, iid))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    pts=_points,
+    ivs=_intervals,
+    width=st.integers(1, 30),
+    bounds=st.sampled_from(["[)", "[]"]),
+)
+def test_range_join_matches_brute_force(spark, pts, ivs, width, bounds):
+    pdf = spark.createDataFrame(
+        [(i, k, p) for i, (k, p) in enumerate(pts)], "pid long, k long, p long"
+    )
+    idf = spark.createDataFrame(
+        [(j, k, s, e) for j, (k, s, e) in enumerate(ivs)],
+        "iid long, k long, s long, e long",
+    )
+    got = sorted(
+        (r["pid"], r["iid_iv"])
+        for r in range_join(
+            pdf, idf, "p", "s", "e", by="k", bounds=bounds, shard_width=width
+        )
+        .select("pid", "iid_iv")
+        .collect()
+    )
+    assert got == _brute_pairs(pts, ivs, bounds)
+
+
+# -- line-level boilerplate removal ---------------------------------------
+
+_line = st.sampled_from(["aaa", "bbb", "CCC", " aaa ", "", "ddd eee", "x"])
+_doc = st.one_of(
+    st.none(), st.lists(_line, min_size=0, max_size=6).map(lambda ls: "\n".join(ls))
+)
+
+
+def _brute_boiler(docs, min_docs, keep_first):
+    key = lambda ln: ln.strip().lower()
+    per_line_docs: dict[str, set] = {}
+    for did, text in docs:
+        if text is None:
+            continue
+        for ln in text.split("\n"):
+            k = key(ln)
+            if k:
+                per_line_docs.setdefault(k, set()).add(did)
+    boiler = {
+        k: min(ds) for k, ds in per_line_docs.items() if len(ds) >= min_docs
+    }
+    out = {}
+    for did, text in docs:
+        if text is None:
+            out[did] = None
+            continue
+        kept = [
+            ln
+            for ln in text.split("\n")
+            if key(ln) == ""
+            or key(ln) not in boiler
+            or (keep_first and boiler[key(ln)] == did)
+        ]
+        out[did] = "\n".join(kept)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(_doc, min_size=1, max_size=8),
+    min_docs=st.integers(2, 4),
+    keep_first=st.booleans(),
+)
+def test_remove_boilerplate_matches_brute_force(spark, texts, min_docs, keep_first):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(
+            docs, min_docs=min_docs, keep_first=keep_first
+        ).collect()
+    }
+    assert got == _brute_boiler(rows, min_docs, keep_first)
