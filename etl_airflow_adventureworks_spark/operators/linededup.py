@@ -71,9 +71,12 @@ def boilerplate_lines(
 
 
 def _boiler_counts(lines: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+    # trim() so whitespace-only lines count as structure even under
+    # normalize=False (where line_key is the raw line): they must never be
+    # boilerplate or the byte-identical round-trip guarantee breaks
     return (
         lines.select(id_col, "line_key")
-        .filter(F.col("line_key") != "")
+        .filter(F.trim(F.col("line_key")) != "")
         .groupBy("line_key")
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
@@ -104,8 +107,15 @@ def remove_boilerplate_lines(
     a literal separator, not a regex. ``keep_first`` keeps each
     boilerplate line's occurrence in the smallest containing ``id_col``
     (deterministic — CCNet-style keep-one) instead of removing all.
-    Empty lines always survive, so unaffected documents round-trip
-    byte-identically through split + reassemble."""
+    Empty and whitespace-only lines always survive (under either
+    ``normalize``), so unaffected documents round-trip byte-identically
+    through split + reassemble.
+
+    CONTRACT: ``id_col`` must be unique per row. The reassembly groupBy
+    keys on it, so duplicate ids would merge two documents' lines and
+    then fan the interleaved text back out to both rows. Run exact dedup
+    (or mint a surrogate key) first; uniqueness is not re-validated here
+    because asserting it would force an extra full aggregation per call."""
     reserved = {"__pos", "__line", "__new_text", "line_key", "n_docs", "first_doc"}
     clash = reserved & set(docs.columns)
     if clash:
@@ -123,7 +133,7 @@ def remove_boilerplate_lines(
     if keep_first:
         keep = keep | (F.col(id_col) == F.col("first_doc"))
     rebuilt = (
-        joined.filter(keep | (F.col("line_key") == ""))
+        joined.filter(keep | (F.trim(F.col("line_key")) == ""))
         .groupBy(id_col)
         .agg(
             F.array_join(

@@ -159,7 +159,16 @@ def range_join(
     s_basis = _basis_expr(start, s_type)
     e_basis = _basis_expr(end, e_type)
     if shard_width == "auto":
-        row = intervals.agg(F.avg(e_basis - s_basis).alias("w")).first()
+        # probe only intervals the join itself keeps (non-NULL endpoints,
+        # non-empty under `bounds`): backward/empty intervals match nothing
+        # but would drag the average toward the max(...,1) clamp and shred
+        # the valid long intervals into thousands of shards
+        adj_hi = e_basis - (1 if bounds == "[)" else 0)
+        row = (
+            intervals.where(s_basis.isNotNull() & (adj_hi >= s_basis))
+            .agg(F.avg(e_basis - s_basis).alias("w"))
+            .first()
+        )
         width = max(int(row["w"]), 1) if row["w"] is not None else 1
     else:
         width = max(int(shard_width), 1)

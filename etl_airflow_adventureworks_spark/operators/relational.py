@@ -393,7 +393,7 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             *nulls3,
         )
     )
-    profile = ext_table_profile(spark, sf_dir).select(
+    profile = _profile_frame(orders).select(
         F.lit("profile").alias("stat"),
         F.col("col").alias("k"),
         F.col("n_rows").cast("double").alias("v1"),
@@ -416,7 +416,13 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     which carries the oracle for both; the freed slot declares
     ``ext_range_join``. This standalone form remains the library surface
     and is equality-tested against the absorber."""
-    orders = load_table(spark, sf_dir, "orders")
+    return _profile_frame(load_table(spark, sf_dir, "orders"))
+
+
+def _profile_frame(orders: DataFrame) -> DataFrame:
+    """Shared profile body over an already-loaded frame, so the absorber
+    (`ext_distribution_suite`) reuses its own orders scan source instead
+    of issuing a third independent load."""
     cols = ["o_custkey", "o_totalprice", "o_orderkey"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:

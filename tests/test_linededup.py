@@ -55,7 +55,7 @@ def _duck_expect(rows, min_docs, normalize=True, keep_first=False):
           SELECT doc_id, pos, line, {key} AS k FROM lines
         ), counts AS (
           SELECT k, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
-          FROM keyed WHERE k <> '' GROUP BY k HAVING count(DISTINCT doc_id) >= {min_docs}
+          FROM keyed WHERE trim(k) <> '' GROUP BY k HAVING count(DISTINCT doc_id) >= {min_docs}
         ), kept AS (
           SELECT doc_id, pos, line FROM keyed LEFT JOIN counts USING (k)
           WHERE n_docs IS NULL{first}
@@ -170,6 +170,27 @@ def test_plan_is_python_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate posexplode" in plan  # the narrow line explode
+
+
+def test_whitespace_only_lines_survive_without_normalize(spark):
+    # ADVICE r7: with normalize=False a raw '  ' line passed the
+    # line_key != '' guard and could be removed corpus-wide, breaking the
+    # byte-identical round-trip guarantee; whitespace-only lines are
+    # structure under either normalize mode
+    rows = [
+        (1, "alpha\n  \nbeta", "s"),
+        (2, "gamma\n  \ndelta", "s"),
+        (3, "shared line\n  \nend one", "s"),
+        (4, "shared line\n  \nend two", "s"),
+    ]
+    got, _ = _spark_result(spark, rows, min_docs=2, normalize=False)
+    want = _duck_expect(rows, 2, normalize=False)
+    assert got == want
+    # docs with no (non-whitespace) boilerplate round-trip byte-identical
+    assert got[1] == "alpha\n  \nbeta"
+    assert got[2] == "gamma\n  \ndelta"
+    # real boilerplate still removed, whitespace line untouched
+    assert got[3] == "  \nend one" and got[4] == "  \nend two"
 
 
 def test_null_text_stays_null(spark):

@@ -162,6 +162,26 @@ def test_negative_axis_values(spark):
     assert len(_pairs(got)) > 5
 
 
+def test_auto_width_ignores_invalid_intervals(spark):
+    # ADVICE r7: the auto probe must average only intervals the join keeps
+    # — a corpus dominated by backward/NULL-endpoint intervals previously
+    # dragged the average toward the max(...,1) clamp, shredding the valid
+    # 1000-wide intervals into ~1000 shards each (here that would trip the
+    # max_shards_per_interval=16 guard)
+    ivs_rows = [(j, 0, j * 10_000, j * 10_000 - 1_000) for j in range(1, 60)]
+    ivs_rows += [(100 + j, 0, j * 10_000, j * 10_000 + 1_000) for j in range(3)]
+    ivs_rows += [(200, 0, None, 5), (201, 0, 5, None)]
+    ivs = _mk_intervals(spark, ivs_rows)
+    pts = _mk_points(spark, [(i, 0, j * 10_000 + 500) for i, j in enumerate(range(3))])
+    got = range_join(
+        pts, ivs, "p", "s", "e", by="k",
+        shard_width="auto", max_shards_per_interval=16,
+    )
+    want = range_join_naive(pts, ivs, "p", "s", "e", by="k")
+    assert _pairs(got) == _pairs(want)
+    assert len(_pairs(got)) == 3
+
+
 def test_explosion_guard_fails_loud(spark):
     pts = _mk_points(spark, [(1, 0, 5)])
     ivs = _mk_intervals(spark, [(1, 0, 0, 10_000_000)])
