@@ -6,7 +6,9 @@ within-shard running ``last() IGNORE NULLS`` window + per-shard carry-in),
 zero Python — else (b) applyInPandas with ``pd.merge_asof`` per group
 (``asof_join_grouped``, the readable twin and the fallback for
 non-shardable ``on`` types). Left rows match the most recent right row
-with right_on ≤ left_on within the same ``by`` key (backward as-of).
+with right_on ≤ left_on within the same ``by`` key (backward as-of, the
+default); ``direction="forward"|"nearest"`` and ``tolerance`` mirror
+``pd.merge_asof``'s full surface on both plans (round 8, VERDICT r7 #2).
 
 Scale shape of the default plan (the same skew prescription as
 ``sessionize.session_gap_sharded`` / ``asof_attribution_sharded``, which
@@ -44,7 +46,19 @@ _SHARDABLE = (
 
 #: internal working columns — user columns with these names would be
 #: silently overwritten by withColumn (same guard as rangejoin/linededup)
-_RESERVED = {"__side", "__basis", "__shard", "__match", "__latest", "__carry"}
+_RESERVED = {
+    "__side",
+    "__basis",
+    "__shard",
+    "__match",
+    "__latest",
+    "__carry",
+    "__match_f",
+    "__latest_f",
+    "__carry_f",
+}
+
+_DIRECTIONS = ("backward", "forward", "nearest")
 
 
 def _validate(left: DataFrame, right: DataFrame, on: str, by: str, suffix: str):
@@ -80,14 +94,19 @@ def _validate(left: DataFrame, right: DataFrame, on: str, by: str, suffix: str):
     return lcols, rvals, out_cols
 
 
-def _shard_base_expr(on: str, dtype: T.DataType):
-    """Numeric shard basis for the `on` column: micros for timestamps,
-    days for dates, the value itself for integers."""
+def _basis_col(col, dtype: T.DataType):
+    """Numeric basis for an arbitrary axis Column: micros for timestamps,
+    days for dates, the value itself for integers. ``tolerance`` and
+    ``shard_width`` are expressed in these units."""
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return F.unix_micros(F.col(on).cast("timestamp"))
+        return F.unix_micros(col.cast("timestamp"))
     if isinstance(dtype, T.DateType):
-        return F.datediff(F.col(on), F.lit("1970-01-01")).cast("long")
-    return F.col(on).cast("long")
+        return F.datediff(col, F.lit("1970-01-01")).cast("long")
+    return col.cast("long")
+
+
+def _shard_base_expr(on: str, dtype: T.DataType):
+    return _basis_col(F.col(on), dtype)
 
 
 def asof_join(
@@ -98,13 +117,33 @@ def asof_join(
     suffix: str = "_right",
     shard_width: int | str | None = "auto",
     max_group_rows: int = 5_000_000,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join, hot-entity-safe by default. ``on``: orderable
+    """As-of join, hot-entity-safe by default. ``on``: orderable
     column in both sides (same name); ``by``: entity key in both sides.
     Right's ``on`` and non-key columns surface with ``suffix``. Left rows
-    with no earlier right row keep NULLs. ``on`` must be non-null on both
+    with no matching right row keep NULLs. ``on`` must be non-null on both
     sides — a NULL has no position on the time axis: the sharded plan
     excludes such rows, the grouped plan's ``merge_asof`` rejects them.
+
+    ``direction`` (pd.merge_asof semantics, ties inclusive):
+
+    - ``"backward"`` (default): most recent right row with r.on ≤ l.on —
+      within-shard running ``last() IGNORE NULLS`` + latest-of-earlier-
+      shards carry-in;
+    - ``"forward"``: earliest right row with r.on ≥ l.on — the mirrored
+      plan (within-shard running ``first()`` over the following frame +
+      earliest-of-later-shards carry-in on the same single shuffle);
+    - ``"nearest"``: whichever of the two is closest in |r.on − l.on|,
+      backward winning ties (pandas' rule) — both window/carry pairs
+      computed over the same union/summary frames, chosen per row.
+
+    ``tolerance``: optional max |r.on − l.on| in basis units (micros for
+    timestamps, days for dates, the raw value for ints); matches farther
+    than that become NULL, exactly like ``pd.merge_asof(tolerance=...)``.
+    Applied as a residual on the already-found match, so it never changes
+    the plan shape.
 
     ``shard_width`` picks the plan:
 
@@ -136,6 +175,12 @@ def asof_join(
     (by, on) the one carried is engine/input-order dependent — pre-dedup
     the right side to one row per (by, on) when that matters (the declared
     ``ext_asof_twotable`` query does exactly that)."""
+    if direction not in _DIRECTIONS:
+        raise ValueError(
+            f"asof_join: direction={direction!r}; use one of {_DIRECTIONS}"
+        )
+    if tolerance is not None and int(tolerance) < 0:
+        raise ValueError(f"asof_join: tolerance must be >= 0, got {tolerance!r}")
     for side, df in (("left", left), ("right", right)):
         side_type = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[on]
         if not isinstance(side_type, _SHARDABLE):
@@ -148,7 +193,14 @@ def asof_join(
     on_type = dict(zip(right.columns, [f.dataType for f in right.schema.fields]))[on]
     if shard_width is None:
         return asof_join_grouped(
-            left, right, on, by, suffix=suffix, max_group_rows=max_group_rows
+            left,
+            right,
+            on,
+            by,
+            suffix=suffix,
+            max_group_rows=max_group_rows,
+            direction=direction,
+            tolerance=tolerance,
         )
     lcols, rvals, _ = _validate(left, right, on, by, suffix)
 
@@ -187,36 +239,75 @@ def asof_join(
 
     from pyspark.sql import Window
 
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+
     # right row as one struct so the window/carry move whole rows
     rstruct = F.when(
         F.col("__side") == 1, F.struct(*[F.col(c) for c in [on] + rvals])
     )
-    # within (by, shard): running latest right row at-or-before me.
-    # Right sorts BEFORE left at equal `on` (__side DESC) — backward as-of
-    # is inclusive of equal timestamps, same as merge_asof/DuckDB ASOF.
-    w1 = (
-        Window.partitionBy(by, "__shard")
-        .orderBy(F.col(on).asc(), F.col("__side").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = u.withColumn("__match", F.last(rstruct, ignorenulls=True).over(w1))
+    local = u
+    if need_b:
+        # within (by, shard): running latest right row at-or-before me.
+        # Right sorts BEFORE left at equal `on` (__side DESC) — backward
+        # as-of is inclusive of equal timestamps, like merge_asof/DuckDB.
+        w1b = (
+            Window.partitionBy(by, "__shard")
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = local.withColumn("__match", F.last(rstruct, ignorenulls=True).over(w1b))
+    if need_f:
+        # mirrored: earliest right row at-or-after me. Right sorts AFTER
+        # left at equal `on` (__side ASC) so the frame starting at the
+        # current row still sees an equal-timestamp right row (inclusive).
+        w1f = (
+            Window.partitionBy(by, "__shard")
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        local = local.withColumn(
+            "__match_f", F.first(rstruct, ignorenulls=True).over(w1f)
+        )
 
-    # one summary row per (by, shard) — the shard's LATEST right row (null
-    # for right-less shards; max_by skips null ordering keys) — then the
-    # carry-in is the last non-null latest over all EARLIER shards. The
-    # summary frame is ~|distinct (by, shard)| rows: the hot entity
-    # contributes one row per shard here, not one row per event.
-    summ = u.groupBy(by, "__shard").agg(
-        F.max_by(rstruct, F.when(F.col("__side") == 1, F.col(on))).alias("__latest")
-    )
-    w2 = (
-        Window.partitionBy(by)
-        .orderBy("__shard")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = summ.withColumn(
-        "__carry", F.last("__latest", ignorenulls=True).over(w2)
-    ).select(by, "__shard", "__carry")
+    # one summary row per (by, shard) — the shard's LATEST (backward) and/or
+    # EARLIEST (forward) right row (null for right-less shards; max_by/
+    # min_by skip null ordering keys) — then the carry-in is the last
+    # non-null latest over all EARLIER shards (backward) / the first
+    # non-null earliest over all LATER shards (forward). The summary frame
+    # is ~|distinct (by, shard)| rows: the hot entity contributes one row
+    # per shard here, not one row per event. Both directions ride the SAME
+    # union, summary aggregate, and carry join — "nearest" costs no extra
+    # shuffle over either single direction.
+    r_on_key = F.when(F.col("__side") == 1, F.col(on))
+    aggs = []
+    if need_b:
+        aggs.append(F.max_by(rstruct, r_on_key).alias("__latest"))
+    if need_f:
+        aggs.append(F.min_by(rstruct, r_on_key).alias("__latest_f"))
+    summ = u.groupBy(by, "__shard").agg(*aggs)
+    carry_cols = [by, "__shard"]
+    if need_b:
+        w2b = (
+            Window.partitionBy(by)
+            .orderBy("__shard")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        summ = summ.withColumn(
+            "__carry", F.last("__latest", ignorenulls=True).over(w2b)
+        )
+        carry_cols.append("__carry")
+    if need_f:
+        w2f = (
+            Window.partitionBy(by)
+            .orderBy("__shard")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        summ = summ.withColumn(
+            "__carry_f", F.first("__latest_f", ignorenulls=True).over(w2f)
+        )
+        carry_cols.append("__carry_f")
+    carry = summ.select(*carry_cols)
 
     # every left (by, shard) exists in summ by construction → inner join,
     # co-keyed with the heavy side's existing (by, shard) partitioning.
@@ -224,7 +315,35 @@ def asof_join(
     # (so the grouped twin matches NULL-keyed rows among themselves), and a
     # plain equality here would silently DROP those left rows instead
     lhs = local.filter(F.col("__side") == 0)
-    best = F.coalesce(lhs["__match"], carry["__carry"])
+    l_basis = _basis_col(lhs[on], on_type)
+
+    def distance_filtered(match, is_backward):
+        if tolerance is None:
+            return match
+        m_basis = _basis_col(match.getField(on), on_type)
+        delta = (l_basis - m_basis) if is_backward else (m_basis - l_basis)
+        return F.when(delta <= F.lit(int(tolerance)), match)
+
+    b = (
+        distance_filtered(F.coalesce(lhs["__match"], carry["__carry"]), True)
+        if need_b
+        else None
+    )
+    f = (
+        distance_filtered(F.coalesce(lhs["__match_f"], carry["__carry_f"]), False)
+        if need_f
+        else None
+    )
+    if direction == "backward":
+        best = b
+    elif direction == "forward":
+        best = f
+    else:
+        # nearest: closer side wins, backward wins exact-distance ties
+        # (pandas' rule); a NULL on either side falls through to the other
+        b_dist = l_basis - _basis_col(b.getField(on), on_type)
+        f_dist = _basis_col(f.getField(on), on_type) - l_basis
+        best = F.when(b.isNull(), f).when(f.isNull(), b).when(b_dist <= f_dist, b).otherwise(f)
     return (
         lhs
         .join(
@@ -246,10 +365,17 @@ def asof_join_grouped(
     by: str,
     suffix: str = "_right",
     max_group_rows: int = 5_000_000,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Per-entity Arrow ``merge_asof`` as-of join — the readable twin the
     sharded default is equality-tested against, and the fallback for
     ``on`` types the shard bucketing can't handle (strings, decimals).
+
+    ``direction``/``tolerance`` map straight onto ``pd.merge_asof``'s
+    parameters; ``tolerance`` is in the engine's basis units (micros for
+    timestamps, days for dates, the raw value for ints) and is converted
+    to the ``Timedelta`` pandas wants for datetime axes.
 
     Skew guard: each ``by`` group becomes ONE pandas frame on one task, so
     a pathological entity (a bot user with 100M events) would OOM that
@@ -257,6 +383,23 @@ def asof_join_grouped(
     the remedy instead: use the default sharded ``asof_join`` (this guard
     predates it; the sharded plan has no per-entity frame at all), or
     raise the limit deliberately if your executors are sized for more."""
+    if direction not in _DIRECTIONS:
+        raise ValueError(
+            f"asof_join: direction={direction!r}; use one of {_DIRECTIONS}"
+        )
+    on_type = dict(zip(right.columns, [f.dataType for f in right.schema.fields]))[on]
+    if tolerance is None:
+        pd_tol = None
+    elif isinstance(on_type, (T.TimestampType, T.TimestampNTZType)):
+        import pandas as pd
+
+        pd_tol = pd.Timedelta(microseconds=int(tolerance))
+    elif isinstance(on_type, T.DateType):
+        import pandas as pd
+
+        pd_tol = pd.Timedelta(days=int(tolerance))
+    else:
+        pd_tol = int(tolerance)
     types = {f.name: f.dataType.simpleString() for f in left.schema.fields}
     rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
     lcols, rvals, out_cols = _validate(left, right, on, by, suffix)
@@ -307,8 +450,14 @@ def asof_join_grouped(
             for c in [on] + rvals:
                 out[f"{c}{suffix}"] = None
         else:
+            kwargs = {} if pd_tol is None else {"tolerance": pd_tol}
             out = _pd.merge_asof(
-                l, r, left_on=on, right_on=f"{on}{suffix}", direction="backward"
+                l,
+                r,
+                left_on=on,
+                right_on=f"{on}{suffix}",
+                direction=direction,
+                **kwargs,
             )
         return out[out_cols]
 
