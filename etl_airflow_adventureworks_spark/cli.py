@@ -92,6 +92,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="pin a committed index version (default latest)")
     qi.add_argument("--limit", type=int, default=20)
 
+    se = sub.add_parser(
+        "sessionize",
+        help="sessionize an events table through the skew dispatcher: ONE "
+        "sampled hot-key-share probe routes user-window vs time-sharded "
+        "(result-identical), and is reused for --attribution",
+    )
+    se.add_argument("--sf-dir", required=True, help="dir containing events.parquet")
+    se.add_argument("--gap-min", type=int, default=None,
+                    help="session gap in minutes (default: engine default)")
+    se.add_argument("--attribution", action="store_true",
+                    help="also run as-of purchase attribution, reusing the probe")
+    se.add_argument("--out", default=None, help="write sessions parquet here")
+    se.add_argument("--limit", type=int, default=20)
+
     sub.add_parser("list", help="list declared queries")
 
     args = p.parse_args(argv)
@@ -203,6 +217,33 @@ def main(argv: list[str] | None = None) -> int:
         ann_ivf_topk_from_index(
             spark, args.index, args.nprobe, preloaded=index
         ).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "sessionize":
+        # VERDICT r7 #5: the dispatchers' production consumer. One probe
+        # (max_key_share) serves every dispatched query on the frame —
+        # the reuse the measured decision table recommends.
+        from .operators.sessionize import (
+            SESSION_GAP_MIN,
+            _skew_threshold,
+            asof_attribution_auto,
+            max_key_share,
+            session_gap_auto,
+        )
+        from .sources import load_table
+
+        ev = load_table(spark, args.sf_dir, "events")
+        share = max_key_share(ev, "user_id")
+        routed = "sharded" if share >= _skew_threshold(ev, None) else "user_window"
+        print(f"dispatch: max user share {share:.4f} -> {routed}")
+        gap = args.gap_min if args.gap_min is not None else SESSION_GAP_MIN
+        sessions = session_gap_auto(ev, gap_min=gap, share=share)
+        if args.out:
+            sessions.write.mode("overwrite").parquet(args.out)
+            print(f"sessions: {spark.read.parquet(args.out).count()} rows -> {args.out}")
+        else:
+            sessions.show(args.limit, truncate=False)
+        if args.attribution:
+            asof_attribution_auto(ev, share=share).show(args.limit, truncate=False)
         return 0
     if args.cmd == "query":
         if args.name not in QUERIES:

@@ -462,6 +462,7 @@ def session_gap_auto(
     shard_hours: int = 24,
     threshold: float | None = None,
     sample_fraction: float = 0.01,
+    share: float | None = None,
 ) -> DataFrame:
     """Skew-dispatched sessionizer for library callers (VERDICT r6 #4): a
     sampled max-key-share probe picks ``session_gap_user_window`` (one
@@ -480,8 +481,12 @@ def session_gap_auto(
     saving is 0.2-6 s at 2M-32M events and grows with data, while the
     probe is one column-pruned sample scan), when skew is unknown and an
     indivisible-task stall is worse than +0.3 s, or when the probed share
-    is reused across several windowed queries on the same frame."""
-    share = max_key_share(ev, "user_id", sample_fraction)
+    is reused across several windowed queries on the same frame — pass a
+    pre-computed ``share`` (from one ``max_key_share`` call) to amortize
+    the probe over every dispatched query on the frame (the CLI
+    ``sessionize`` subcommand does exactly that)."""
+    if share is None:
+        share = max_key_share(ev, "user_id", sample_fraction)
     if share >= _skew_threshold(ev, threshold):
         return session_gap_sharded(ev, gap_min=gap_min, shard_hours=shard_hours)
     return session_gap_user_window(ev, gap_min=gap_min)
@@ -492,12 +497,15 @@ def asof_attribution_auto(
     shard_hours: int = 24,
     threshold: float | None = None,
     sample_fraction: float = 0.01,
+    share: float | None = None,
 ) -> DataFrame:
     """Skew-dispatched as-of attribution (same contract as
-    ``session_gap_auto``): user-window form below the sampled hot-share
-    threshold, time-sharded form at or above it; result-identical either
-    way. The DECLARED ``ext_asof_attribution`` stays the sharded form."""
-    share = max_key_share(ev, "user_id", sample_fraction)
+    ``session_gap_auto``, including the pre-computed ``share`` reuse):
+    user-window form below the sampled hot-share threshold, time-sharded
+    form at or above it; result-identical either way. The DECLARED
+    ``ext_asof_attribution`` stays the sharded form."""
+    if share is None:
+        share = max_key_share(ev, "user_id", sample_fraction)
     if share >= _skew_threshold(ev, threshold):
         return asof_attribution_sharded(ev, shard_hours=shard_hours)
     return asof_attribution_user_window(ev)

@@ -62,3 +62,62 @@ def test_index_subcommands_round_trip(spark, tmp_path, capsys):
         "query-index", "--sf-dir", sf, "--index", idx, "--version", "1",
     ]) == 0
     assert "query_id" in capsys.readouterr().out
+
+
+def test_sessionize_dispatcher_routes_by_skew(spark, tmp_path, capsys):
+    """VERDICT r7 #5: the skew dispatchers have a shipped consumer. The CLI
+    probes the hot-key share ONCE, prints the routing decision, and reuses
+    the share for --attribution. Uniform corpus → user_window; planted
+    hot-user corpus → sharded; session output identical to the hard-wired
+    sharded form either way."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_airflow_adventureworks_spark.operators.sessionize import (
+        session_gap_sharded,
+    )
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    rng = np.random.default_rng(41)
+    n = 30_000  # big enough that the 1% sampled probe is stable
+
+    def write_events(dirname, user):
+        ts = 1_735_689_600_000_000 + np.sort(rng.integers(0, 30 * 86400 * 10**6, n))
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array(user.astype(np.int64)),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(rng.random(n)),
+                "props": pa.array(["{}"] * n),
+            }),
+            d / "events.parquet",
+        )
+        return d
+
+    # uniform: 500 equally-likely users (max share ~0.002, threshold 1/8)
+    uni_dir = write_events("uniform", rng.integers(1, 500, n))
+    out_u = str(tmp_path / "sess_uniform")
+    assert main([
+        "sessionize", "--sf-dir", str(uni_dir), "--out", out_u, "--attribution",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "dispatch: max user share" in text
+    assert "-> user_window" in text
+    want = session_gap_sharded(load_table(spark, str(uni_dir), "events")).count()
+    assert spark.read.parquet(out_u).count() == want
+
+    # skewed: user 0 holds ~60% of events
+    hot_dir = write_events(
+        "hot", np.where(rng.random(n) < 0.6, 0, rng.integers(1, 500, n))
+    )
+    out_h = str(tmp_path / "sess_hot")
+    assert main(["sessionize", "--sf-dir", str(hot_dir), "--out", out_h]) == 0
+    text = capsys.readouterr().out
+    assert "-> sharded" in text
+    want_hot = session_gap_sharded(load_table(spark, str(hot_dir), "events"))
+    assert spark.read.parquet(out_h).count() == want_hot.count()

@@ -287,3 +287,212 @@ def test_internal_column_collision_raises(spark):
             ivs.withColumnRenamed("iid", "__e_b"),
             "p", "s", "e", by="k",
         )
+
+
+# ---------------------------------------------------------------------------
+# interval_join (VERDICT r7 #3): interval x interval overlap, both sides
+# exploded, dedup-free meeting rule.
+# ---------------------------------------------------------------------------
+
+from etl_airflow_adventureworks_spark.operators.rangejoin import (  # noqa: E402
+    interval_join,
+    interval_join_naive,
+)
+
+
+def _mk_left_iv(spark, rows):
+    return spark.createDataFrame(rows, "lid long, k long, ls long, le long")
+
+
+def _mk_right_iv(spark, rows):
+    return spark.createDataFrame(rows, "rid long, k long, rs long, re long")
+
+
+def _iv_pairs(df):
+    return sorted(
+        (r["lid"], r["rid_iv"])
+        for r in df.select("lid", "rid_iv").collect()
+        if r["rid_iv"] is not None
+    )
+
+
+@pytest.fixture(scope="module")
+def iv_corpus(spark):
+    """Randomized two-interval-table corpus: small axis for boundary
+    collisions (touching spans, contained spans, identical spans), 2 keys
+    plus NULL keys, empty/backward intervals and NULL endpoints on both
+    sides, negative axis values."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+
+    def mk(n, id0=0):
+        rows = []
+        for i in range(n):
+            s = int(rng.integers(-20, 40))
+            ln = int(rng.integers(-3, 15))  # negatives → empty/backward
+            k = int(rng.integers(0, 2)) if rng.random() > 0.1 else None
+            rows.append((id0 + i, k, s, s + ln))
+        rows.append((id0 + n, 0, 5, None))  # null endpoint
+        rows.append((id0 + n + 1, 1, None, 9))
+        return rows
+    return mk(50), mk(45, 1000)
+
+
+def _brute_overlap(lrows, rrows, bounds, keyed=True):
+    out = []
+    for lid, lk, ls, le in lrows:
+        for rid, rk, rs, re in rrows:
+            if None in (ls, le, rs, re):
+                continue
+            if keyed and (lk is None or rk is None or lk != rk):
+                continue
+            if bounds == "[)":
+                # empty/backward spans have an empty point set → no overlap
+                if ls < le and rs < re and ls < re and rs < le:
+                    out.append((lid, rid))
+            else:
+                if ls <= le and rs <= re and ls <= re and rs <= le:
+                    out.append((lid, rid))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("width", [1, 4, 9, 1000, "auto"])
+@pytest.mark.parametrize("bounds", ["[)", "[]"])
+def test_interval_join_matches_naive_and_brute(spark, iv_corpus, width, bounds):
+    lrows, rrows = iv_corpus
+    left, right = _mk_left_iv(spark, lrows), _mk_right_iv(spark, rrows)
+    got = interval_join(
+        left, right, "ls", "le", "rs", "re", by="k",
+        bounds=bounds, shard_width=width,
+    )
+    rows = got.collect()
+    pairs = sorted((r["lid"], r["rid_iv"]) for r in rows)
+    # dedup-free meeting rule: every true pair appears EXACTLY once
+    assert len(pairs) == len(set(pairs))
+    want_naive = _iv_pairs(
+        interval_join_naive(left, right, "ls", "le", "rs", "re", by="k", bounds=bounds)
+    )
+    want_brute = _brute_overlap(lrows, rrows, bounds)
+    assert pairs == want_naive == want_brute, (width, bounds)
+    assert len(pairs) > 20  # the corpus must actually exercise overlaps
+
+
+def test_interval_join_global_no_key(spark, iv_corpus):
+    lrows, rrows = iv_corpus
+    left, right = _mk_left_iv(spark, lrows[:12]), _mk_right_iv(spark, rrows[:12])
+    got = _iv_pairs(
+        interval_join(left, right, "ls", "le", "rs", "re", shard_width=5)
+    )
+    want = _brute_overlap(lrows[:12], rrows[:12], "[)", keyed=False)
+    assert got == want and got
+
+
+def test_interval_join_left_how_needs_id_and_works(spark, iv_corpus):
+    lrows, rrows = iv_corpus
+    left, right = _mk_left_iv(spark, lrows), _mk_right_iv(spark, rrows)
+    with pytest.raises(ValueError, match="left_id"):
+        interval_join(left, right, "ls", "le", "rs", "re", by="k", how="left")
+    got = interval_join(
+        left, right, "ls", "le", "rs", "re", by="k",
+        how="left", left_id="lid", shard_width=4,
+    ).collect()
+    want = interval_join_naive(
+        left, right, "ls", "le", "rs", "re", by="k", how="left"
+    ).collect()
+    key = lambda r: (r["lid"], r["rid_iv"] if r["rid_iv"] is not None else -1)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # every left row survives at least once (unmatched → one null row)
+    assert {r["lid"] for r in got} == {r[0] for r in lrows}
+    unmatched = [r for r in got if r["rid_iv"] is None]
+    assert unmatched  # corpus has overlap-less lefts (empty/null spans)
+
+
+def test_interval_join_touching_spans_bounds_semantics(spark):
+    # [0,10) and [10,20): touch but don't overlap half-open; DO meet under []
+    left = _mk_left_iv(spark, [(1, 0, 0, 10)])
+    right = _mk_right_iv(spark, [(2, 0, 10, 20)])
+    for width in (3, 100):
+        assert _iv_pairs(
+            interval_join(left, right, "ls", "le", "rs", "re", by="k",
+                          bounds="[)", shard_width=width)
+        ) == []
+        assert _iv_pairs(
+            interval_join(left, right, "ls", "le", "rs", "re", by="k",
+                          bounds="[]", shard_width=width)
+        ) == [(1, 2)]
+
+
+def test_interval_join_explosion_guard(spark):
+    left = _mk_left_iv(spark, [(1, 0, 0, 10_000_000)])
+    right = _mk_right_iv(spark, [(2, 0, 5, 6)])
+    df = interval_join(
+        left, right, "ls", "le", "rs", "re", by="k",
+        shard_width=1, max_shards_per_interval=64,
+    )
+    with pytest.raises(Exception, match="max_shards_per_interval"):
+        df.collect()
+
+
+def test_interval_join_auto_width_ignores_invalid(spark):
+    # same probe rule as range_join: backward/NULL intervals don't drag the
+    # average into shredding valid ones (guard tripped at 16 shards if so)
+    lrows = [(j, 0, j * 1_000, j * 1_000 - 900) for j in range(1, 50)]
+    lrows += [(100 + j, 0, j * 1_000, j * 1_000 + 900) for j in range(3)]
+    rrows = [(200 + j, 0, j * 1_000 + 100, j * 1_000 + 200) for j in range(3)]
+    left, right = _mk_left_iv(spark, lrows), _mk_right_iv(spark, rrows)
+    got = _iv_pairs(
+        interval_join(left, right, "ls", "le", "rs", "re", by="k",
+                      shard_width="auto", max_shards_per_interval=16)
+    )
+    assert got == _brute_overlap(lrows, rrows, "[)")
+    assert len(got) == 3
+
+
+def test_interval_join_hot_key(spark):
+    """One key owns most intervals on both sides — the regime where the
+    naive plan's same-key residual goes quadratic; results must agree."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    n = 800
+
+    def mk(id0):
+        ks = np.where(rng.random(n) < 0.7, 0, rng.integers(1, 10, n))
+        ss = rng.integers(0, 100_000, n)
+        ln = rng.integers(20, 300, n)
+        return [
+            (id0 + i, int(k), int(s), int(s + l))
+            for i, (k, s, l) in enumerate(zip(ks.tolist(), ss.tolist(), ln.tolist()))
+        ]
+    lrows, rrows = mk(0), mk(10_000)
+    left, right = _mk_left_iv(spark, lrows), _mk_right_iv(spark, rrows)
+    got = _iv_pairs(
+        interval_join(left, right, "ls", "le", "rs", "re", by="k", shard_width=60)
+    )
+    want = _iv_pairs(
+        interval_join_naive(left, right, "ls", "le", "rs", "re", by="k")
+    )
+    assert got == want and len(got) > 100
+
+
+def test_interval_join_plan_catalyst_only(spark, iv_corpus):
+    lrows, rrows = iv_corpus
+    left, right = _mk_left_iv(spark, lrows), _mk_right_iv(spark, rrows)
+    df = interval_join(left, right, "ls", "le", "rs", "re", by="k", shard_width=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "BroadcastNestedLoopJoin",
+                "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_interval_join_validation(spark):
+    left = _mk_left_iv(spark, [(1, 0, 0, 10)])
+    right = _mk_right_iv(spark, [(2, 0, 5, 6)])
+    with pytest.raises(ValueError, match="how"):
+        interval_join(left, right, "ls", "le", "rs", "re", how="outer")
+    with pytest.raises(ValueError, match="bounds"):
+        interval_join(left, right, "ls", "le", "rs", "re", bounds="()")
+    with pytest.raises(ValueError, match="left_id"):
+        interval_join(left, right, "ls", "le", "rs", "re", how="left",
+                      left_id="nope")
