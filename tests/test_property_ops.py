@@ -1,8 +1,9 @@
-"""Property-based tests (hypothesis) for the round-7 operators: the
-sharded range join and line-level boilerplate removal each checked
-against an independent pure-python reference on randomized corpora.
-Example counts are small (each example is a real Spark job) — the
-breadth comes from hypothesis shrinking whatever it finds."""
+"""Property-based tests (hypothesis) for the round-7/8 operators: the
+sharded range join, interval-overlap join and line-level boilerplate
+removal each checked against an independent pure-python reference on
+randomized corpora. Example counts are small (each example is a real
+Spark job) — the breadth comes from hypothesis shrinking whatever it
+finds."""
 
 from __future__ import annotations
 
@@ -12,7 +13,10 @@ from hypothesis import strategies as st
 from etl_airflow_adventureworks_spark.operators.linededup import (
     remove_boilerplate_lines,
 )
-from etl_airflow_adventureworks_spark.operators.rangejoin import range_join
+from etl_airflow_adventureworks_spark.operators.rangejoin import (
+    interval_join,
+    range_join,
+)
 
 # -- range join ------------------------------------------------------------
 
@@ -65,6 +69,64 @@ def test_range_join_matches_brute_force(spark, pts, ivs, width, bounds):
         .collect()
     )
     assert got == _brute_pairs(pts, ivs, bounds)
+
+
+# -- interval overlap join --------------------------------------------------
+
+_spans = st.lists(
+    st.tuples(
+        _keys,
+        st.one_of(st.none(), st.integers(-20, 40)),
+        st.one_of(st.none(), st.integers(-25, 45)),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _brute_overlap(ls, rs, bounds):
+    out = []
+    for lid, (lk, s1, e1) in enumerate(ls):
+        for rid, (rk, s2, e2) in enumerate(rs):
+            if None in (lk, rk, s1, e1, s2, e2) or lk != rk:
+                continue
+            if bounds == "[)":
+                hit = s1 < e1 and s2 < e2 and s1 < e2 and s2 < e1
+            else:
+                hit = s1 <= e1 and s2 <= e2 and s1 <= e2 and s2 <= e1
+            if hit:
+                out.append((lid, rid))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    ls=_spans,
+    rs=_spans,
+    width=st.integers(1, 30),
+    bounds=st.sampled_from(["[)", "[]"]),
+)
+def test_interval_join_matches_brute_force(spark, ls, rs, width, bounds):
+    ldf = spark.createDataFrame(
+        [(i, k, s, e) for i, (k, s, e) in enumerate(ls)],
+        "lid long, k long, ls long, le long",
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, s, e) for j, (k, s, e) in enumerate(rs)],
+        "rid long, k long, rs long, re long",
+    )
+    got = sorted(
+        (r["lid"], r["rid_iv"])
+        for r in interval_join(
+            ldf, rdf, "ls", "le", "rs", "re", by="k",
+            bounds=bounds, shard_width=width,
+        )
+        .select("lid", "rid_iv")
+        .collect()
+    )
+    # exactly-once emission (the meeting rule) AND set equality vs brute force
+    assert len(got) == len(set(got))
+    assert got == _brute_overlap(ls, rs, bounds)
 
 
 # -- line-level boilerplate removal ---------------------------------------
