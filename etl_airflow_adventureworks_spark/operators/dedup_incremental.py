@@ -1,0 +1,199 @@
+"""Incremental near-duplicate dedup: a NEW batch checked against a
+PERSISTED MinHash index of the corpus — without re-running dedup over the
+corpus.
+
+At 100 TB the full-corpus MinHash pass (`dedup.minhash_neardup_pairs`)
+is a build-time job; ingestion is incremental — a daily batch must be
+deduped against everything already accepted. Re-running the full pass
+per batch re-shuffles the whole corpus for every arrival. This module
+persists the reusable per-document state once — hashed shingle sets
+(`hh`, for the exact-Jaccard verify) and the 32-permutation MinHash
+signature (`sig`, for LSH banding) — as a `VersionedTable`
+(atomic manifests, time travel, idempotent appends), and checks each
+new batch with plans that only ever SCAN the corpus:
+
+- candidate generation: the batch's band rows (tiny) BROADCAST against a
+  column-pruned (doc_id, sig) scan of the index — the corpus is never
+  shuffled, and matches are ∝ LSH collisions;
+- verify: one more column-pruned (doc_id, hh) scan of the index,
+  semi-joined down to just the candidate ids, then exact Jaccard on the
+  fetched (small) shingle sets.
+
+Signatures here are computed per-row (`array_min(transform(...))`) —
+identical values to `dedup.minhash_signatures`'s explode+groupBy form
+(same permutation coefficients, same Mersenne modulus, min over the same
+distinct shingle set) but with zero shuffle, which is the right trade for
+a build-once index write and for small batches. The agreement is pinned
+in tests, and the end-to-end contract is exact: **incremental pairs ==
+the full-corpus batch operator's pairs restricted to pairs touching the
+new batch** (same candidates, same verify, same threshold).
+
+No reference counterpart (the reference has no dedup at all); charter E2
+extension, sibling of `operators/similarity.build_ivf_index`'s persisted
+serving artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..table import VersionedTable
+from .dedup import (
+    JACCARD_THRESHOLD,
+    _MERSENNE_P,
+    _N_BANDS,
+    _PERM_A,
+    _PERM_B,
+    hashed_shingle_sets_df,
+)
+
+#: band keys from the stored signature array — value-identical strings to
+#: the batch op's ``concat(s{2b}, ',', s{2b+1})`` over its signature columns
+_BANDS_EXPR = (
+    f"transform(sequence(0, {_N_BANDS - 1}),"
+    " b -> concat(element_at(sig, 2*b + 1), ',', element_at(sig, 2*b + 2)))"
+)
+
+
+def _require_doc_frame(docs: DataFrame, what: str) -> None:
+    missing = {"doc_id", "text"} - set(docs.columns)
+    if missing:
+        raise ValueError(f"{what} needs columns doc_id, text (missing {sorted(missing)})")
+
+
+def neardup_index_entries(docs: DataFrame) -> DataFrame:
+    """(doc_id, hh, sig) — the persisted per-document dedup state.
+
+    ``hh`` = distinct hashed 3-token shingles (`hashed_shingle_sets_df`);
+    ``sig`` = 32-long MinHash signature computed row-locally:
+    ``sig[i] = min over h in hh of (a_i*h + b_i) mod p`` — the same
+    formula and coefficients as ``dedup.minhash_signatures``, so bands
+    built from either source collide identically. Row-local (no explode /
+    groupBy shuffle): right for the one-time index write and for small
+    ingest batches; the explode+groupBy twin stays the right shape for
+    full-corpus jobs where codegen'd partial mins win.
+    """
+    _require_doc_frame(docs, "neardup_index_entries")
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(hh, h -> pmod({a}L * h + {b}L, {_MERSENNE_P}L)))"
+            )
+            for a, b in zip(_PERM_A, _PERM_B)
+        ]
+    ).alias("sig")
+    return hashed_shingle_sets_df(docs).select("doc_id", "hh", sig)
+
+
+def build_neardup_index(
+    spark: SparkSession, docs: DataFrame, index_path: str
+) -> int:
+    """Build (or rebuild) the persisted dedup index from the current
+    corpus — one atomic `VersionedTable` commit; returns the version."""
+    return VersionedTable(spark, index_path).commit(
+        neardup_index_entries(docs), mode="overwrite"
+    )
+
+
+def append_to_neardup_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_path: str,
+    idempotency_token: str | None = None,
+) -> int:
+    """Append an accepted batch's entries to the index as a new version.
+    Pass the batch id as ``idempotency_token`` for exactly-once semantics
+    under retries (a replayed commit is a no-op returning the existing
+    version — same contract as the streaming upsert sink)."""
+    return VersionedTable(spark, index_path).commit(
+        neardup_index_entries(docs), mode="append",
+        idempotency_token=idempotency_token,
+    )
+
+
+def _bands(entries: DataFrame) -> DataFrame:
+    return entries.select(
+        "doc_id", F.posexplode(F.expr(_BANDS_EXPR)).alias("band_idx", "band_key")
+    )
+
+
+def minhash_neardup_incremental(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    version: int | None = None,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs involving the NEW batch, against index ``version``
+    (default latest) — batch-vs-corpus AND batch-internal pairs, exactly
+    the full-corpus operator's output restricted to pairs that touch the
+    batch: (doc_a, doc_b, jaccard) with doc_a < doc_b, Jaccard ≥
+    ``threshold``, verified exactly on the stored shingle sets.
+
+    Plan: the batch's band rows broadcast against a (doc_id, sig)-pruned
+    index scan (corpus never shuffles; matches ∝ collisions); batch-
+    internal candidates come from in-bucket expansion of the batch's own
+    bands (tiny). The three BOUNDED frames (batch entries, candidate
+    pairs, fetched shingle sets — all batch- or collision-sized, never
+    corpus-sized) are eagerly localCheckpoint'd because multiple branches
+    reuse each and re-deriving them would re-scan the index per branch.
+    Verify fetches only the candidate ids' shingle sets via one more
+    pruned index scan.
+
+    A doc_id present in BOTH the batch and the index is treated as the
+    same document (self-pairs excluded) — append batches with fresh ids.
+    """
+    _require_doc_frame(new_docs, "minhash_neardup_incremental")
+    idx = VersionedTable(spark, index_path).read(version)
+    new = neardup_index_entries(new_docs).localCheckpoint(eager=True)
+    nb, ib = _bands(new), _bands(idx)
+
+    cross = (
+        ib.withColumnRenamed("doc_id", "old_id")
+        .join(F.broadcast(nb.withColumnRenamed("doc_id", "new_id")),
+              ["band_idx", "band_key"])
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select(
+            F.least("new_id", "old_id").alias("doc_a"),
+            F.greatest("new_id", "old_id").alias("doc_b"),
+        )
+    )
+    # batch-internal candidates: same in-bucket expansion as the batch op
+    within = (
+        nb.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .selectExpr(
+            "explode(flatten(transform(sequence(1, size(ids) - 1),"
+            " i -> transform(slice(ids, i + 1, size(ids) - i),"
+            " y -> named_struct('doc_a', element_at(ids, i), 'doc_b', y))))) AS pair"
+        )
+        .select("pair.doc_a", "pair.doc_b")
+    )
+    cand = cross.unionByName(within).distinct().localCheckpoint(eager=True)
+
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    have = idx.select("doc_id", "hh").unionByName(new.select("doc_id", "hh"))
+    # docs in both batch and index contribute identical (doc_id, hh) rows
+    # twice; collapse so the verify joins stay 1:1
+    need = (
+        have.join(F.broadcast(ids), "doc_id")
+        .groupBy("doc_id").agg(F.first("hh").alias("hh"))
+        .localCheckpoint(eager=True)
+    )
+    sa = need.select(F.col("doc_id").alias("doc_a"), F.col("hh").alias("sh_a"))
+    sb = need.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -121,3 +121,47 @@ def test_sessionize_dispatcher_routes_by_skew(spark, tmp_path, capsys):
     assert "-> sharded" in text
     want_hot = session_gap_sharded(load_table(spark, str(hot_dir), "events"))
     assert spark.read.parquet(out_h).count() == want_hot.count()
+
+
+def test_dedup_index_subcommands_round_trip(spark, tmp_path, capsys):
+    """r8: build-dedup-index -> dedup-check finds the planted batch-vs-
+    corpus dup -> --accept appends (idempotent under --token replay) ->
+    a re-check of the same batch now also collides with its accepted
+    twin ids."""
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta doc {i} eta theta iota kappa")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    cdir = str(tmp_path / "corpus")
+    corpus.write.parquet(cdir)
+    # batch doc 100 duplicates corpus doc 7 exactly; 101 is fresh text
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta doc 7 eta theta iota kappa"),
+         (101, "totally different words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    bdir = str(tmp_path / "batch")
+    batch.write.parquet(bdir)
+    idx = str(tmp_path / "idx")
+
+    assert main(["build-dedup-index", "--docs", cdir, "--index", idx]) == 0
+    assert "version 1" in capsys.readouterr().out
+
+    out = str(tmp_path / "pairs")
+    assert main([
+        "dedup-check", "--batch", bdir, "--index", idx, "--out", out,
+        "--accept", "--token", "b1",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "version 2" in text
+    rows = {(r["doc_a"], r["doc_b"]) for r in spark.read.parquet(out).collect()}
+    assert (7, 100) in rows
+    assert all(101 not in p for p in rows)
+
+    # replaying the accept with the same token must NOT create version 3
+    assert main([
+        "dedup-check", "--batch", bdir, "--index", idx, "--accept",
+        "--token", "b1",
+    ]) == 0
+    assert "version 2" in capsys.readouterr().out

@@ -1,0 +1,158 @@
+"""Incremental near-dup dedup (r8): a new batch checked against the
+persisted MinHash index must produce EXACTLY the full-corpus batch
+operator's pairs restricted to pairs touching the batch — same bands,
+same verify, same threshold — without re-running dedup over the corpus."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from etl_airflow_adventureworks_spark.operators.dedup import (
+    hashed_shingle_sets_df,
+    minhash_neardup_pairs,
+    minhash_signatures,
+)
+from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+    append_to_neardup_index,
+    build_neardup_index,
+    minhash_neardup_incremental,
+    neardup_index_entries,
+)
+from etl_airflow_adventureworks_spark.table import VersionedTable
+
+_VOCAB = [f"w{i}" for i in range(60)]
+
+
+def _doc(rng: random.Random, n: int = 12) -> str:
+    return " ".join(rng.choice(_VOCAB) for _ in range(n))
+
+
+def _mutate(text: str, rng: random.Random) -> str:
+    words = text.split()
+    words[rng.randrange(len(words))] = rng.choice(_VOCAB)
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batches(spark):
+    """corpus ids 0-39, batch1 ids 100-109, batch2 ids 200-205 with
+    planted dups: corpus-internal (must NOT surface incrementally),
+    batch1→corpus exact + near, batch1-internal, batch2→corpus,
+    batch2→batch1 (visible only AFTER batch1 is appended)."""
+    rng = random.Random(7)
+    corpus = [(i, _doc(rng)) for i in range(40)]
+    corpus[5] = (5, corpus[4][1])  # corpus-internal exact dup (4, 5)
+
+    b1 = [(100 + i, _doc(rng)) for i in range(10)]
+    b1[0] = (100, corpus[7][1])              # exact dup of corpus 7
+    b1[1] = (101, _mutate(corpus[8][1], rng))  # near dup of corpus 8
+    b1[3] = (103, b1[2][1])                  # batch1-internal dup (102, 103)
+
+    b2 = [(200 + i, _doc(rng)) for i in range(6)]
+    b2[0] = (200, corpus[9][1])              # exact dup of corpus 9
+    b2[1] = (201, b1[4][1])                  # exact dup of batch1's 104
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    return mk(corpus), mk(b1), mk(b2), corpus, b1, b2
+
+
+def _pairs(df):
+    return {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()
+    }
+
+
+def _full_pairs_touching(spark, all_rows, touch_ids):
+    full = minhash_neardup_pairs(
+        hashed_shingle_sets_df(
+            spark.createDataFrame(all_rows, "doc_id long, text string")
+        )
+    )
+    return {
+        p for p in _pairs(full) if p[0] in touch_ids or p[1] in touch_ids
+    }
+
+
+def test_row_local_signatures_match_groupby_form(spark, corpus_and_batches):
+    corpus_df = corpus_and_batches[0]
+    ent = neardup_index_entries(corpus_df)
+    got = {r["doc_id"]: list(r["sig"]) for r in ent.collect()}
+    sig = minhash_signatures(hashed_shingle_sets_df(corpus_df))
+    want = {
+        r["doc_id"]: [r[f"s{i}"] for i in range(32)] for r in sig.collect()
+    }
+    assert got == want
+
+
+def test_incremental_equals_full_restricted_to_batch(
+    spark, tmp_path_factory, corpus_and_batches
+):
+    corpus_df, b1_df, b2_df, corpus, b1, b2 = corpus_and_batches
+    idx = str(tmp_path_factory.mktemp("nd") / "index")
+    v1 = build_neardup_index(spark, corpus_df, idx)
+    assert v1 == 1
+
+    got1 = _pairs(minhash_neardup_incremental(spark, b1_df, idx))
+    want1 = _full_pairs_touching(
+        spark, corpus + b1, {i for i, _ in b1}
+    )
+    assert got1 == want1
+    # the planted pairs really are in there (exact dups always collide)
+    found = {(a, b) for a, b, _ in got1}
+    assert (7, 100) in found          # batch → corpus exact
+    assert (102, 103) in found        # batch-internal
+    # corpus-internal dup (4, 5) must NOT surface
+    assert (4, 5) not in found
+
+    # second batch after appending batch1: sees corpus AND batch1
+    append_to_neardup_index(spark, b1_df, idx, idempotency_token="b1")
+    got2 = _pairs(minhash_neardup_incremental(spark, b2_df, idx))
+    want2 = _full_pairs_touching(
+        spark, corpus + b1 + b2, {i for i, _ in b2}
+    )
+    assert got2 == want2
+    found2 = {(a, b) for a, b, _ in got2}
+    assert (9, 200) in found2         # batch2 → corpus
+    assert (104, 201) in found2       # batch2 → batch1 (cross-batch)
+
+
+def test_append_is_idempotent_under_token_replay(
+    spark, tmp_path, corpus_and_batches
+):
+    corpus_df, b1_df = corpus_and_batches[0], corpus_and_batches[1]
+    idx = str(tmp_path / "index")
+    build_neardup_index(spark, corpus_df, idx)
+    v2 = append_to_neardup_index(spark, b1_df, idx, idempotency_token="batch-1")
+    v_replay = append_to_neardup_index(
+        spark, b1_df, idx, idempotency_token="batch-1"
+    )
+    assert v_replay == v2
+    vt = VersionedTable(spark, idx)
+    assert vt.read().count() == corpus_df.count() + b1_df.count()
+
+
+def test_threshold_and_validation(spark, tmp_path, corpus_and_batches):
+    corpus_df, b1_df = corpus_and_batches[0], corpus_and_batches[1]
+    idx = str(tmp_path / "index")
+    build_neardup_index(spark, corpus_df, idx)
+    loose = _pairs(minhash_neardup_incremental(spark, b1_df, idx, threshold=0.3))
+    tight = _pairs(minhash_neardup_incremental(spark, b1_df, idx, threshold=0.99))
+    assert tight <= loose
+    assert all(j >= 0.99 for _, _, j in tight) and tight  # exact dups survive
+    with pytest.raises(ValueError, match="doc_id, text"):
+        minhash_neardup_incremental(
+            spark, b1_df.withColumnRenamed("text", "body"), idx
+        )
+
+
+def test_incremental_plan_is_python_free(spark, tmp_path, corpus_and_batches):
+    corpus_df, b1_df = corpus_and_batches[0], corpus_and_batches[1]
+    idx = str(tmp_path / "index")
+    build_neardup_index(spark, corpus_df, idx)
+    df = minhash_neardup_incremental(spark, b1_df, idx)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
