@@ -123,6 +123,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="idempotency token for --accept (e.g. the batch id)")
     dc.add_argument("--limit", type=int, default=20)
 
+    ig = sub.add_parser(
+        "ingest",
+        help="admit a batch of documents through the near-dup gate: "
+        "greedy keep-lowest vs the persisted index and within the batch, "
+        "accepted docs appended to BOTH the corpus table and the index "
+        "as one idempotent epoch (replaying the same --epoch is a no-op)",
+    )
+    ig.add_argument("--batch", required=True,
+                    help="batch parquet with doc_id, text (fresh ids)")
+    ig.add_argument("--index", required=True, help="dedup index root path")
+    ig.add_argument("--corpus", required=True,
+                    help="accepted-documents VersionedTable root path")
+    ig.add_argument("--epoch", required=True, type=int,
+                    help="monotonic epoch/batch id (the idempotency basis)")
+    ig.add_argument("--threshold", type=float, default=None)
+    ig.add_argument("--audit", default=None,
+                    help="optionally append detected pairs to this table")
+
     se = sub.add_parser(
         "sessionize",
         help="sessionize an events table through the skew dispatcher: ONE "
@@ -281,6 +299,20 @@ def main(argv: list[str] | None = None) -> int:
                 spark, batch, args.index, idempotency_token=args.token
             )
             print(f"accepted batch into dedup index version {v}")
+        return 0
+    if args.cmd == "ingest":
+        from .operators.dedup import JACCARD_THRESHOLD
+        from .streaming.ingest import ingest_batch_with_dedup
+
+        batch = spark.read.parquet(args.batch)
+        stats = ingest_batch_with_dedup(
+            batch, args.index, args.corpus, args.epoch,
+            threshold=args.threshold if args.threshold is not None
+            else JACCARD_THRESHOLD,
+            audit_path=args.audit,
+        )
+        print(f"epoch {args.epoch}: accepted {stats['accepted']}, "
+              f"rejected {stats['rejected']} near-dup")
         return 0
     if args.cmd == "sessionize":
         # VERDICT r7 #5: the dispatchers' production consumer. One probe

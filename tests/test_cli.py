@@ -165,3 +165,38 @@ def test_dedup_index_subcommands_round_trip(spark, tmp_path, capsys):
         "--token", "b1",
     ]) == 0
     assert "version 2" in capsys.readouterr().out
+
+
+def test_ingest_subcommand_gate_and_replay(spark, tmp_path, capsys):
+    """r8: the `ingest` subcommand admits a batch through the near-dup
+    gate (dup rejected, fresh accepted, both tables advanced as ONE
+    epoch) and a replayed --epoch is a version-stable no-op."""
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    cdir = str(tmp_path / "corpus")
+    corpus.write.parquet(cdir)
+    idx = str(tmp_path / "idx")
+    cor = str(tmp_path / "cor")
+    assert main(["build-dedup-index", "--docs", cdir, "--index", idx]) == 0
+    capsys.readouterr()
+
+    batch = spark.createDataFrame(
+        [(100, " ".join(f"c7w{j}" for j in range(12)) + " zz"),  # dup of 7
+         (101, " ".join(f"n101w{j}" for j in range(12)))],       # fresh
+        "doc_id long, text string",
+    )
+    bdir = str(tmp_path / "batch")
+    batch.write.parquet(bdir)
+    args = ["ingest", "--batch", bdir, "--index", idx, "--corpus", cor,
+            "--epoch", "1"]
+    assert main(args) == 0
+    assert "accepted 1, rejected 1" in capsys.readouterr().out
+    assert {r.doc_id for r in VersionedTable(spark, cor).read().collect()} == {101}
+
+    vers = [VersionedTable(spark, p).versions() for p in (idx, cor)]
+    assert main(args) == 0  # replayed epoch
+    assert [VersionedTable(spark, p).versions() for p in (idx, cor)] == vers
