@@ -200,3 +200,32 @@ def test_ingest_subcommand_gate_and_replay(spark, tmp_path, capsys):
     vers = [VersionedTable(spark, p).versions() for p in (idx, cor)]
     assert main(args) == 0  # replayed epoch
     assert [VersionedTable(spark, p).versions() for p in (idx, cor)] == vers
+
+
+def test_validate_subcommand_report_and_quarantine(spark, tmp_path, capsys):
+    """r8: the `validate` subcommand runs a JSON check spec (incl. an
+    in-dir foreign_key ref), --strict exit-codes on failure, and
+    --quarantine writes the good/bad split."""
+    import json
+
+    spec = [
+        {"kind": "not_null", "col": "l_shipdate"},
+        {"kind": "in_range", "col": "l_discount", "lo": 0, "hi": 0.05},
+        {"kind": "foreign_key", "col": "l_orderkey",
+         "ref_table": "orders", "ref_col": "o_orderkey"},
+    ]
+    cpath = str(tmp_path / "checks.json")
+    with open(cpath, "w") as fh:
+        json.dump(spec, fh)
+    qdir = str(tmp_path / "quar")
+    args = ["validate", "--sf-dir", "/root/testdata/sf0.001",
+            "--table", "lineitem", "--checks", cpath, "--quarantine", qdir]
+    assert main(args) == 0          # non-strict: reports but exits 0
+    out = capsys.readouterr().out
+    assert "FAILED checks: in_range(l_discount)" in out
+    assert main(args + ["--strict"]) == 1
+    good = spark.read.parquet(f"{qdir}/good")
+    bad = spark.read.parquet(f"{qdir}/bad")
+    total = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
+    assert good.count() + bad.count() == total
+    assert "_failed" in bad.columns and bad.count() > 0
