@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--path", required=True)
     c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--zorder", default=None,
+                   help="comma-separated columns: recluster on the Z curve "
+                   "while compacting (multi-column file skipping)")
 
     cu = sub.add_parser(
         "curate", help="run the corpus-curation waterfall and write the result"
@@ -221,8 +224,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         from .sinks import compact_table
 
-        n = compact_table(spark, args.path, args.target_mb * 1024 * 1024)
-        print(f"compacted to {n} file(s)")
+        n = compact_table(
+            spark, args.path, args.target_mb * 1024 * 1024,
+            zorder=args.zorder.split(",") if args.zorder else None,
+        )
+        print(f"compacted to {n} file(s)"
+              + (f" z-ordered on ({args.zorder})" if args.zorder else ""))
         return 0
     if args.cmd == "curate":
         from .operators.curate import curate_corpus

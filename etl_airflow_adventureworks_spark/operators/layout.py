@@ -1,0 +1,134 @@
+"""Z-order (Morton-curve) clustered layout for multi-column data skipping.
+
+At 100 TB the cheapest predicate is the one whose files are never
+opened. A linear sort clusters only its LEADING column: files written
+`ORDER BY user_id, ts` have tight user_id ranges but every file spans
+the whole ts domain, so a time-range query still touches all of them.
+Interleaving the bits of both columns' ranks (the Morton / Z curve)
+gives every file a tight bounding box in BOTH dimensions, and any
+engine that prunes on min/max footer stats — Spark's parquet row-group
+pushdown, or manifest-level skipping like `file_stats` below — reads
+only the files whose box intersects the query box.
+
+Everything is codegen'd column algebra: rank mapping is either min-max
+scaling or a quantile CDF evaluated against a broadcast literal
+boundary array (`size(filter(bounds, b -> b <= x))` — ~2^bits
+comparisons per row, vectorized, no Python); the bit-spread is the
+classic shift-and-mask ladder. The write is one
+`repartitionByRange(z)` shuffle — the same cost as the linear sort it
+replaces.
+
+No reference counterpart (the reference writes unsorted single CSVs);
+this is the layout leg of the charter's 100 TB posture, sibling of the
+bucketed-join and IVF/LSH partition-pruned layouts in
+`tests/test_bucketing.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: shift-and-mask ladder spreading a 16-bit value so its bits occupy
+#: every OTHER position of a 32-bit lane (64-bit long arithmetic)
+_SPREAD_STEPS = [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]
+
+
+def _spread_bits(col: Column) -> Column:
+    out = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_STEPS:
+        out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
+    return out
+
+
+def _rank16(df: DataFrame, col: str, bits: int, mode: str) -> Column:
+    """Map ``col`` to an integer rank in [0, 2^bits) (bits ≤ 16)."""
+    n = 1 << bits
+    c = F.col(col).cast("double")
+    if mode == "minmax":
+        lo, hi = df.agg(F.min(c), F.max(c)).first()
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0)
+        scaled = (c - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(n - 1)
+        return F.round(scaled).cast("long")
+    if mode == "quantile":
+        # boundary b_i = i/n quantile; rank = #boundaries ≤ x, i.e. the
+        # empirical CDF in n steps — constant-size driver collect, then a
+        # literal array every row compares against JVM-side
+        probs = [i / n for i in range(1, n)]
+        bounds = df.stat.approxQuantile(col, probs, 0.001)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        rank = F.size(F.filter(arr, lambda b: b <= c))
+        return F.least(rank, F.lit(n - 1)).cast("long")
+    raise ValueError(f"mode must be minmax|quantile, got {mode!r}")
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8, mode: str = "quantile"
+) -> Column:
+    """The interleaved Morton key over ``cols`` (2–4 columns, ``bits``
+    rank bits each; total key width = len(cols)*bits ≤ 48). NULLs rank
+    lowest (0). Column i contributes bit-position i (mod stride)."""
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_key wants 2-4 columns")
+    if bits * len(cols) > 48:
+        raise ValueError("len(cols)*bits must be <= 48")
+    z = F.lit(0)
+    for i, col in enumerate(cols):
+        rank = F.coalesce(_rank16(df, col, bits, mode), F.lit(0))
+        if len(cols) == 2:
+            spread = _spread_bits(rank)
+        else:
+            # generic stride: place rank bit j at position j*len(cols)
+            spread = F.lit(0)
+            for j in range(bits):
+                bit = F.shiftright(rank, j).bitwiseAND(F.lit(1))
+                spread = spread.bitwiseOR(F.shiftleft(bit, j * len(cols)))
+        z = z.bitwiseOR(F.shiftleft(spread, i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 32,
+    bits: int = 8,
+    mode: str = "quantile",
+) -> None:
+    """Write ``df`` to ``path`` clustered on the Z curve over ``cols``:
+    one range shuffle on the Morton key into ``num_files`` tightly
+    bounded files. The key is dropped before write — the layout lives
+    in the file boundaries (and their parquet min/max stats), not in a
+    stored column."""
+    keyed = df.withColumn("_zorder", zorder_key(df, cols, bits=bits, mode=mode))
+    (
+        keyed.repartitionByRange(num_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max of ``cols`` — the manifest a format like the
+    `VersionedTable` would persist for skip-scans. One pass, aggregated
+    by ``input_file_name`` (#files rows out)."""
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def files_overlapping(stats: DataFrame, box: dict[str, tuple]) -> int:
+    """How many files a box query must open, given `file_stats` output:
+    a file is skipped iff its [min,max] misses the query interval on ANY
+    dimension — exactly the footer-stats pruning rule."""
+    cond = F.lit(True)
+    for c, (lo, hi) in box.items():
+        cond = cond & (F.col(f"max_{c}") >= F.lit(lo)) & (
+            F.col(f"min_{c}") <= F.lit(hi)
+        )
+    return stats.filter(cond).count()

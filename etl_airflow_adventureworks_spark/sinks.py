@@ -63,7 +63,10 @@ def write_jdbc(
 
 
 def compact_table(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder: list[str] | None = None,
 ) -> int:
     """Small-files compaction (table maintenance): rewrite a parquet
     directory into ~``target_file_bytes`` files and return the new file
@@ -103,8 +106,16 @@ def compact_table(
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".compacting"
-    # coalesce, not repartition: compaction must not pay a shuffle
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    if zorder:
+        # OPTIMIZE ... ZORDER BY: recluster while compacting — this one
+        # DOES pay the range shuffle, bought back by multi-column file
+        # skipping on every later scan (operators/layout.py)
+        from .operators.layout import write_zordered
+
+        write_zordered(df, tmp, zorder, num_files=n_files)
+    else:
+        # coalesce, not repartition: plain compaction must not pay a shuffle
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     fs.delete(src, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src):
         raise IOError(f"compact_table: rename {tmp} -> {path} failed")
