@@ -141,6 +141,29 @@ class VersionedTable:
             and latest.get("token") == idempotency_token
         ):
             return latest["version"]
+        if mode == "append" and latest is not None:
+            # additive-only schema evolution: appends may ADD columns
+            # (readers see NULL for them in pre-evolution files — the
+            # manifest schema is applied to every listed file), but a
+            # dropped column would silently vanish from old rows and a
+            # type change would corrupt them, so both fail loud here
+            from pyspark.sql import types as T
+
+            old_schema = T.StructType.fromJson(json.loads(latest["schema"]))
+            old = {f.name: f.dataType.simpleString() for f in old_schema}
+            new = {f.name: f.dataType.simpleString() for f in df.schema}
+            missing = sorted(n for n in old if n not in new)
+            changed = sorted(
+                f"{n}: {t} -> {new[n]}" for n, t in old.items()
+                if n in new and new[n] != t
+            )
+            if missing or changed:
+                raise ValueError(
+                    "append schema must be additive: "
+                    + (f"missing columns {missing}" if missing else "")
+                    + ("; " if missing and changed else "")
+                    + (f"type changes [{', '.join(changed)}]" if changed else "")
+                )
         version = (latest["version"] + 1) if latest else 1
         files = self._write_data_files(df, version)
         if mode == "append" and latest:
@@ -202,6 +225,46 @@ class VersionedTable:
             return self.spark.createDataFrame([], schema)
         paths = [f"{self.path}/{f}" for f in man["files"]]
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def changes(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed for APPEND-mode histories: the rows committed
+        after ``since_version`` up to ``to_version`` (default latest) —
+        read from ONLY the data files those commits added, so a
+        downstream consumer tails the table at the cost of the delta,
+        never a rescan (incremental ETL's primitive; the file-diff is
+        what lakehouse CDF does for pure appends).
+
+        Fails loud if any commit in the range rewrote the visible file
+        set (overwrite/upsert/compaction): a row-level diff across a
+        rewrite is not derivable from manifests alone — use
+        ``read(v2)`` vs ``read(v1)`` key-diffing for SCD tables.
+        ``since_version == to_version`` yields an empty (schema-correct)
+        frame."""
+        vs = self.versions()
+        if since_version not in vs:
+            raise ValueError(
+                f"version {since_version} not in {self.path} (have {vs})"
+            )
+        man_to = self.manifest(to_version)
+        man_since = self.manifest(since_version)
+        since_files = set(man_since["files"])
+        if not since_files <= set(man_to["files"]):
+            raise ValueError(
+                f"changes({since_version}, {man_to['version']}): a commit in "
+                "the range replaced files (overwrite/upsert) — the append-"
+                "only change feed is undefined across it"
+            )
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(man_to["schema"]))
+        new_files = [f for f in man_to["files"] if f not in since_files]
+        if not new_files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in new_files]
+        )
 
     # --------------------------------------------------------- maintenance
 

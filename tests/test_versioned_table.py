@@ -116,6 +116,64 @@ def test_empty_commit_reads_empty_with_schema(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == ["k", "v"]
 
 
+def test_changes_feed_reads_only_the_delta(spark, tmp_path):
+    """r8: the append-only change feed returns exactly the rows of the
+    commits in (since, to], scanning ONLY the files those commits
+    added."""
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))                  # v1
+    t.commit(_df(spark, [(3, "c")]), mode="append")             # v2
+    t.commit(_df(spark, [(4, "d"), (5, "e")]), mode="append")   # v3
+
+    delta = t.changes(1)
+    assert {r["k"] for r in delta.collect()} == {3, 4, 5}
+    # only the delta files are in the scan, not v1's
+    v1_files = set(t.manifest(1)["files"])
+    scanned = {f.split(str(tmp_path / "t"))[-1].lstrip("/")
+               for f in delta.inputFiles()}
+    assert scanned and scanned.isdisjoint(v1_files)
+    assert {r["k"] for r in t.changes(2, 3).collect()} == {4, 5}
+    assert t.changes(3).count() == 0
+    assert t.changes(3).schema == t.read().schema
+
+    # a rewrite in the range makes the feed undefined — fail loud
+    t.commit(_df(spark, [(9, "z")]))                            # v4 overwrite
+    with pytest.raises(ValueError, match="replaced files"):
+        t.changes(1)
+    # but a post-rewrite append window is fine again
+    t.commit(_df(spark, [(10, "y")]), mode="append")            # v5
+    assert {r["k"] for r in t.changes(4).collect()} == {10}
+
+
+def test_append_schema_evolution_additive_only(spark, tmp_path):
+    """r8: appends may ADD columns (old files read as NULL); dropping
+    or retyping a column fails loud before any file is written."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    wider = _df(spark, [(2, "b")]).withColumn("score", F.lit(0.5))
+    t.commit(wider, mode="append")
+    got = {(r["k"], r["score"]) for r in t.read().collect()}
+    assert got == {(1, None), (2, 0.5)}  # pre-evolution rows read as NULL
+
+    n_versions = len(t.versions())
+    # (the latest schema now carries 'score' too, so dropping 'v' from a
+    # pre-evolution frame reports both as missing)
+    with pytest.raises(ValueError, match="missing columns .*'v'"):
+        t.commit(_df(spark, [(3, "c")]).drop("v"), mode="append")
+    with pytest.raises(ValueError, match="type changes"):
+        t.commit(
+            _df(spark, [(4, "d")]).withColumn("k", F.col("k").cast("string")),
+            mode="append",
+        )
+    assert len(t.versions()) == n_versions  # nothing was committed
+
+
 def test_stream_upsert_exactly_once(spark, tmp_path):
     """The versioned foreachBatch sink must equal the batch aggregate after
     the stream drains, and a replayed epoch must be a no-op."""
