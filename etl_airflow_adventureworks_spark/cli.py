@@ -144,6 +144,24 @@ def main(argv: list[str] | None = None) -> int:
     ig.add_argument("--audit", default=None,
                     help="optionally append detected pairs to this table")
 
+    rr = sub.add_parser(
+        "refresh-rollup",
+        help="bring a continuous-aggregate table up to its source's "
+        "latest version at delta cost (reads only the new files + the "
+        "current rollup); bootstraps on first run, no-op when current",
+    )
+    rr.add_argument("--source", required=True,
+                    help="source VersionedTable root (append-mode history)")
+    rr.add_argument("--rollup", required=True, help="rollup table root")
+    rr.add_argument("--spec", required=True,
+                    help='JSON file: {"dims": ["event_type", '
+                    '"date_trunc(\'hour\', ts) AS hour"], "measures": '
+                    '{"n_events": ["count", null], "sum_value": '
+                    '["sum", "value"]}}')
+    rr.add_argument("--full-rebuild", action="store_true",
+                    help="re-aggregate from the current snapshot (required "
+                    "after the source history was rewritten)")
+
     va = sub.add_parser(
         "validate",
         help="run declarative data-quality checks over a table: all "
@@ -340,6 +358,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"epoch {args.epoch}: accepted {stats['accepted']}, "
               f"rejected {stats['rejected']} near-dup")
+        return 0
+    if args.cmd == "refresh-rollup":
+        import json as _json
+
+        from .operators.rollup import refresh_rollup
+
+        with open(args.spec) as fh:
+            spec = _json.load(fh)
+        measures = {k: (v[0], v[1]) for k, v in spec["measures"].items()}
+        v = refresh_rollup(
+            spark, args.source, args.rollup, spec["dims"], measures,
+            full_rebuild=args.full_rebuild,
+        )
+        print(f"rollup at version {v} (reflects the source's latest commit)")
         return 0
     if args.cmd == "validate":
         import json as _json

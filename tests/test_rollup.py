@@ -1,0 +1,146 @@
+"""Incremental rollup refresh (`operators/rollup.py`): exactness vs a
+from-scratch aggregate after every refresh, delta-only reads, token
+self-description, and the rewrite fail-loud path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_airflow_adventureworks_spark.operators.rollup import refresh_rollup
+from etl_airflow_adventureworks_spark.table import VersionedTable
+
+DIMS = ["event_type", "date_trunc('hour', ts) AS hour"]
+MEASURES = {
+    "n_events": ("count", None),
+    "sum_value": ("sum", "value"),
+    "max_value": ("max", "value"),
+    "min_ts": ("min", "ts"),
+}
+
+
+def _events_slices(spark, n=3):
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "event_type", "value")
+    )
+    return ev, [ev.filter(f"event_id % {n} = {i}") for i in range(n)]
+
+
+def _snap(df):
+    """Set snapshot; doubles rounded to 9 dp — incremental double-SUM is
+    exact up to reassociation (see the operator docstring), and the test
+    data's float values sum well inside 9 dp."""
+    rows = df.collect()
+    out = set()
+    for r in rows:
+        vals = []
+        for c in df.columns:
+            v = r[c]
+            vals.append(str(round(v, 9)) if isinstance(v, float) else str(v))
+        out.add(tuple(vals))
+    return out
+
+
+def _full_agg(df):
+    return df.groupBy(*[F.expr(d) for d in DIMS]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts").alias("min_ts"),
+    )
+
+
+def test_refresh_is_exact_and_reads_only_the_delta(spark, tmp_path):
+    ev, slices = _events_slices(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    roll_path = str(tmp_path / "roll")
+    args = (spark, str(tmp_path / "src"), roll_path, DIMS, MEASURES)
+
+    src.commit(slices[0])                         # v1: bootstrap
+    v = refresh_rollup(*args)
+    assert _snap(VersionedTable(spark, roll_path).read()) == _snap(
+        _full_agg(slices[0])
+    )
+
+    # append, refresh: exact vs scratch, and the delta scan touches only
+    # the new commit's files
+    src.commit(slices[1], mode="append")          # v2
+    n_v1_files = len(src.manifest(1)["files"])
+    delta = src.changes(1)
+    assert len(delta.inputFiles()) == len(src.manifest(2)["files"]) - n_v1_files
+    v2 = refresh_rollup(*args)
+    assert v2 > v
+    two = slices[0].unionByName(slices[1])
+    assert _snap(VersionedTable(spark, roll_path).read()) == _snap(_full_agg(two))
+
+    # refreshing while already current is a version-stable no-op
+    assert refresh_rollup(*args) == v2
+    assert VersionedTable(spark, roll_path).manifest()["version"] == v2
+
+    # third slice: still exact (merge of merge)
+    src.commit(slices[2], mode="append")          # v3
+    refresh_rollup(*args)
+    assert _snap(VersionedTable(spark, roll_path).read()) == _snap(_full_agg(ev))
+
+
+def test_refresh_fails_loud_across_rewrite_and_rebuilds(spark, tmp_path):
+    ev, slices = _events_slices(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    roll_path = str(tmp_path / "roll")
+    args = (spark, str(tmp_path / "src"), roll_path, DIMS, MEASURES)
+
+    src.commit(slices[0])
+    refresh_rollup(*args)
+    src.commit(slices[0].unionByName(slices[1]))  # OVERWRITE: history rewritten
+    with pytest.raises(ValueError, match="replaced files"):
+        refresh_rollup(*args)
+    v = refresh_rollup(*args, full_rebuild=True)
+    got = VersionedTable(spark, roll_path).read()
+    assert _snap(got) == _snap(_full_agg(slices[0].unionByName(slices[1])))
+    # and incremental service resumes after the rebuild
+    src.commit(slices[2], mode="append")
+    assert refresh_rollup(*args) > v
+    assert _snap(VersionedTable(spark, roll_path).read()) == _snap(_full_agg(ev))
+
+
+def test_refresh_rollup_subcommand(spark, tmp_path, capsys):
+    import json
+
+    from etl_airflow_adventureworks_spark.cli import main
+
+    ev, slices = _events_slices(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(slices[0])
+    spec = {"dims": DIMS,
+            "measures": {k: [fn, col] for k, (fn, col) in MEASURES.items()}}
+    spath = str(tmp_path / "spec.json")
+    with open(spath, "w") as fh:
+        json.dump(spec, fh)
+    args = ["refresh-rollup", "--source", str(tmp_path / "src"),
+            "--rollup", str(tmp_path / "roll"), "--spec", spath]
+    assert main(args) == 0
+    assert "version 1" in capsys.readouterr().out
+    src.commit(slices[1], mode="append")
+    assert main(args) == 0
+    assert "version 2" in capsys.readouterr().out
+    got = VersionedTable(spark, str(tmp_path / "roll")).read()
+    assert _snap(got) == _snap(_full_agg(slices[0].unionByName(slices[1])))
+
+
+def test_guards(spark, tmp_path):
+    ev, slices = _events_slices(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(slices[0])
+    with pytest.raises(ValueError, match="fn must be one of"):
+        refresh_rollup(spark, str(tmp_path / "src"), str(tmp_path / "r"),
+                       DIMS, {"x": ("avg", "value")})
+    with pytest.raises(FileNotFoundError, match="no committed source"):
+        refresh_rollup(spark, str(tmp_path / "nope"), str(tmp_path / "r"),
+                       DIMS, MEASURES)
+    # refuses to clobber a table it did not create
+    other = VersionedTable(spark, str(tmp_path / "other"))
+    other.commit(slices[0])
+    with pytest.raises(ValueError, match="not a rollup table"):
+        refresh_rollup(spark, str(tmp_path / "src"), str(tmp_path / "other"),
+                       DIMS, MEASURES)
