@@ -198,6 +198,16 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list declared queries")
 
+    ex = sub.add_parser(
+        "explain",
+        help="print a declared query's physical plan (the operability "
+        "companion to the plan pins in tests/test_plan_shapes.py)",
+    )
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", required=True)
+    ex.add_argument("--mode", default="formatted",
+                    choices=["formatted", "simple", "extended", "cost"])
+
     args = p.parse_args(argv)
 
     from .registry import QUERIES, load_all
@@ -425,6 +435,12 @@ def main(argv: list[str] | None = None) -> int:
             sessions.show(args.limit, truncate=False)
         if args.attribution:
             asof_attribution_auto(ev, share=share).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "explain":
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r} (see `list`)", file=sys.stderr)
+            return 2
+        QUERIES[args.name](spark, args.sf_dir).explain(args.mode)
         return 0
     if args.cmd == "query":
         if args.name not in QUERIES:

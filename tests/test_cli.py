@@ -229,3 +229,12 @@ def test_validate_subcommand_report_and_quarantine(spark, tmp_path, capsys):
     total = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count()
     assert good.count() + bad.count() == total
     assert "_failed" in bad.columns and bad.count() > 0
+
+
+def test_explain_subcommand_prints_plan(spark, capsys):
+    """r8: `explain` prints the physical plan of any declared query."""
+    assert main(["explain", "kpi05_top5_products",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+    assert main(["explain", "nope", "--sf-dir", "/root/testdata/sf0.001"]) == 2

@@ -102,6 +102,39 @@ def test_minmax_mode_and_guards(spark):
         L.zorder_key(ev, ["user_id", "ts_us"], mode="nope")
 
 
+def test_pruning_is_sound_for_random_boxes(spark, layouts):
+    """Skipping never loses rows: for seeded random boxes, every row
+    inside the box lives in a file whose min/max stats overlap the box —
+    so a stats-pruned scan returns exactly the filter's rows."""
+    import random
+
+    _, zpath, _, (lo, hi) = layouts
+    rng = random.Random(7)
+    df = spark.read.parquet(zpath).withColumn("_file", F.input_file_name())
+    stats = L.file_stats(spark, zpath, ["user_id", "ts_us"]).cache()
+    for _ in range(8):
+        u0 = rng.randint(0, 140)
+        t0 = lo + rng.randint(0, (hi - lo) * 3 // 4)
+        box = {"user_id": (u0, u0 + rng.randint(1, 30)),
+               "ts_us": (t0, t0 + (hi - lo) // rng.choice([4, 8, 16]))}
+        cond = (
+            (F.col("user_id") >= box["user_id"][0])
+            & (F.col("user_id") <= box["user_id"][1])
+            & (F.col("ts_us") >= box["ts_us"][0])
+            & (F.col("ts_us") <= box["ts_us"][1])
+        )
+        keep = {
+            r["file"] for r in stats.filter(
+                (F.col("max_user_id") >= box["user_id"][0])
+                & (F.col("min_user_id") <= box["user_id"][1])
+                & (F.col("max_ts_us") >= box["ts_us"][0])
+                & (F.col("min_ts_us") <= box["ts_us"][1])
+            ).collect()
+        }
+        rows = df.filter(cond).select("_file").collect()
+        assert all(r["_file"] in keep for r in rows), box
+
+
 def test_compact_with_zorder_reclusters(spark, tmp_path):
     """OPTIMIZE-with-ZORDER path: compaction into z-ordered files keeps
     every row and leaves each file tightly bounded on both columns."""

@@ -280,3 +280,38 @@ def test_declared_range_join_is_sharded_and_python_free(spark):
         "BroadcastHashJoin" in final  # AQE may broadcast the small side at sf0.01
     ), final
     assert "__shard" in final, final
+
+
+def test_zorder_key_and_quality_checks_are_python_free(spark):
+    # round-8: the z-order key (rank + bit-spread) and the quality gate's
+    # compiled aggregate are pure Catalyst column algebra; the write's
+    # only exchange is the range partition on the key
+    from etl_airflow_adventureworks_spark.operators import layout as L
+    from etl_airflow_adventureworks_spark.operators import quality as Q
+
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "user_id", "ts_us")
+    )
+    keyed = (
+        ev.withColumn("_z", L.zorder_key(ev, ["user_id", "ts_us"], bits=8))
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+    )
+    plan = plan_of(keyed)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    checks = [
+        Q.not_null("l_shipdate"),
+        Q.in_range("l_discount", 0, 0.05),
+        Q.unique("l_orderkey"),
+    ]
+    report = Q.validate(li, checks)  # driver-side single-row collect inside
+    assert report.count() == len(checks)
+    good, bad = Q.split_valid(li, checks)
+    for df in (good, bad):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
