@@ -11,12 +11,13 @@ pushdown, or manifest-level skipping like `file_stats` below — reads
 only the files whose box intersects the query box.
 
 Everything is codegen'd column algebra: rank mapping is either min-max
-scaling or a quantile CDF evaluated against a broadcast literal
-boundary array (`size(filter(bounds, b -> b <= x))` — ~2^bits
-comparisons per row, vectorized, no Python); the bit-spread is the
-classic shift-and-mask ladder. The write is one
-`repartitionByRange(z)` shuffle — the same cost as the linear sort it
-replaces.
+scaling or a quantile CDF evaluated as a binary-search CASE tree over
+the literal boundary list (log2(2^bits) comparisons per row, no Python,
+no per-row allocation); the bit-spread is the classic shift-and-mask
+ladder. The write is one `repartitionByRange(z)` shuffle plus the rank
+evaluation — measured ~3-4x a plain linear sort-write at 10M rows, a
+write-time maintenance cost (cf. lakehouse OPTIMIZE ZORDER) bought back
+by every subsequent stats-pruned scan.
 
 No reference counterpart (the reference writes unsorted single CSVs);
 this is the layout leg of the charter's 100 TB posture, sibling of the
@@ -54,12 +55,24 @@ def _rank16(df: DataFrame, col: str, bits: int, mode: str) -> Column:
     if mode == "quantile":
         # boundary b_i = i/n quantile; rank = #boundaries ≤ x, i.e. the
         # empirical CDF in n steps — constant-size driver collect, then a
-        # literal array every row compares against JVM-side
+        # BINARY-SEARCH CASE tree (log2(n) codegen'd comparisons/row).
+        # The obvious size(filter(lit_array, b -> b <= x)) is an
+        # interpreted higher-order function allocating a filtered copy
+        # per row: measured 5.5 s vs 1.7 s for the tree on 10M rows
         probs = [i / n for i in range(1, n)]
         bounds = df.stat.approxQuantile(col, probs, 0.001)
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
-        rank = F.size(F.filter(arr, lambda b: b <= c))
-        return F.least(rank, F.lit(n - 1)).cast("long")
+
+        def upper_bound(lo: int, hi: int) -> Column:
+            # count of boundaries ≤ x, by first-index-where-bound > x
+            # (strict < goes left so duplicate boundaries count fully)
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(
+                c < F.lit(float(bounds[mid])), upper_bound(lo, mid)
+            ).otherwise(upper_bound(mid + 1, hi))
+
+        return F.least(upper_bound(0, len(bounds)), F.lit(n - 1)).cast("long")
     raise ValueError(f"mode must be minmax|quantile, got {mode!r}")
 
 
@@ -93,7 +106,7 @@ def write_zordered(
     path: str,
     cols: list[str],
     num_files: int = 32,
-    bits: int = 8,
+    bits: int | None = None,
     mode: str = "quantile",
 ) -> None:
     """Write ``df`` to ``path`` clustered on the Z curve over ``cols``:
@@ -101,7 +114,17 @@ def write_zordered(
     bounded files. The key is dropped before write — the layout lives
     in the file boundaries (and their parquet min/max stats), not in a
     stored column."""
+    if bits is None:
+        # rank granularity only needs to out-resolve the file grid:
+        # ~num_files cells per dimension. Extra bits cost rank-tree depth
+        # (and at 8 bits, 255 quantile boundaries) for boxes the file
+        # boundaries can't distinguish anyway
+        bits = max(4, min(8, (num_files - 1).bit_length() + 1))
     keyed = df.withColumn("_zorder", zorder_key(df, cols, bits=bits, mode=mode))
+    # materialize the key once: repartitionByRange's sampling sketch and
+    # the exchange would otherwise each re-evaluate the rank expression
+    # over the full input (measured 2x the write cost at 10M rows)
+    keyed = keyed.localCheckpoint(eager=True)
     (
         keyed.repartitionByRange(num_files, "_zorder")
         .sortWithinPartitions("_zorder")
