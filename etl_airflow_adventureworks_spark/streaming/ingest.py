@@ -95,6 +95,15 @@ def ingest_batch_with_dedup(
         # no-data micro-batch: nothing to admit, and skipping the token
         # is safe (a replayed empty batch re-skips identically)
         return {"accepted": 0, "rejected": 0}
+    dup = batch.groupBy("doc_id").count().filter("count > 1").take(1)
+    if dup:
+        # a duplicated id inside one batch would append the same doc_id
+        # to the corpus twice (the greedy rule accepts/rejects the id as
+        # a unit) — fail before any table is touched
+        raise ValueError(
+            f"ingest batch has duplicate doc_id {dup[0]['doc_id']}; "
+            "batch ids must be unique (dedup the batch first)"
+        )
 
     pairs = minhash_neardup_incremental(
         spark, batch, index_path, threshold=threshold

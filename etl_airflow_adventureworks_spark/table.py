@@ -249,6 +249,11 @@ class VersionedTable:
             )
         man_to = self.manifest(to_version)
         man_since = self.manifest(since_version)
+        if man_to["version"] < since_version:
+            raise ValueError(
+                f"changes({since_version}, {man_to['version']}): "
+                "to_version must be >= since_version"
+            )
         since_files = set(man_since["files"])
         if not since_files <= set(man_to["files"]):
             raise ValueError(

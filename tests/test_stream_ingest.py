@@ -188,3 +188,13 @@ def test_stream_gate_kill_restart_exactly_once(spark, tmp_path):
     assert len(idx_ids) == len(set(idx_ids)) and set(idx_ids) == final
     # and the admitted corpus is still pair-free across every boundary
     assert minhash_neardup_pairs(hashed_shingle_sets_df(accepted)).count() == 0
+
+
+def test_batch_with_duplicate_ids_fails_before_commit(spark, tmp_path):
+    corpus, idx, cor = _bootstrap(spark, tmp_path)
+    vers = VersionedTable(spark, idx).versions()
+    bad = _docs(spark, [(100, _text(100)), (100, _text(100, "zz"))])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate doc_id 100"):
+        ingest_batch_with_dedup(bad, idx, cor, 1)
+    assert VersionedTable(spark, idx).versions() == vers  # untouched

@@ -296,3 +296,13 @@ def test_stream_upsert_kill_and_resume_no_double_epoch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_changes_rejects_reversed_range(spark, tmp_path):
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+    t.commit(_df(spark, [(2, "b")]), mode="append")
+    with pytest.raises(ValueError, match=">= since_version"):
+        t.changes(2, 1)
