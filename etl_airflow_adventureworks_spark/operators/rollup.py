@@ -40,12 +40,13 @@ from pyspark.sql import functions as F
 
 from ..table import VersionedTable
 
-#: measure fn -> (per-delta aggregate, merge aggregate)
+#: measure fn -> (per-delta aggregate, merge aggregate); the measured
+#: column is an arbitrary SQL expression (e.g. "length(text)")
 _FNS = {
     "count": (lambda c: F.count(F.lit(1)), F.sum),
-    "sum": (lambda c: F.sum(c), F.sum),
-    "min": (lambda c: F.min(c), F.min),
-    "max": (lambda c: F.max(c), F.max),
+    "sum": (lambda c: F.sum(F.expr(c)), F.sum),
+    "min": (lambda c: F.min(F.expr(c)), F.min),
+    "max": (lambda c: F.max(F.expr(c)), F.max),
 }
 
 

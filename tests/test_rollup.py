@@ -144,3 +144,49 @@ def test_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="not a rollup table"):
         refresh_rollup(spark, str(tmp_path / "src"), str(tmp_path / "other"),
                        DIMS, MEASURES)
+
+
+def test_rollup_composes_with_the_ingest_gate(spark, tmp_path):
+    """r8 composition: the near-dup ingest gate's corpus table is an
+    append-only history, so a corpus-stats rollup refreshes from it at
+    delta cost — and reflects exactly the ACCEPTED documents."""
+    from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+        build_neardup_index,
+    )
+    from etl_airflow_adventureworks_spark.streaming.ingest import (
+        ingest_batch_with_dedup,
+    )
+
+    def text(i, extra=""):
+        base = " ".join(f"r{i}w{j}" for j in range(12))
+        return f"{base} {extra}".strip()
+
+    corpus = spark.createDataFrame(
+        [(i, text(i)) for i in range(20)], "doc_id long, text string"
+    )
+    idx, cor, roll = (str(tmp_path / p) for p in ("idx", "cor", "roll"))
+    build_neardup_index(spark, corpus, idx)
+    VersionedTable(spark, cor).commit(corpus)
+
+    dims = ["doc_id % 2 AS parity"]
+    meas = {"n_docs": ("count", None),
+            "total_len": ("sum", "length(text)")}
+    refresh_rollup(spark, cor, roll, dims, meas)
+
+    # epoch: one dup (rejected), two fresh (accepted)
+    batch = spark.createDataFrame(
+        [(100, text(7, "zz")), (101, text(101)), (102, text(102))],
+        "doc_id long, text string",
+    )
+    stats = ingest_batch_with_dedup(batch, idx, cor, 1)
+    assert stats == {"accepted": 2, "rejected": 1}
+    refresh_rollup(spark, cor, roll, dims, meas)
+
+    got = {r["parity"]: (r["n_docs"], r["total_len"])
+           for r in VersionedTable(spark, roll).read().collect()}
+    want_df = VersionedTable(spark, cor).read().groupBy(
+        F.expr("doc_id % 2 AS parity")
+    ).agg(F.count(F.lit(1)).alias("n"), F.expr("sum(length(text))").alias("t"))
+    want = {r["parity"]: (r["n"], r["t"]) for r in want_df.collect()}
+    assert got == want
+    assert sum(n for n, _ in got.values()) == 22  # 20 + 2 accepted, not 23
