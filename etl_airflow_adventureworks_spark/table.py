@@ -124,6 +124,7 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "overwrite",
         idempotency_token: str | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Write ``df``'s files and atomically publish a new manifest.
 
@@ -131,6 +132,12 @@ class VersionedTable:
         adds to it. Returns the committed version. If ``idempotency_token``
         equals the latest manifest's token the commit is a no-op replay
         (returns the existing version, writes nothing).
+
+        ``stats_cols`` (numeric columns only) records per-file min/max in
+        the manifest — the skip-scan index `read_where` prunes with.
+        Appends only compute stats for the NEW files; earlier files keep
+        the stats their committing manifest recorded (a file with no
+        recorded stats is never pruned, so mixing is sound).
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -164,16 +171,26 @@ class VersionedTable:
                     + ("; " if missing and changed else "")
                     + (f"type changes [{', '.join(changed)}]" if changed else "")
                 )
+        if stats_cols:
+            self._validate_stats_cols(stats_cols, df.schema)
         version = (latest["version"] + 1) if latest else 1
-        files = self._write_data_files(df, version)
+        new_files = self._write_data_files(df, version)
+        stats: dict[str, dict] = {}
         if mode == "append" and latest:
-            files = latest["files"] + files
+            stats.update(latest.get("stats") or {})
+        if stats_cols and new_files:
+            stats.update(self._file_stats(new_files, stats_cols, df.schema))
+        files = new_files
+        if mode == "append" and latest:
+            files = latest["files"] + new_files
         man = {
             "version": version,
             "files": files,
             "schema": df.schema.json(),
             "token": idempotency_token,
         }
+        if stats:
+            man["stats"] = stats
         data = json.dumps(man, indent=1).encode()
         tmp = self._HPath(
             f"{self.path}/{_MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json"
@@ -186,6 +203,93 @@ class VersionedTable:
                 f"commit conflict: version {version} already exists at {self.path}"
             )
         return version
+
+    @staticmethod
+    def _validate_stats_cols(cols: list[str], schema) -> None:
+        from pyspark.sql import types as T
+
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.DecimalType)
+        by_name = {f.name: f.dataType for f in schema.fields}
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"stats_cols: no such column {c!r}")
+            if not isinstance(by_name[c], numeric):
+                raise ValueError(
+                    f"stats_cols: {c!r} is {by_name[c].simpleString()}; "
+                    "per-file stats support numeric columns only"
+                )
+
+    def _file_stats(
+        self, rel_files: list[str], cols: list[str], schema
+    ) -> dict[str, dict]:
+        """{relative file -> {col: [min, max]}} for the given NUMERIC
+        columns (validated before any file was written) — one pass over
+        exactly those files."""
+        from pyspark.sql import functions as F
+
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        rows = (
+            self.spark.read.parquet(*[f"{self.path}/{f}" for f in rel_files])
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(*aggs)
+            .collect()
+        )  # one row per file — constant-size collect
+        def rel(uri: str) -> str:
+            # rsplit: the table path itself may contain a /data/ segment
+            tail = uri.rsplit("/" + _DATA_DIR + "/", 1)[1]
+            return f"{_DATA_DIR}/{tail}"
+        out = {}
+        for r in rows:
+            ent = {}
+            for c in cols:
+                mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
+                if mn is not None:
+                    ent[c] = [float(mn), float(mx)]
+            out[rel(r["f"])] = ent
+        return out
+
+    def read_where(
+        self, box: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Skip-scan: read only the files whose recorded min/max stats
+        overlap ``box`` ({col: (lo, hi)}), then apply the box as a real
+        filter (so results are exact, and files without recorded stats
+        are scanned rather than wrongly skipped). With a Z-ordered
+        clustering (`operators.layout`) the kept set is small on every
+        boxed dimension."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        man = self.manifest(version)
+        if man is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        stats = man.get("stats") or {}
+        keep = []
+        for f in man["files"]:
+            ent = stats.get(f)
+            if ent is None:
+                keep.append(f)
+                continue
+            ok = True
+            for c, (lo, hi) in box.items():
+                if c in ent and (ent[c][1] < lo or ent[c][0] > hi):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f)
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        if not keep:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in keep]
+            )
+        for c, (lo, hi) in box.items():
+            df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
+        return df
 
     def upsert(self, updates: DataFrame, key: str, idempotency_token: str | None = None) -> int:
         """SCD1 merge into the table (updates win on ``key``; bootstrap on

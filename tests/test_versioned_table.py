@@ -306,3 +306,56 @@ def test_changes_rejects_reversed_range(spark, tmp_path):
     t.commit(_df(spark, [(2, "b")]), mode="append")
     with pytest.raises(ValueError, match=">= since_version"):
         t.changes(2, 1)
+
+
+def test_manifest_stats_and_read_where_skip_scan(spark, tmp_path):
+    """r8: per-file min/max stats ride the manifest; read_where opens
+    only overlapping files (exact results, sound for stat-less files)."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.operators.layout import zorder_key
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "user_id", "ts_us")
+    )
+    keyed = ev.withColumn("_z", zorder_key(ev, ["user_id", "ts_us"], bits=5))
+    clustered = (
+        keyed.repartitionByRange(16, "_z").sortWithinPartitions("_z").drop("_z")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(clustered, stats_cols=["user_id", "ts_us"])
+    man = t.manifest()
+    assert len(man["stats"]) == len(man["files"]) == 16
+
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    box = {"user_id": (10, 19), "ts_us": (lo + (hi - lo) * 45 // 100,
+                                          lo + (hi - lo) * 55 // 100)}
+    pruned = t.read_where(box)
+    assert 0 < len(pruned.inputFiles()) < 16  # really skipped files
+    want = ev.filter(
+        (F.col("user_id").between(*box["user_id"]))
+        & (F.col("ts_us").between(*box["ts_us"]))
+    )
+    chk = "bit_xor(xxhash64(event_id, user_id, ts_us))"
+    assert pruned.count() == want.count()
+    assert pruned.selectExpr(chk).first() == want.selectExpr(chk).first()
+
+    # appending WITHOUT stats keeps old stats and never wrongly skips
+    extra = ev.limit(50)
+    t.commit(extra, mode="append")
+    full_box = t.read_where(box)
+    want2 = ev.unionByName(extra).filter(
+        (F.col("user_id").between(*box["user_id"]))
+        & (F.col("ts_us").between(*box["ts_us"]))
+    )
+    assert full_box.count() == want2.count()
+
+    # non-numeric stats columns fail loud before any write becomes visible
+    n_vers = len(t.versions())
+    bad = ev.withColumn("s", F.lit("x"))
+    with pytest.raises(ValueError, match="numeric columns only"):
+        t.commit(bad, mode="append", stats_cols=["s"])
+    assert len(t.versions()) == n_vers
