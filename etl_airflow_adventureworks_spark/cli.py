@@ -144,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
     ig.add_argument("--audit", default=None,
                     help="optionally append detected pairs to this table")
 
+    ti = sub.add_parser(
+        "table-info",
+        help="describe a VersionedTable: versions, file counts/bytes, "
+        "idempotency token, stats coverage",
+    )
+    ti.add_argument("--path", required=True)
+
     rr = sub.add_parser(
         "refresh-rollup",
         help="bring a continuous-aggregate table up to its source's "
@@ -368,6 +375,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"epoch {args.epoch}: accepted {stats['accepted']}, "
               f"rejected {stats['rejected']} near-dup")
+        return 0
+    if args.cmd == "table-info":
+        import json as _json
+
+        from .table import VersionedTable
+
+        t = VersionedTable(spark, args.path)
+        vs = t.versions()
+        if not vs:
+            print(f"no committed versions at {args.path}")
+            return 1
+        for v in vs:
+            man = t.manifest(v)
+            files = man["files"]
+            stats = man.get("stats") or {}
+            covered = sum(1 for f in files if f in stats)
+            cols = sorted(
+                {c for ent in stats.values() for c in ent}
+            ) if stats else []
+            schema_cols = len(_json.loads(man["schema"]).get("fields", []))
+            print(
+                f"v{v}: {len(files)} file(s), {schema_cols} column(s), "
+                f"token={man.get('token')!r}, stats={covered}/{len(files)}"
+                + (f" on {cols}" if cols else "")
+            )
         return 0
     if args.cmd == "refresh-rollup":
         import json as _json

@@ -375,6 +375,49 @@ class VersionedTable:
             *[f"{self.path}/{f}" for f in new_files]
         )
 
+    def diff_versions(
+        self, v_from: int, v_to: int, key: str
+    ) -> DataFrame:
+        """Row-level diff between two snapshots of a KEYED table — the
+        companion `changes` points rewrite histories (upsert/SCD) at:
+        one full-outer join of the two snapshots on ``key``, classified
+        as ``added`` / ``removed`` / ``changed`` (any non-key column
+        differs, null-safe). Output: (key, change, then v_from's columns
+        as `old_*` and v_to's as `new_*`). Unchanged rows are dropped.
+
+        Unlike `changes` this reads BOTH snapshots in full — the honest
+        cost of diffing across a rewrite; on an append-only history
+        prefer `changes`, which reads only the delta files."""
+        from pyspark.sql import functions as F
+
+        a, b = self.read(v_from), self.read(v_to)
+        if key not in a.columns or key not in b.columns:
+            raise ValueError(f"diff_versions: no column {key!r} in both versions")
+        cols = [c for c in b.columns if c != key and c in a.columns]
+        # presence flags must not depend on data nullability: tag sides
+        old = a.select(
+            key, *[F.col(c).alias(f"old_{c}") for c in cols]
+        ).withColumn("_in_old", F.lit(True))
+        new = b.select(
+            key, *[F.col(c).alias(f"new_{c}") for c in cols]
+        ).withColumn("_in_new", F.lit(True))
+        j = old.join(new, key, "full_outer")
+        diff_pred = F.lit(False)
+        for c in cols:
+            diff_pred = diff_pred | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        change = (
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(diff_pred, F.lit("changed"))
+        )
+        out_cols = [key, F.col("_change").alias("change")]
+        out_cols += [f"old_{c}" for c in cols] + [f"new_{c}" for c in cols]
+        return (
+            j.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select(*out_cols)
+        )
+
     # --------------------------------------------------------- maintenance
 
     def vacuum(self, retain_last: int = 1) -> int:

@@ -238,3 +238,21 @@ def test_explain_subcommand_prints_plan(spark, capsys):
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan parquet" in out
     assert main(["explain", "nope", "--sf-dir", "/root/testdata/sf0.001"]) == 2
+
+
+def test_table_info_subcommand(spark, tmp_path, capsys):
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    path = str(tmp_path / "t")
+    assert main(["table-info", "--path", path]) == 1  # nothing committed yet
+    capsys.readouterr()
+    t = VersionedTable(spark, path)
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    t.commit(df, stats_cols=["k"])
+    t.commit(df.selectExpr("k + 100 AS k", "v"), mode="append",
+             idempotency_token="epoch:1")
+    assert main(["table-info", "--path", path]) == 0
+    out = capsys.readouterr().out
+    assert "v1:" in out and "v2:" in out
+    assert "token='epoch:1'" in out
+    assert "on ['k']" in out

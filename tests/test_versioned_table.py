@@ -359,3 +359,24 @@ def test_manifest_stats_and_read_where_skip_scan(spark, tmp_path):
     with pytest.raises(ValueError, match="numeric columns only"):
         t.commit(bad, mode="append", stats_cols=["s"])
     assert len(t.versions()) == n_vers
+
+
+def test_diff_versions_classifies_key_changes(spark, tmp_path):
+    """r8: the rewrite-history companion to changes() — full-outer diff
+    on the key with null-safe change detection."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b"), (3, None), (4, "d")]))
+    t.upsert(_df(spark, [(2, "B"), (3, None), (5, "e")]), key="k")
+    # v2 = {1:a (kept), 2:B (changed), 3:None (unchanged), 4:d (kept), 5:e}
+    d = {r["k"]: r for r in t.diff_versions(1, 2, "k").collect()}
+    assert set(d) == {2, 5}
+    assert d[2]["change"] == "changed" and (d[2]["old_v"], d[2]["new_v"]) == ("b", "B")
+    assert d[5]["change"] == "added" and d[5]["new_v"] == "e"
+
+    # removals: overwrite drops key 1
+    t.commit(_df(spark, [(2, "B"), (3, None)]))
+    d2 = {r["k"]: r["change"] for r in t.diff_versions(2, 3, "k").collect()}
+    assert d2 == {1: "removed", 4: "removed", 5: "removed"}
+
+    with pytest.raises(ValueError, match="no column"):
+        t.diff_versions(1, 2, "nope")
