@@ -151,6 +151,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     ti.add_argument("--path", required=True)
 
+    ot = sub.add_parser(
+        "optimize-table",
+        help="rewrite a VersionedTable's current snapshot compacted and "
+        "optionally Z-order clustered, as one atomic new version (old "
+        "versions stay time-travelable; stats recorded for read_where)",
+    )
+    ot.add_argument("--path", required=True)
+    ot.add_argument("--zorder", default=None,
+                    help="comma-separated cluster columns")
+    ot.add_argument("--files", type=int, default=None,
+                    help="target file count (default: size/128MB)")
+
     rr = sub.add_parser(
         "refresh-rollup",
         help="bring a continuous-aggregate table up to its source's "
@@ -400,6 +412,16 @@ def main(argv: list[str] | None = None) -> int:
                 f"token={man.get('token')!r}, stats={covered}/{len(files)}"
                 + (f" on {cols}" if cols else "")
             )
+        return 0
+    if args.cmd == "optimize-table":
+        from .table import VersionedTable
+
+        v = VersionedTable(spark, args.path).optimize(
+            zorder=args.zorder.split(",") if args.zorder else None,
+            num_files=args.files,
+        )
+        print(f"optimized into version {v}"
+              + (f" z-ordered on ({args.zorder})" if args.zorder else ""))
         return 0
     if args.cmd == "refresh-rollup":
         import json as _json

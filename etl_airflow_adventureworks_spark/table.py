@@ -420,6 +420,54 @@ class VersionedTable:
 
     # --------------------------------------------------------- maintenance
 
+    def optimize(
+        self,
+        zorder: list[str] | None = None,
+        num_files: int | None = None,
+        stats_cols: list[str] | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Rewrite the CURRENT snapshot compacted — optionally Z-order
+        clustered — as one atomic new version (the lakehouse OPTIMIZE
+        [ZORDER BY], safe where `sinks.compact_table`'s directory swap
+        is not: readers of older versions are untouched, and a crash
+        mid-rewrite leaves only vacuumable orphans). ``stats_cols``
+        defaults to the zorder columns, so `read_where` prunes the
+        optimized layout out of the box. Returns the new version.
+
+        Note for change-feed consumers: an optimize IS a rewrite —
+        `changes` across it fails loud by design (same as any
+        overwrite); rollups resume via full_rebuild."""
+        df = self.read()
+        if num_files is None:
+            total = 0
+            it = self._fs.listFiles(self._HPath(f"{self.path}/{_DATA_DIR}"), True)
+            current = set(self.manifest()["files"])
+            while it.hasNext():
+                st = it.next()
+                pp = st.getPath()
+                rel = f"{_DATA_DIR}/{pp.getParent().getName()}/{pp.getName()}"
+                if rel in current:
+                    total += st.getLen()
+            import math
+
+            num_files = max(1, math.ceil(total / target_file_bytes))
+        if zorder:
+            from .operators.layout import zorder_key
+
+            keyed = df.withColumn("_zorder", zorder_key(df, zorder))
+            df = (
+                keyed.localCheckpoint(eager=True)
+                .repartitionByRange(num_files, "_zorder")
+                .sortWithinPartitions("_zorder")
+                .drop("_zorder")
+            )
+            if stats_cols is None:
+                stats_cols = list(zorder)
+        else:
+            df = df.coalesce(num_files)
+        return self.commit(df, mode="overwrite", stats_cols=stats_cols)
+
     def vacuum(self, retain_last: int = 1) -> int:
         """Drop data files referenced by no retained manifest (and tmp
         manifest debris + emptied commit dirs). Keeps the newest

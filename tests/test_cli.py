@@ -256,3 +256,18 @@ def test_table_info_subcommand(spark, tmp_path, capsys):
     assert "v1:" in out and "v2:" in out
     assert "token='epoch:1'" in out
     assert "on ['k']" in out
+
+
+def test_optimize_table_subcommand(spark, tmp_path, capsys):
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    df = spark.range(5000).selectExpr("id AS k", "id % 97 AS b", "id * 2 AS v")
+    t.commit(df.repartition(12))
+    assert main(["optimize-table", "--path", path,
+                 "--zorder", "k,b", "--files", "4"]) == 0
+    assert "version 2" in capsys.readouterr().out
+    man = t.manifest()
+    assert len(man["files"]) == 4 and len(man["stats"]) == 4
+    assert t.read().count() == 5000

@@ -380,3 +380,48 @@ def test_diff_versions_classifies_key_changes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no column"):
         t.diff_versions(1, 2, "nope")
+
+
+def test_optimize_zorder_is_atomic_and_prunable(spark, tmp_path):
+    """r8: OPTIMIZE ZORDER as a table operation — new atomic version,
+    old snapshot untouched, read_where prunes the optimized layout."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "user_id", "ts_us")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(ev.repartition(20))  # messy small files, no layout
+    v = t.optimize(zorder=["user_id", "ts_us"], num_files=16)
+    assert v == 2 and t.versions() == [1, 2]
+    man = t.manifest()
+    assert len(man["files"]) == 16
+    assert len(man["stats"]) == 16  # stats defaulted to the zorder cols
+
+    chk = "bit_xor(xxhash64(event_id, user_id, ts_us))"
+    assert t.read().selectExpr(chk).first() == ev.selectExpr(chk).first()
+    assert t.read(1).count() == ev.count()  # time travel intact
+
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    box = {"user_id": (10, 19),
+           "ts_us": (lo + (hi - lo) * 45 // 100, lo + (hi - lo) * 55 // 100)}
+    pruned = t.read_where(box)
+    assert 0 < len(pruned.inputFiles()) < 16
+    want = ev.filter(F.col("user_id").between(10, 19)
+                     & F.col("ts_us").between(*box["ts_us"]))
+    assert pruned.count() == want.count()
+
+    # plain compaction path (no zorder): one coalesced file, same rows
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(ev.repartition(20))
+    t2.optimize()
+    assert len(t2.manifest()["files"]) == 1
+    assert t2.read().count() == ev.count()
+
+    # the change feed correctly refuses to span the rewrite
+    with pytest.raises(ValueError, match="replaced files"):
+        t.changes(1)
