@@ -86,6 +86,10 @@ def zorder_key(
         raise ValueError("zorder_key wants 2-4 columns")
     if bits * len(cols) > 48:
         raise ValueError("len(cols)*bits must be <= 48")
+    if bits > 16:
+        # the 2-column spread ladder masks at 16 bits; more would
+        # silently truncate ranks instead of failing
+        raise ValueError("bits must be <= 16")
     z = F.lit(0)
     for i, col in enumerate(cols):
         rank = F.coalesce(_rank16(df, col, bits, mode), F.lit(0))

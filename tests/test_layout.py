@@ -170,3 +170,9 @@ def test_three_column_stride(spark):
     ).first()
     assert 0 <= stats[0] <= stats[1] < (1 << 12)
     assert stats[2] > 16  # the key really mixes all three dimensions
+
+
+def test_bits_over_16_fail_loud(spark):
+    ev = _events(spark).limit(100)
+    with pytest.raises(ValueError, match="bits must be <= 16"):
+        L.zorder_key(ev, ["user_id", "ts_us"], bits=24)
