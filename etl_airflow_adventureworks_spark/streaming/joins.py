@@ -1,0 +1,164 @@
+"""Stream-stream interval joins (watermarked, state-bounded).
+
+The canonical shape is impressions ⋈ clicks: two unbounded event streams,
+matched on a shared key, with the right-side timestamp constrained to an
+interval anchored at the left-side timestamp (``click within 1 h after the
+impression``).  Structured Streaming supports this natively when BOTH sides
+carry an event-time watermark and the join condition includes the time
+range — the engine then derives a per-side state-retention horizon and
+evicts rows the range can no longer match, so state is bounded by
+``arrival rate × (watermark delay + interval width)`` per key, not by the
+length of the streams.
+
+100-TB posture: both sides hash-partition on the join key (one shuffle
+each, the same exchange a batch equi-join would do); state lives in the
+per-partition state store (RocksDB in production) and is keyed by the
+equi-join key, so a 1000-executor cluster shards it the same way it shards
+the join itself.  The interval bound is what makes eviction possible —
+an unbounded-time stream-stream join would hold every row forever, which
+is why this module refuses to build one.
+
+Batch parity: ``interval_join_batch`` is the same join expressed over two
+static frames — the strict oracles in ``tests/test_stream_join.py`` assert
+the streamed result equals it exactly (inner: all pairs; left-outer: all
+pairs plus NULL-extensions for precisely the watermark-closed unmatched
+rows), including across a checkpoint kill-and-restart.
+
+Reference scope note: the reference (Cgmc18/ETL-AirFlow-AdventureWorks)
+is batch-only Airflow DAGs — stream-stream joins are charter breadth
+(SURVEY §2 E5's streaming leg), not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_VALID_HOW = ("inner", "left_outer", "right_outer", "full_outer")
+
+
+def _interval_expr(ts_col: str, offset: str) -> Column:
+    """``ts + INTERVAL <offset>`` with the offset validated as a day-time
+    interval literal (signed values like ``-30 minutes`` are fine)."""
+    offset = offset.strip()
+    # fail at plan-build time with a clear message, not deep in analysis
+    head = offset.split(None, 1)[0].lstrip("+-") if offset else ""
+    if not head or not head.replace(".", "", 1).isdigit():
+        raise ValueError(
+            f"interval offset must look like '[-]N unit' (got {offset!r})"
+        )
+    return F.expr(f"`{ts_col}` + interval {offset}")
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """Join two watermarked streams on ``on`` with
+    ``left.left_ts + lower <= right.right_ts <= left.left_ts + upper``.
+
+    Right-side columns whose names collide with a left-side column
+    (including the key and timestamp columns) are suffixed with
+    ``rsuffix`` in the output, pandas-style, so two streams of the same
+    schema join without caller-side renames.  The watermark delay applies
+    to both sides; choose it larger than the interval width or cross-batch
+    matches near the horizon may be dropped (the strict-oracle tests run
+    with delay = 2 h over a 1 h interval for exactly this reason).
+    """
+    if how not in _VALID_HOW:
+        raise ValueError(f"how must be one of {_VALID_HOW}, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("stream_interval_join needs at least one equi-key")
+    for c in keys + [left_ts]:
+        if c not in left.columns:
+            raise ValueError(f"left stream lacks column {c!r}")
+    for c in keys + [right_ts]:
+        if c not in right.columns:
+            raise ValueError(f"right stream lacks column {c!r}")
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+
+    # pandas-style disambiguation: suffix every colliding right column
+    taken = set(left.columns)
+    renames = {c: f"{c}{rsuffix}" for c in right.columns if c in taken}
+    clash = [v for v in renames.values() if v in taken or v in right.columns]
+    if clash:
+        raise ValueError(
+            f"rsuffix {rsuffix!r} still collides on {sorted(clash)}; "
+            "pick another suffix"
+        )
+    for old, new in renames.items():
+        rw = rw.withColumnRenamed(old, new)
+    r_keys = [renames.get(k, k) for k in keys]
+    r_ts = renames.get(right_ts, right_ts)
+
+    cond = F.lit(True)
+    for lk, rk in zip(keys, r_keys):
+        cond = cond & (lw[lk] == rw[rk])
+    # the range condition MUST be on the raw event-time columns so the
+    # engine's watermark analysis can derive state-eviction bounds
+    cond = (
+        cond
+        & (rw[r_ts] >= _interval_expr(left_ts, lower))
+        & (rw[r_ts] <= _interval_expr(left_ts, upper))
+    )
+    joined = lw.join(rw, on=cond, how=how)
+    # keys appear on both sides post-join; for inner/left_outer the left
+    # copy is authoritative (equal, or the right copy is NULL) so the
+    # right copy is dropped; for right/full outer keep both (the left copy
+    # is NULL on right-only rows and the caller coalesces)
+    if how in ("inner", "left_outer"):
+        joined = joined.drop(*[rw[rk] for rk in r_keys])
+    return joined
+
+
+def interval_join_batch(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    how: str = "inner",
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """The identical join over two STATIC frames — the oracle twin of
+    ``stream_interval_join`` (no watermark: batch results are complete by
+    construction).  For the scale path over large static corpora use
+    ``operators.rangejoin.range_join`` / ``interval_join``, which rewrite
+    the non-equi condition into a sharded equi-join; this twin keeps the
+    plan literally identical to the streamed one so the equality oracle
+    compares like with like."""
+    keys = [on] if isinstance(on, str) else list(on)
+    taken = set(left.columns)
+    renames = {c: f"{c}{rsuffix}" for c in right.columns if c in taken}
+    rr = right
+    for old, new in renames.items():
+        rr = rr.withColumnRenamed(old, new)
+    r_keys = [renames.get(k, k) for k in keys]
+    r_ts = renames.get(right_ts, right_ts)
+    cond = F.lit(True)
+    for lk, rk in zip(keys, r_keys):
+        cond = cond & (left[lk] == rr[rk])
+    cond = (
+        cond
+        & (rr[r_ts] >= _interval_expr(left_ts, lower))
+        & (rr[r_ts] <= _interval_expr(left_ts, upper))
+    )
+    joined = left.join(rr, on=cond, how=how)
+    if how in ("inner", "left_outer"):
+        joined = joined.drop(*[rr[rk] for rk in r_keys])
+    return joined

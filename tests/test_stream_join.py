@@ -1,0 +1,354 @@
+"""Stream-stream interval join: strict batch-equality oracles.
+
+The impressions ⋈ clicks shape: two file-replayed streams joined on
+user_id with the click constrained to [impression ts, +1 h], watermark
+2 h on both sides.  Three legs:
+
+1. INNER: emitted pairs == the batch interval join, exactly (inner
+   stream-stream joins emit eagerly; with watermark delay > interval
+   width nothing near the horizon is dropped).  The corpus is asserted
+   to exercise matches, non-matches on both sides, AND cross-file
+   (cross-micro-batch) matches — the case that needs join state.
+2. LEFT OUTER: matched pairs == batch matched pairs, and NULL-extended
+   rows == exactly the batch-unmatched left rows whose join window the
+   final watermark closed (l_ts + upper < wm) — emitting an open row,
+   dropping a closed one, or duplicating either fails.
+3. Checkpoint kill-and-restart: the query is stopped mid-corpus (left
+   state holding impressions whose clicks arrive only after the
+   restart), a new query resumes from the same checkpoint, and the total
+   emitted output (parquet sink, _spark_metadata manifest) must still be
+   exactly the batch join — cross-restart matches prove the join state
+   itself was recovered, not just source offsets.
+
+Charter scope (SURVEY §2 E5 streaming leg): the reference is batch-only
+Airflow; stream-stream joins are engine breadth, pytest-gated like the
+other streaming side-effect paths (driver oracle contract covers batch
+queries only).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_airflow_adventureworks_spark.streaming.joins import (
+    interval_join_batch,
+    stream_interval_join,
+)
+from tests.test_streaming import _reveal, _wm_us
+
+IMP_SCHEMA = "imp_id long, ts timestamp, user_id long, campaign string"
+CLK_SCHEMA = "click_id long, ts timestamp, user_id long, device string"
+N_DAYS = 6
+US_DAY = 86_400 * 1_000_000
+UPPER_US = 3_600 * 1_000_000  # join upper bound, 1 hour
+
+
+def _corpus(spark, n_days=N_DAYS, per_day=3_000, n_users=80, seed=11):
+    """Deterministic two-stream corpus: impressions per day; ~30% spawn a
+    click 0–90 min later (the 60–90 min tail falls OUTSIDE the 1 h join
+    bound → unmatched clicks; late-day parents push clicks across the
+    midnight file boundary → cross-batch matches); plus orphan clicks on
+    users no impression ever uses."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    t0 = dt.datetime(2025, 5, 1)
+    imps, clks = [], []
+    iid = cid = 0
+    for d in range(n_days):
+        offs = np.sort(rng.integers(0, US_DAY, per_day))
+        users = rng.integers(0, n_users, per_day)
+        for o, u in zip(offs.tolist(), users.tolist()):
+            ts = t0 + dt.timedelta(days=d, microseconds=o)
+            imps.append((iid, ts, int(u), f"c{iid % 7}"))
+            if rng.random() < 0.3:
+                delta = int(rng.integers(0, 90 * 60 * 1_000_000))
+                clks.append(
+                    (cid, ts + dt.timedelta(microseconds=delta), int(u), "mobile")
+                )
+                cid += 1
+            iid += 1
+        for _ in range(40):  # orphan clicks: right-side non-matches
+            o = int(rng.integers(0, US_DAY))
+            clks.append(
+                (
+                    cid,
+                    t0 + dt.timedelta(days=d, microseconds=o),
+                    int(n_users + rng.integers(0, 10)),
+                    "bot",
+                )
+            )
+            cid += 1
+    return (
+        spark.createDataFrame(imps, IMP_SCHEMA),
+        spark.createDataFrame(clks, CLK_SCHEMA),
+        t0,
+    )
+
+
+def _write_day_files(df, t0, staging, n_days):
+    """One standalone parquet file per day (by row ts), oldest first —
+    returns ordered paths. Days past the nominal range (clicks spilling
+    over the last midnight) get their own trailing file."""
+    import glob
+    import os
+    import shutil
+
+    paths = []
+    for d in range(n_days + 1):
+        day0 = t0 + dt.timedelta(days=d)
+        day1 = day0 + dt.timedelta(days=1)
+        part = df.filter((F.col("ts") >= day0) & (F.col("ts") < day1))
+        if part.limit(1).count() == 0:
+            continue
+        part_dir = os.path.join(staging, f"_day{d:02d}")
+        part.coalesce(1).write.parquet(part_dir)
+        (f,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dest = os.path.join(staging, f"day{d:02d}.parquet")
+        shutil.move(f, dest)
+        paths.append(dest)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def join_corpus(spark, tmp_path_factory):
+    """Corpus + revealed source dirs, shared by the two full-drive tests
+    (the restart test reveals incrementally so it builds its own dirs)."""
+    root = tmp_path_factory.mktemp("sjoin")
+    imp_df, clk_df, t0 = _corpus(spark)
+    imp_files = _write_day_files(imp_df, t0, str(root / "imp_stage"), N_DAYS)
+    clk_files = _write_day_files(clk_df, t0, str(root / "clk_stage"), N_DAYS)
+    imp_src, clk_src = str(root / "imp_src"), str(root / "clk_src")
+    _reveal(imp_files, imp_src)
+    _reveal(clk_files, clk_src)
+    return {
+        "imp_files": imp_files,
+        "clk_files": clk_files,
+        "imp_src": imp_src,
+        "clk_src": clk_src,
+        "t0": t0,
+    }
+
+
+def _read_streams(spark, imp_src, clk_src):
+    imp = (
+        spark.readStream.schema(IMP_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_src)
+    )
+    clk = (
+        spark.readStream.schema(CLK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clk_src)
+    )
+    return imp, clk
+
+
+def _join(imp, clk, how):
+    return stream_interval_join(
+        imp,
+        clk,
+        on="user_id",
+        lower="0 seconds",
+        upper="1 hour",
+        watermark="2 hours",
+        how=how,
+    )
+
+
+def _batch_join(spark, corpus, how):
+    return interval_join_batch(
+        spark.read.parquet(*corpus["imp_files"]),
+        spark.read.parquet(*corpus["clk_files"]),
+        on="user_id",
+        lower="0 seconds",
+        upper="1 hour",
+        how=how,
+    )
+
+
+def _drive_to_memory(df, name, flush=False):
+    """Append-mode drive to a memory sink; with flush=True, poll for the
+    trailing no-data batch (processAllAvailable only awaits source data;
+    outer-join NULL-extensions for the last watermark advance are emitted
+    by that flush batch). Returns the final watermark in epoch µs."""
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        if flush:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                lp = q.lastProgress
+                if lp is not None and lp["numInputRows"] == 0:
+                    break
+                time.sleep(0.2)
+            else:
+                raise AssertionError("no-data flush batch never ran")
+        wm = q.lastProgress["eventTime"]["watermark"]
+    finally:
+        q.stop()
+    return _wm_us(wm)
+
+
+def test_inner_stream_join_equals_batch(spark, join_corpus):
+    imp, clk = _read_streams(spark, join_corpus["imp_src"], join_corpus["clk_src"])
+    _drive_to_memory(_join(imp, clk, "inner"), "ssj_inner")
+    got = {
+        (r["imp_id"], r["click_id"])
+        for r in spark.sql("SELECT imp_id, click_id FROM ssj_inner").collect()
+    }
+    batch = _batch_join(spark, join_corpus, "inner")
+    expect_rows = batch.select("imp_id", "ts", "click_id", "ts_r").collect()
+    expect = {(r["imp_id"], r["click_id"]) for r in expect_rows}
+
+    # the corpus must exercise every regime or equality is weak:
+    n_imp = spark.read.parquet(*join_corpus["imp_files"]).count()
+    n_clk = spark.read.parquet(*join_corpus["clk_files"]).count()
+    matched_imps = {i for i, _ in expect}
+    matched_clks = {c for _, c in expect}
+    assert expect, "no matches planted"
+    assert len(matched_imps) < n_imp, "every impression matched"
+    assert len(matched_clks) < n_clk, "every click matched"
+    cross_file = [
+        r
+        for r in expect_rows
+        if r["ts"].date() != r["ts_r"].date()  # match spans the midnight file cut
+    ]
+    assert cross_file, "no cross-micro-batch match — join state untested"
+
+    assert got == expect
+
+
+def test_left_outer_stream_join_closed_oracle(spark, join_corpus):
+    imp, clk = _read_streams(spark, join_corpus["imp_src"], join_corpus["clk_src"])
+    wm_us = _drive_to_memory(_join(imp, clk, "left_outer"), "ssj_louter", flush=True)
+    rows = spark.sql(
+        "SELECT imp_id, ts, click_id FROM ssj_louter"
+    ).collect()
+    got_matched = {(r["imp_id"], r["click_id"]) for r in rows if r["click_id"] is not None}
+    got_null = [r["imp_id"] for r in rows if r["click_id"] is None]
+    assert len(got_null) == len(set(got_null)), "NULL-extension emitted twice"
+
+    batch = _batch_join(spark, join_corpus, "left_outer")
+    brows = batch.select("imp_id", "ts", "click_id").collect()
+    exp_matched = {(r["imp_id"], r["click_id"]) for r in brows if r["click_id"] is not None}
+    unmatched = [(r["imp_id"], r["ts"]) for r in brows if r["click_id"] is None]
+    closed_null = {
+        i
+        for i, ts in unmatched
+        if int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) + UPPER_US
+        < wm_us
+    }
+    open_null = {i for i, _ in unmatched} - closed_null
+    assert exp_matched and closed_null and open_null, (
+        len(exp_matched),
+        len(closed_null),
+        len(open_null),
+    )
+    assert got_matched == exp_matched
+    assert set(got_null) == closed_null
+
+
+def test_checkpoint_restart_inner_join_exact(spark, tmp_path):
+    """Kill-and-restart across the JOIN: phase 1 reveals days 0–2 of both
+    streams, the query is stopped, days 3+ are revealed, and a new query
+    resumes from the same checkpoint. Matches whose impression arrived
+    before the kill and whose click arrives after MUST still be emitted —
+    that requires the recovered join state, not just recovered offsets —
+    and the manifest-read sink must hold each pair exactly once."""
+    imp_df, clk_df, t0 = _corpus(spark)
+    imp_files = _write_day_files(imp_df, t0, str(tmp_path / "imp_stage"), N_DAYS)
+    clk_files = _write_day_files(clk_df, t0, str(tmp_path / "clk_stage"), N_DAYS)
+    imp_src, clk_src = str(tmp_path / "imp_src"), str(tmp_path / "clk_src")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        imp, clk = _read_streams(spark, imp_src, clk_src)
+        q = (
+            _join(imp, clk, "inner")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prog = list(q.recentProgress)
+        finally:
+            q.stop()
+        return sum(1 for p in prog if p["numInputRows"] > 0)
+
+    _reveal(imp_files[:3], imp_src)
+    _reveal(clk_files[:3], clk_src)
+    nb1 = drain()
+    _reveal(imp_files[3:], imp_src)
+    _reveal(clk_files[3:], clk_src)
+    nb2 = drain()
+    assert nb1 >= 2 and nb2 >= 2, (nb1, nb2)
+
+    emitted = spark.read.parquet(out).select("imp_id", "click_id").collect()
+    pairs = [(r["imp_id"], r["click_id"]) for r in emitted]
+    assert len(pairs) == len(set(pairs)), "pair emitted twice across restart"
+
+    batch = interval_join_batch(
+        spark.read.parquet(*imp_files),
+        spark.read.parquet(*clk_files),
+        on="user_id",
+        lower="0 seconds",
+        upper="1 hour",
+        how="inner",
+    )
+    boundary = t0 + dt.timedelta(days=3)
+    brows = batch.select("imp_id", "ts", "click_id", "ts_r").collect()
+    expect = {(r["imp_id"], r["click_id"]) for r in brows}
+    cross_restart = [
+        r for r in brows if r["ts"] < boundary and r["ts_r"] >= boundary
+    ]
+    assert cross_restart, "no match spans the kill — state recovery untested"
+    assert set(pairs) == expect
+
+
+def test_rejects_bad_arguments(spark, join_corpus):
+    imp = spark.read.parquet(*join_corpus["imp_files"])
+    clk = spark.read.parquet(*join_corpus["clk_files"])
+    with pytest.raises(ValueError, match="how must be"):
+        stream_interval_join(imp, clk, on="user_id", how="cross")
+    with pytest.raises(ValueError, match="interval offset"):
+        stream_interval_join(imp, clk, on="user_id", upper="next tuesday")
+    with pytest.raises(ValueError, match="lacks column"):
+        stream_interval_join(imp, clk, on="nope")
+    with pytest.raises(ValueError, match="at least one equi-key"):
+        stream_interval_join(imp, clk, on=[])
+    with pytest.raises(ValueError, match="still collides"):
+        stream_interval_join(
+            imp, clk.withColumnRenamed("device", "ts_r"), on="user_id"
+        )
+
+
+def test_negative_lower_bound_batch_twin(spark, join_corpus):
+    """Signed interval offsets work (click within ±30 min): the batch twin
+    against a DuckDB-style explicit-predicate recomputation."""
+    imp = spark.read.parquet(*join_corpus["imp_files"])
+    clk = spark.read.parquet(*join_corpus["clk_files"])
+    got = {
+        (r["imp_id"], r["click_id"])
+        for r in interval_join_batch(
+            imp, clk, on="user_id", lower="-30 minutes", upper="30 minutes"
+        )
+        .select("imp_id", "click_id")
+        .collect()
+    }
+    j = imp.alias("i").join(
+        clk.alias("c"),
+        (F.col("i.user_id") == F.col("c.user_id"))
+        & (F.unix_micros(F.col("c.ts")) >= F.unix_micros(F.col("i.ts")) - 1_800_000_000)
+        & (F.unix_micros(F.col("c.ts")) <= F.unix_micros(F.col("i.ts")) + 1_800_000_000),
+    )
+    expect = {(r["imp_id"], r["click_id"]) for r in j.select("imp_id", "click_id").collect()}
+    assert got and got == expect
