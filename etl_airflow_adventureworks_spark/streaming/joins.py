@@ -123,6 +123,81 @@ def stream_interval_join(
     return joined
 
 
+def join_state_per_batch(
+    spark,
+    left_dir: str,
+    right_dir: str,
+    *,
+    left_schema: str,
+    right_schema: str,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> list[dict]:
+    """Bounded-state EVIDENCE probe for the stream-stream join (the join
+    twin of ``events.session_state_per_batch``): replay two time-ordered
+    multi-file directories one file per micro-batch through
+    ``stream_interval_join`` and return, per non-empty batch, the join
+    operator's state-store footprint:
+
+      {rows: numRowsTotal, removed: numRowsRemoved, input: numInputRows}
+
+    The production claim under test: with the interval bound + watermark,
+    the engine derives per-side eviction horizons (the ``state cleanup``
+    predicates visible in the physical plan), so state holds only rows the
+    range can still match — at a steady arrival rate the per-batch row
+    count PLATEAUS (eviction ≈ admission) instead of growing with stream
+    length. Gated by ``tests/test_stream_join.py::
+    test_inner_join_state_plateaus``; curve committed in
+    STREAM_STATE.json."""
+    left = (
+        spark.readStream.schema(left_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(left_dir)
+    )
+    right = (
+        spark.readStream.schema(right_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(right_dir)
+    )
+    joined = stream_interval_join(
+        left,
+        right,
+        on,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        lower=lower,
+        upper=upper,
+        watermark=watermark,
+        how=how,
+    )
+    q = joined.writeStream.outputMode("append").format("noop").start()
+    try:
+        q.processAllAvailable()
+        progress = [
+            p if isinstance(p, dict) else p.asDict() for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
+    out = []
+    for p in progress:
+        if p["numInputRows"] <= 0 or not p.get("stateOperators"):
+            continue
+        op = p["stateOperators"][0]
+        out.append(
+            {
+                "rows": op["numRowsTotal"],
+                "removed": op.get("numRowsRemoved", 0),
+                "input": p["numInputRows"],
+            }
+        )
+    return out
+
+
 def interval_join_batch(
     left: DataFrame,
     right: DataFrame,

@@ -314,6 +314,52 @@ def test_checkpoint_restart_inner_join_exact(spark, tmp_path):
     assert set(pairs) == expect
 
 
+def test_inner_join_state_plateaus(spark, tmp_path):
+    """Bounded-state evidence: at a steady arrival rate the join
+    operator's state-store footprint PLATEAUS as the stream advances
+    (the watermark+interval eviction horizon ≈ admission), while
+    cumulative input grows linearly. An unbounded-state join would grow
+    rows monotonically with the stream and this test would fail."""
+    from etl_airflow_adventureworks_spark.streaming.joins import (
+        join_state_per_batch,
+    )
+
+    n_days = 10
+    imp_df, clk_df, t0 = _corpus(spark, n_days=n_days, per_day=3_000)
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    _write_day_files(imp_df, t0, imp_dir, n_days)
+    _write_day_files(clk_df, t0, clk_dir, n_days)
+
+    curve = join_state_per_batch(
+        spark,
+        imp_dir,
+        clk_dir,
+        left_schema=IMP_SCHEMA,
+        right_schema=CLK_SCHEMA,
+        on="user_id",
+        lower="0 seconds",
+        upper="1 hour",
+        watermark="2 hours",
+    )
+    assert len(curve) >= n_days - 1, curve
+    rows = [b["rows"] for b in curve]
+    total_in = sum(b["input"] for b in curve)
+    removed = sum(b["removed"] for b in curve)
+    # warm-up is the first two batches (nothing evicted until the
+    # watermark first advances); the tail batches are the spill files
+    # (clicks past the last midnight), so the steady region is [3:n-1).
+    # The watermark the engine evicts with lags one batch, so the
+    # plateau is ~one day of admission + the 3 h horizon — the claim is
+    # flatness there, and that no batch ever exceeds ~1.5 days' worth.
+    steady = rows[3 : n_days - 1]
+    assert len(steady) >= 4, rows
+    assert max(steady) <= 1.3 * min(steady), rows
+    assert max(rows) <= 1.5 * (total_in / n_days), (max(rows), total_in)
+    assert rows[-1] <= max(steady), rows
+    # and the evicted mass accounts for (almost) everything admitted
+    assert removed >= 0.7 * total_in, (removed, total_in)
+
+
 def test_rejects_bad_arguments(spark, join_corpus):
     imp = spark.read.parquet(*join_corpus["imp_files"])
     clk = spark.read.parquet(*join_corpus["clk_files"])

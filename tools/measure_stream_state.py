@@ -65,6 +65,44 @@ def build_daily_corpus(spark, out: str, n_days=8, per_day=6_000, n_users=120) ->
         ).parquet(out)
 
 
+def build_two_stream_corpus(
+    spark, imp_out: str, clk_out: str, n_days=10, per_day=6_000, n_users=120
+) -> None:
+    """Impressions + clicks day-sliced dirs for the stream-stream join
+    probe: ~30% of impressions spawn a click 0-90 min later (spilling
+    past the last midnight into a trailing file), plus orphan clicks."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(47)
+    t0 = dt.datetime(2025, 6, 1)
+    imps, clks = [], []
+    iid = cid = 0
+    for d in range(n_days):
+        offs = np.sort(rng.integers(0, 86400 * 1_000_000, per_day))
+        users = rng.integers(0, n_users, per_day)
+        for o, u in zip(offs.tolist(), users.tolist()):
+            ts = t0 + dt.timedelta(days=d, microseconds=o)
+            imps.append((iid, ts, int(u), f"c{iid % 7}"))
+            if rng.random() < 0.3:
+                delta = int(rng.integers(0, 90 * 60 * 1_000_000))
+                clks.append((cid, ts + dt.timedelta(microseconds=delta), int(u), "m"))
+                cid += 1
+            iid += 1
+    imp_df = spark.createDataFrame(
+        imps, "imp_id long, ts timestamp, user_id long, campaign string"
+    )
+    clk_df = spark.createDataFrame(
+        clks, "click_id long, ts timestamp, user_id long, device string"
+    )
+    for df, out in ((imp_df, imp_out), (clk_df, clk_out)):
+        for d in range(n_days + 1):
+            day0 = t0 + dt.timedelta(days=d)
+            day1 = day0 + dt.timedelta(days=1)
+            part = df.filter((F.col("ts") >= day0) & (F.col("ts") < day1))
+            if part.limit(1).count():
+                part.coalesce(1).write.mode("append").parquet(out)
+
+
 def main() -> None:
     out_json = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "STREAM_STATE.json"
 
@@ -81,6 +119,24 @@ def main() -> None:
             mode: se.session_state_per_batch(spark, files_dir, mode)
             for mode in ("append", "complete")
         }
+
+        from etl_airflow_adventureworks_spark.streaming.joins import (
+            join_state_per_batch,
+        )
+
+        imp_dir, clk_dir = f"{corpus}/imp", f"{corpus}/clk"
+        build_two_stream_corpus(spark, imp_dir, clk_dir)
+        join_curve = join_state_per_batch(
+            spark,
+            imp_dir,
+            clk_dir,
+            left_schema="imp_id long, ts timestamp, user_id long, campaign string",
+            right_schema="click_id long, ts timestamp, user_id long, device string",
+            on="user_id",
+            lower="0 seconds",
+            upper="1 hour",
+            watermark="2 hours",
+        )
         commit = subprocess.run(
             ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
             capture_output=True,
@@ -101,10 +157,28 @@ def main() -> None:
             },
             "append": curves["append"],
             "complete": curves["complete"],
+            "join_meta": {
+                "corpus": (
+                    "10 day-sliced files/side, 6k impressions/day, ~30% "
+                    "clicked within 90 min, 120 users, seed 47"
+                ),
+                "join": "inner, user_id, click in [imp ts, +1 h], watermark 2 h",
+                "note": (
+                    "StreamingSymmetricHashJoin state must plateau (the "
+                    "watermark+interval eviction horizon ~= admission; the "
+                    "evicting watermark lags one batch, so the plateau is "
+                    "~one day + 3 h of rows). Gated by tests/"
+                    "test_stream_join.py::test_inner_join_state_plateaus"
+                ),
+            },
+            "join": join_curve,
             "summary": {
                 "append_max_rows": max(h["rows"] for h in curves["append"]),
                 "append_total_removed": sum(h["removed"] for h in curves["append"]),
                 "complete_final_rows": curves["complete"][-1]["rows"],
+                "join_max_rows": max(h["rows"] for h in join_curve),
+                "join_total_removed": sum(h["removed"] for h in join_curve),
+                "join_total_input": sum(h["input"] for h in join_curve),
             },
         }
         out_json.write_text(json.dumps(doc, indent=1) + "\n")
