@@ -314,6 +314,82 @@ def test_checkpoint_restart_inner_join_exact(spark, tmp_path):
     assert set(pairs) == expect
 
 
+def _us(ts):
+    return int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def test_full_outer_stream_join_closed_oracle(spark, join_corpus):
+    """Both NULL-extension sets, strictly: left-null rows == exactly the
+    batch-unmatched impressions whose match window the final watermark
+    closed (imp ts + upper < wm), right-null rows == exactly the
+    batch-unmatched clicks past their own closing bound (clk ts - lower
+    < wm). The orphan 'bot' clicks planted by the corpus are the
+    right-side set."""
+    imp, clk = _read_streams(spark, join_corpus["imp_src"], join_corpus["clk_src"])
+    wm_us = _drive_to_memory(_join(imp, clk, "full_outer"), "ssj_fouter", flush=True)
+    rows = spark.sql(
+        "SELECT imp_id, ts, click_id, ts_r FROM ssj_fouter"
+    ).collect()
+    got_matched = {
+        (r["imp_id"], r["click_id"])
+        for r in rows
+        if r["imp_id"] is not None and r["click_id"] is not None
+    }
+    got_lnull = [r["imp_id"] for r in rows if r["click_id"] is None]
+    got_rnull = [r["click_id"] for r in rows if r["imp_id"] is None]
+    assert len(got_lnull) == len(set(got_lnull)), "left NULL-extension duplicated"
+    assert len(got_rnull) == len(set(got_rnull)), "right NULL-extension duplicated"
+
+    batch = _batch_join(spark, join_corpus, "full_outer")
+    brows = batch.select("imp_id", "ts", "click_id", "ts_r").collect()
+    exp_matched = {
+        (r["imp_id"], r["click_id"])
+        for r in brows
+        if r["imp_id"] is not None and r["click_id"] is not None
+    }
+    closed_lnull = {
+        r["imp_id"]
+        for r in brows
+        if r["click_id"] is None and _us(r["ts"]) + UPPER_US < wm_us
+    }
+    closed_rnull = {
+        r["click_id"]
+        for r in brows
+        if r["imp_id"] is None and _us(r["ts_r"]) < wm_us  # lower bound is 0
+    }
+    assert exp_matched and closed_lnull and closed_rnull
+    assert got_matched == exp_matched
+    assert set(got_lnull) == closed_lnull
+    assert set(got_rnull) == closed_rnull
+
+
+def test_right_outer_stream_join_closed_oracle(spark, join_corpus):
+    """right_outer == the right-side half of full_outer: matched pairs
+    plus exactly the watermark-closed unmatched clicks."""
+    imp, clk = _read_streams(spark, join_corpus["imp_src"], join_corpus["clk_src"])
+    wm_us = _drive_to_memory(_join(imp, clk, "right_outer"), "ssj_router", flush=True)
+    rows = spark.sql("SELECT imp_id, click_id, ts_r FROM ssj_router").collect()
+    got_matched = {
+        (r["imp_id"], r["click_id"]) for r in rows if r["imp_id"] is not None
+    }
+    got_rnull = [r["click_id"] for r in rows if r["imp_id"] is None]
+    assert len(got_rnull) == len(set(got_rnull)), "right NULL-extension duplicated"
+
+    batch = _batch_join(spark, join_corpus, "right_outer")
+    brows = batch.select("imp_id", "click_id", "ts_r").collect()
+    exp_matched = {
+        (r["imp_id"], r["click_id"]) for r in brows if r["imp_id"] is not None
+    }
+    closed_rnull = {
+        r["click_id"]
+        for r in brows
+        if r["imp_id"] is None and _us(r["ts_r"]) < wm_us
+    }
+    assert exp_matched and closed_rnull
+    assert got_matched == exp_matched
+    assert set(got_rnull) == closed_rnull
+
+
 def test_inner_join_state_plateaus(spark, tmp_path):
     """Bounded-state evidence: at a steady arrival rate the join
     operator's state-store footprint PLATEAUS as the stream advances
