@@ -237,3 +237,64 @@ def interval_join_batch(
     if how in ("inner", "left_outer"):
         joined = joined.drop(*[rr[rk] for rk in r_keys])
     return joined
+
+
+_STATIC_HOW = ("inner", "left", "left_semi", "left_anti")
+
+
+def stream_static_join(
+    stream: DataFrame,
+    static: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "left",
+    broadcast: bool = True,
+    rsuffix: str = "_r",
+) -> DataFrame:
+    """Enrich an unbounded stream with a STATIC dimension table — the
+    everyday streaming shape (events ⋈ campaign/user/product dims).
+
+    Stateless by construction: Structured Streaming plans a stream-static
+    join as an ordinary per-micro-batch join, so there is NO state store,
+    no watermark requirement, and the static side is re-resolved per
+    batch.  With ``broadcast=True`` (the default — dims are small) the
+    dim ships to every executor once per batch and the stream side never
+    shuffles; set ``broadcast=False`` for a dim too large to broadcast
+    and the batch planner falls back to a shuffled join per micro-batch.
+
+    ``how`` is restricted to the shapes Spark supports with the stream on
+    the left (``inner``, ``left``, ``left_semi``, ``left_anti``) —
+    right/full outer against a stream-left would need unbounded state and
+    is refused by the engine anyway.  Colliding non-key static columns
+    get ``rsuffix``, pandas-style; key columns merge (plain column-name
+    join), so no duplicate key copies appear in the output.
+    """
+    if how not in _STATIC_HOW:
+        raise ValueError(f"how must be one of {_STATIC_HOW}, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("stream_static_join needs at least one equi-key")
+    for c in keys:
+        if c not in stream.columns:
+            raise ValueError(f"stream lacks key column {c!r}")
+        if c not in static.columns:
+            raise ValueError(f"static side lacks key column {c!r}")
+
+    taken = set(stream.columns)
+    renames = {
+        c: f"{c}{rsuffix}"
+        for c in static.columns
+        if c in taken and c not in keys
+    }
+    clash = [v for v in renames.values() if v in taken or v in static.columns]
+    if clash:
+        raise ValueError(
+            f"rsuffix {rsuffix!r} still collides on {sorted(clash)}; "
+            "pick another suffix"
+        )
+    st = static
+    for old, new in renames.items():
+        st = st.withColumnRenamed(old, new)
+    if broadcast:
+        st = F.broadcast(st)
+    return stream.join(st, on=keys, how=how)

@@ -474,3 +474,85 @@ def test_negative_lower_bound_batch_twin(spark, join_corpus):
     )
     expect = {(r["imp_id"], r["click_id"]) for r in j.select("imp_id", "click_id").collect()}
     assert got and got == expect
+
+
+def test_stream_static_join_stateless_equality(spark, join_corpus):
+    """Stream ⋈ static dim: every emitted row equals the batch left join
+    (stateless — emissions are immediate, no watermark), NULLs appear for
+    exactly the dim-missing campaign, and the join holds NO state."""
+    from etl_airflow_adventureworks_spark.streaming.joins import (
+        stream_static_join,
+    )
+
+    # c6 deliberately absent -> left-NULL rows; 'ts' collides -> rsuffix
+    dim = spark.createDataFrame(
+        [(f"c{i}", f"Campaign {i}", 1000.0 * i, dt.datetime(2025, 1, 1)) for i in range(6)],
+        "campaign string, name string, budget double, ts timestamp",
+    )
+    imp = (
+        spark.readStream.schema(IMP_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(join_corpus["imp_src"])
+    )
+    j = stream_static_join(imp, dim, on="campaign", how="left")
+    q = (
+        j.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_enrich")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_ops = (q.lastProgress or {}).get("stateOperators")
+    finally:
+        q.stop()
+    assert state_ops == [], state_ops  # stateless: no state store at all
+
+    got = {
+        (r["imp_id"], r["name"], r["budget"], r["ts_r"])
+        for r in spark.sql(
+            "SELECT imp_id, name, budget, ts_r FROM ss_enrich"
+        ).collect()
+    }
+    batch = spark.read.parquet(*join_corpus["imp_files"])
+    expect_df = stream_static_join(batch, dim, on="campaign", how="left")
+    expect = {
+        (r["imp_id"], r["name"], r["budget"], r["ts_r"])
+        for r in expect_df.select("imp_id", "name", "budget", "ts_r").collect()
+    }
+    nulls = {t for t in expect if t[1] is None}
+    assert nulls and len(nulls) < len(expect), "corpus must mix hit and miss"
+    assert got == expect
+
+    # the batch twin must broadcast the dim (the stream side never shuffles)
+    plan = expect_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    # semi/anti partition the stream exactly
+    semi = stream_static_join(batch, dim, on="campaign", how="left_semi")
+    anti = stream_static_join(batch, dim, on="campaign", how="left_anti")
+    n_semi, n_anti, n_all = semi.count(), anti.count(), batch.count()
+    assert n_semi + n_anti == n_all and n_anti == len(nulls)
+
+
+def test_stream_static_join_rejects_bad_arguments(spark, join_corpus):
+    from etl_airflow_adventureworks_spark.streaming.joins import (
+        stream_static_join,
+    )
+
+    imp = spark.read.parquet(*join_corpus["imp_files"])
+    dim = spark.createDataFrame([("c0", "x")], "campaign string, name string")
+    with pytest.raises(ValueError, match="how must be"):
+        stream_static_join(imp, dim, on="campaign", how="full_outer")
+    with pytest.raises(ValueError, match="at least one equi-key"):
+        stream_static_join(imp, dim, on=[])
+    with pytest.raises(ValueError, match="stream lacks key"):
+        stream_static_join(imp, dim, on="nope")
+    with pytest.raises(ValueError, match="static side lacks key"):
+        stream_static_join(imp, dim.drop("campaign"), on="campaign")
+    with pytest.raises(ValueError, match="still collides"):
+        stream_static_join(
+            imp,
+            dim.withColumn("ts", F.lit(1)).withColumn("ts_r", F.lit(2)),
+            on="campaign",
+        )
