@@ -50,6 +50,28 @@ def _interval_expr(ts_col: str, offset: str) -> Column:
     return F.expr(f"`{ts_col}` + interval {offset}")
 
 
+def _has_watermark(df: DataFrame, ts_col: str) -> bool:
+    """True if ``ts_col`` already carries the engine's watermark-delay
+    metadata (set by withWatermark, preserved through renames/joins)."""
+    for f in df.schema.fields:
+        if f.name == ts_col:
+            return "spark.watermarkDelayMs" in (f.metadata or {})
+    return False
+
+
+def _demote_extra_event_time(df: DataFrame, keep: str) -> DataFrame:
+    """Strip watermark metadata from every event-time column except
+    ``keep``: a stream feeding a stateful operator may carry at most ONE
+    event-time column, but a stream-stream join's output carries one per
+    side. Re-aliasing with EXPLICIT empty metadata overrides the
+    propagated metadata, so the values are untouched and only the
+    event-time tag is dropped."""
+    for f in df.schema.fields:
+        if f.name != keep and "spark.watermarkDelayMs" in (f.metadata or {}):
+            df = df.withColumn(f.name, F.col(f.name).alias(f.name, metadata={}))
+    return df
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -86,8 +108,15 @@ def stream_interval_join(
         if c not in right.columns:
             raise ValueError(f"right stream lacks column {c!r}")
 
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    # A side that is ALREADY watermarked on its event-time column (e.g.
+    # the output of a previous stream_interval_join in a chained funnel)
+    # must not be re-stamped: since multi-stateful-operator support,
+    # redefining a watermark is an error and the engine propagates the
+    # upstream watermark through the join instead.
+    lw = left if _has_watermark(left, left_ts) else left.withWatermark(left_ts, watermark)
+    rw = right if _has_watermark(right, right_ts) else right.withWatermark(right_ts, watermark)
+    lw = _demote_extra_event_time(lw, left_ts)
+    rw = _demote_extra_event_time(rw, right_ts)
 
     # pandas-style disambiguation: suffix every colliding right column
     taken = set(left.columns)

@@ -556,3 +556,120 @@ def test_stream_static_join_rejects_bad_arguments(spark, join_corpus):
             dim.withColumn("ts", F.lit(1)).withColumn("ts_r", F.lit(2)),
             on="campaign",
         )
+
+
+def test_chained_three_stream_join_equals_batch(spark, tmp_path):
+    """Attribution funnel: impressions ⋈ clicks ⋈ conversions as TWO
+    chained stream-stream interval joins (click in [imp, +1 h], conv in
+    [click, +2 h]) — a multi-stateful-operator pipeline. The second join
+    re-watermarks the first join's OUTPUT on the click timestamp (ts_r),
+    which is what makes chaining legal; emitted triples must equal the
+    chained batch twin exactly, including funnels whose legs span
+    micro-batch (midnight file) boundaries."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    t0 = dt.datetime(2025, 7, 1)
+    n_days, per_day, n_users = 4, 2_000, 60
+    imps, clks, convs = [], [], []
+    iid = cid = vid = 0
+    for d in range(n_days):
+        offs = np.sort(rng.integers(0, US_DAY, per_day))
+        users = rng.integers(0, n_users, per_day)
+        for o, u in zip(offs.tolist(), users.tolist()):
+            ts = t0 + dt.timedelta(days=d, microseconds=o)
+            imps.append((iid, ts, int(u), f"c{iid % 7}"))
+            if rng.random() < 0.4:
+                c_ts = ts + dt.timedelta(
+                    microseconds=int(rng.integers(0, 90 * 60 * 1_000_000))
+                )
+                clks.append((cid, c_ts, int(u), "mobile"))
+                if rng.random() < 0.5:
+                    v_ts = c_ts + dt.timedelta(
+                        microseconds=int(rng.integers(0, 3 * 3_600 * 1_000_000))
+                    )
+                    convs.append((vid, v_ts, int(u), round(float(rng.random()) * 90, 2)))
+                    vid += 1
+                cid += 1
+            iid += 1
+    imp_df = spark.createDataFrame(imps, IMP_SCHEMA)
+    clk_df = spark.createDataFrame(clks, CLK_SCHEMA)
+    conv_df = spark.createDataFrame(
+        convs, "conv_id long, ts timestamp, user_id long, amount double"
+    )
+    # conversions reach up to +90min +3h past the last midnight
+    imp_files = _write_day_files(imp_df, t0, str(tmp_path / "is"), n_days)
+    clk_files = _write_day_files(clk_df, t0, str(tmp_path / "cs"), n_days)
+    conv_files = _write_day_files(conv_df, t0, str(tmp_path / "vs"), n_days)
+    srcs = {}
+    for name, files in (("imp", imp_files), ("clk", clk_files), ("conv", conv_files)):
+        srcs[name] = str(tmp_path / f"{name}_src")
+        _reveal(files, srcs[name])
+
+    CONV_SCHEMA = "conv_id long, ts timestamp, user_id long, amount double"
+
+    def read(name, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcs[name])
+        )
+
+    j1 = stream_interval_join(
+        read("imp", IMP_SCHEMA),
+        read("clk", CLK_SCHEMA),
+        on="user_id",
+        lower="0 seconds",
+        upper="1 hour",
+        watermark="4 hours",
+    )
+    j2 = stream_interval_join(
+        j1,
+        read("conv", CONV_SCHEMA),
+        on="user_id",
+        left_ts="ts_r",  # the CLICK timestamp anchors the second leg
+        lower="0 seconds",
+        upper="2 hours",
+        watermark="4 hours",
+        rsuffix="_c",
+    )
+    q = (
+        j2.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_chain")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["imp_id"], r["click_id"], r["conv_id"])
+        for r in spark.sql(
+            "SELECT imp_id, click_id, conv_id FROM ssj_chain"
+        ).collect()
+    }
+
+    b1 = interval_join_batch(
+        spark.read.parquet(*imp_files),
+        spark.read.parquet(*clk_files),
+        on="user_id",
+        lower="0 seconds",
+        upper="1 hour",
+    )
+    b2 = interval_join_batch(
+        b1,
+        spark.read.parquet(*conv_files),
+        on="user_id",
+        left_ts="ts_r",
+        lower="0 seconds",
+        upper="2 hours",
+        rsuffix="_c",
+    )
+    brows = b2.select("imp_id", "ts", "click_id", "ts_r", "conv_id", "ts_c").collect()
+    expect = {(r["imp_id"], r["click_id"], r["conv_id"]) for r in brows}
+    assert expect, "no complete funnels planted"
+    # both legs must individually cross a file boundary somewhere
+    assert any(r["ts"].date() != r["ts_r"].date() for r in brows), "leg 1 never crosses"
+    assert any(r["ts_r"].date() != r["ts_c"].date() for r in brows), "leg 2 never crosses"
+    assert got == expect
