@@ -181,14 +181,26 @@ def _drive_to_memory(df, name, flush=False):
     try:
         q.processAllAvailable()
         if flush:
+            # wait for QUIESCENCE, not just the first no-data batch: in a
+            # multi-stateful-operator query a downstream operator evicts
+            # with the PREVIOUS batch's watermark, so the engine may need
+            # several chained no-data batches before all closed results
+            # are out (batchId stops advancing once state is settled)
             deadline = time.time() + 60
+            seen_flush = False
+            last_bid, stable_since = None, time.time()
             while time.time() < deadline:
                 lp = q.lastProgress
-                if lp is not None and lp["numInputRows"] == 0:
+                if lp is not None:
+                    if lp["numInputRows"] == 0:
+                        seen_flush = True
+                    if lp["batchId"] != last_bid:
+                        last_bid, stable_since = lp["batchId"], time.time()
+                if seen_flush and time.time() - stable_since > 3.0:
                     break
                 time.sleep(0.2)
             else:
-                raise AssertionError("no-data flush batch never ran")
+                raise AssertionError("no-data flush batches never settled")
         wm = q.lastProgress["eventTime"]["watermark"]
     finally:
         q.stop()
@@ -673,3 +685,43 @@ def test_chained_three_stream_join_equals_batch(spark, tmp_path):
     assert any(r["ts"].date() != r["ts_r"].date() for r in brows), "leg 1 never crosses"
     assert any(r["ts_r"].date() != r["ts_c"].date() for r in brows), "leg 2 never crosses"
     assert got == expect
+
+
+def test_join_then_window_aggregation_closed_oracle(spark, join_corpus):
+    """Stream-stream join FOLLOWED BY a windowed aggregation (clicks per
+    campaign per hour) — two stateful operators in one query. The join
+    output anchors event time on the impression ts (the click-side tag is
+    demoted), the downstream tumbling window aggregates on it, and in
+    append mode the emitted windows must equal the batch aggregate
+    restricted to watermark-closed windows: exactly, per (campaign,
+    window, count). Closure rule: watermark PROPAGATION through a
+    time-interval join delays the downstream watermark by the join's
+    upper bound (a joined row's left ts can trail the input watermark by
+    up to ``upper``), so a window is closed iff
+    ``w.end + upper <= wm`` — using the raw input watermark here would
+    wrongly expect the last hour's windows."""
+    imp, clk = _read_streams(spark, join_corpus["imp_src"], join_corpus["clk_src"])
+    joined = _join(imp, clk, "inner")
+    agg = joined.groupBy(
+        F.window("ts", "1 hour").alias("w"), "campaign"
+    ).agg(F.count(F.lit(1)).alias("n_clicks"))
+    wm_us = _drive_to_memory(agg, "ssj_jagg", flush=True)
+    got = {
+        (r["w"]["start"], r["campaign"], r["n_clicks"])
+        for r in spark.sql("SELECT w, campaign, n_clicks FROM ssj_jagg").collect()
+    }
+
+    batch = _batch_join(spark, join_corpus, "inner")
+    brows = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "campaign")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .collect()
+    )
+    closed = {
+        (r["w"]["start"], r["campaign"], r["n_clicks"])
+        for r in brows
+        if _us(r["w"]["end"]) + UPPER_US <= wm_us
+    }
+    still_open = {t for t in {(r["w"]["start"], r["campaign"], r["n_clicks"]) for r in brows}} - closed
+    assert closed and still_open, (len(closed), len(still_open))
+    assert got == closed
