@@ -706,3 +706,108 @@ def test_checkpoint_restart_sessions_exact(spark, tmp_path):
     assert spanning, "no session spans the restart boundary — state recovery not exercised"
     for k in spanning:
         assert k in got and got[k] == closed[k]
+
+
+def test_late_rows_dropped_and_counted(spark, tmp_path):
+    """Late-data semantics, strictly: a file of rows revealed AFTER the
+    watermark passed their windows is (a) excluded from the emitted
+    result — which must still equal the on-time batch aggregate
+    restricted to closed windows — and (b) ACCOUNTED, row for row, in
+    the state operator's numRowsDroppedByWatermark metric. This is the
+    observability half of the watermark contract: at 100 TB nobody
+    re-derives drop counts from data, they read the metric. One real
+    subtlety is pinned here: the metric counts rows REACHING THE STATE
+    STORE — i.e. after map-side partial aggregation — so N late input
+    rows in K distinct (window, key) groups account as K, not N (the
+    late file below plants 10 rows in each of 48 pre-corpus hours and
+    the metric must read exactly 48)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    staging = str(tmp_path / "staging")
+    src = str(tmp_path / "src")
+    day_files, t0 = _write_daily_files(spark, staging, n_days=4, per_day=3_000)
+
+    n_groups, per_group = 48, 10
+    late_rows = [
+        (
+            10_000_000 + g * per_group + i,
+            # 48 distinct hour-windows BEFORE the corpus: long closed
+            t0 - dt.timedelta(hours=g + 1, minutes=-(i + 1)),
+            int(i % 120),
+            "view",
+            0.5,
+            "{}",
+        )
+        for g in range(n_groups)
+        for i in range(per_group)
+    ]
+    late_df = spark.createDataFrame(
+        late_rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import glob
+    import os
+    import shutil
+
+    late_dir = str(tmp_path / "_late")
+    late_df.coalesce(1).write.parquet(late_dir)
+    (part,) = glob.glob(os.path.join(late_dir, "part-*.parquet"))
+    late_file = str(tmp_path / "staging" / "late.parquet")
+    shutil.move(part, late_file)
+
+    _reveal(day_files + [late_file], src)  # late file replays LAST
+    raw = (
+        spark.readStream.schema(se.events_schema(T.TimestampType()))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        se.windowed_counts(raw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = [p if isinstance(p, dict) else p.asDict() for p in q.recentProgress]
+        wm = q.lastProgress["eventTime"]["watermark"]
+    finally:
+        q.stop()
+    wm_us = _wm_us(wm)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in prog
+        for op in (p.get("stateOperators") or [])
+    )
+    assert dropped == n_groups, (dropped, n_groups)
+
+    got = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    batch = (
+        spark.read.parquet(*day_files)  # on-time files ONLY
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").cast("long").alias("window_start_s"),
+            F.unix_timestamp("window.end").cast("long").alias("window_end_s"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    )
+    closed = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in batch
+        if r["window_end_s"] * 1_000_000 <= wm_us
+    }
+    assert closed and got == closed
+    # no late window leaked into the emitted set
+    t0_s = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert not any(ws < t0_s for ws, _ in got), "late window emitted"
