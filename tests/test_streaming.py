@@ -811,3 +811,80 @@ def test_late_rows_dropped_and_counted(spark, tmp_path):
     # no late window leaked into the emitted set
     t0_s = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
     assert not any(ws < t0_s for ws, _ in got), "late window emitted"
+
+
+def test_available_now_incremental_runs_exact(spark, tmp_path):
+    """Trigger.AvailableNow — the periodic-incremental-batch production
+    pattern: each run drains all files available at start, then STOPS
+    ITSELF; successive runs share a checkpoint. Two runs over a split
+    corpus must together emit exactly the full corpus's closed-window
+    set (no dup, no loss across the run boundary) — the same strict
+    oracle as the kill-and-restart tests, but with the engine's own
+    self-termination instead of an injected stop."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    staging = str(tmp_path / "staging")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    day_files, t0 = _write_daily_files(spark, staging, n_days=8, per_day=3_000)
+
+    def run_once():
+        raw = (
+            spark.readStream.schema(se.events_schema(T.TimestampType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            se.windowed_counts(raw)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "availableNow run did not self-stop"
+        prog = [p if isinstance(p, dict) else p.asDict() for p in q.recentProgress]
+        wms = [
+            p["eventTime"]["watermark"]
+            for p in prog
+            if p.get("eventTime", {}).get("watermark")
+        ]
+        n_data_batches = sum(1 for p in prog if p["numInputRows"] > 0)
+        return _wm_us(wms[-1]), n_data_batches
+
+    _reveal(day_files[:4], src)
+    _, nb1 = run_once()
+    _reveal(day_files[4:], src)
+    wm_us, nb2 = run_once()
+    assert nb1 >= 2 and nb2 >= 2, (nb1, nb2)  # genuinely incremental runs
+
+    emitted = spark.read.parquet(out).collect()  # manifest-exact read
+    keys = [(r["window_start_s"], r["event_type"]) for r in emitted]
+    assert len(keys) == len(set(keys)), "window emitted twice across runs"
+    got = {(r["window_start_s"], r["event_type"]): r["n_events"] for r in emitted}
+
+    batch = (
+        spark.read.parquet(*day_files)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("window.start").cast("long").alias("window_start_s"),
+            F.unix_timestamp("window.end").cast("long").alias("window_end_s"),
+            "event_type",
+            "n_events",
+        )
+        .collect()
+    )
+    closed = {
+        (r["window_start_s"], r["event_type"]): r["n_events"]
+        for r in batch
+        if r["window_end_s"] * 1_000_000 <= wm_us
+    }
+    open_ = {
+        (r["window_start_s"], r["event_type"]) for r in batch
+    } - set(closed)
+    assert closed and open_, (len(closed), len(open_))
+    assert got == closed
