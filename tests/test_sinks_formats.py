@@ -155,3 +155,57 @@ def test_binaryfile_source_feeds_multimodal_decode(spark, tmp_path):
     }
     want = {hashlib.md5(t).hexdigest() for t in texts.values()}
     assert got == want
+
+
+def test_write_size_targeted_hits_band(spark, tmp_path):
+    """The 256 MB-style size-targeted writer, scaled down: writing the
+    documents corpus (variable row sizes) with a 256 KB target must
+    produce multiple files whose sizes cluster around target — every
+    non-tail file within [0.5x, 1.6x] — and round-trip identically.
+    Footer overhead on the probe biases bytes-per-row UP, so files err
+    small, never blow past the target (the object-store failure mode)."""
+    from etl_airflow_adventureworks_spark.sinks import write_size_targeted
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # replicate ~100x with varied text so compression can't collapse the
+    # copies — gives a few MB, enough to split against a 1 MB target
+    df = (
+        docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(99))))
+        .withColumn("text", F.concat("text", F.lit(" rep="), F.col("rep").cast("string")))
+        .repartition(2)
+    )
+    out = str(tmp_path / "sized")
+    target_mb = 1
+    max_records = write_size_targeted(df, out, target_mb=target_mb)
+    assert max_records > 0
+
+    import glob
+    import os
+
+    sizes = sorted(
+        os.path.getsize(f) for f in glob.glob(os.path.join(out, "part-*"))
+    )
+    assert len(sizes) >= 3, sizes  # actually split into multiple files
+    target = target_mb * 1024 * 1024
+    # per write-task, the LAST file is a remainder — allow one small tail
+    # per input partition; every other file must be in the band
+    full = [s for s in sizes if s >= 0.5 * target]
+    tails = [s for s in sizes if s < 0.5 * target]
+    assert len(tails) <= df.rdd.getNumPartitions(), sizes
+    assert full, sizes
+    assert all(s <= 1.6 * target for s in full), sizes
+    assert not glob.glob(out + ".__size_probe"), "probe dir left behind"
+
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_write_size_targeted_rejects_bad_input(spark, tmp_path):
+    from etl_airflow_adventureworks_spark.sinks import write_size_targeted
+
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="target_mb"):
+        write_size_targeted(df, str(tmp_path / "x"), target_mb=0)
+    with pytest.raises(ValueError, match="empty frame"):
+        write_size_targeted(df.filter("id < 0"), str(tmp_path / "y"))
