@@ -232,6 +232,8 @@ def ngram_prefix_candidates(
     sh: DataFrame,
     length_filter: bool = True,
     positional_filter: bool = True,
+    threshold: float = JACCARD_THRESHOLD,
+    pair_filter: str | None = None,
 ) -> DataFrame:
     """AllPairs/PPJoin candidate generation over hashed shingle sets
     ``(doc_id, hh)`` → distinct ``(doc_a, doc_b)`` pairs guaranteed to
@@ -240,6 +242,12 @@ def ngram_prefix_candidates(
     (Zipfian) corpora. ``length_filter=False`` / ``positional_filter=False``
     disable the min≥t·max size prune and the PPJoin positional prune
     (used only to quantify their reduction — production always filters).
+    ``threshold`` overrides the module default t; ``pair_filter`` is an
+    optional SQL predicate over the expanded ``pair`` struct
+    (doc_a/doc_b/n_a/n_b/pos_a/pos_b), applied CODEGEN'D right at pair
+    expansion — before any shuffle — so structural prunes (e.g. the
+    cross-table-only rule of ``text_similarity_join``) cost nothing.
+    ``doc_id`` may be any orderable type, including a struct key.
 
     Positional filter (PPJoin, Xiao et al.): Jaccard ≥ t needs overlap
     ≥ t/(1+t)·(|A|+|B|), and at the pair's FIRST shared prefix element —
@@ -278,7 +286,7 @@ def ngram_prefix_candidates(
             # the PPJoin positional-filter input (slice starts at 1, so the
             # prefix position IS the full-array position)
             "posexplode(array_compact(transform("
-            f" slice(arr, 1, size(arr) - CAST(ceil({JACCARD_THRESHOLD}D * size(arr)) AS INT) + 1),"
+            f" slice(arr, 1, size(arr) - CAST(ceil({threshold}D * size(arr)) AS INT) + 1),"
             " x -> x.h))) AS (p0, h)",
         )
         .selectExpr("doc_id", "n", "p0 + 1 AS pos", "h")
@@ -302,16 +310,18 @@ def ngram_prefix_candidates(
             "                   'pos_b', y.pos))))) AS pair"
         )
     )
+    if pair_filter:
+        expanded = expanded.filter(F.expr(pair_filter))
     if length_filter:
         expanded = expanded.filter(
             F.expr(
                 "least(pair.n_a, pair.n_b) + 1e-9D"
-                f" >= {JACCARD_THRESHOLD}D * greatest(pair.n_a, pair.n_b)"
+                f" >= {threshold}D * greatest(pair.n_a, pair.n_b)"
             )
         )
     if not positional_filter:
         return expanded.select("pair.doc_a", "pair.doc_b").distinct()
-    frac = JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD)
+    frac = threshold / (1.0 + threshold)
     # loose per-occurrence prune BEFORE the pair shuffle (valid at any
     # occurrence: min(i−1, j−1) possible common elements before + this one
     # + min tail); cheap codegen predicate, trims the shuffle volume
