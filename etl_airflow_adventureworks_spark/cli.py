@@ -215,6 +215,22 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--out", default=None, help="write sessions parquet here")
     se.add_argument("--limit", type=int, default=20)
 
+    sj = sub.add_parser(
+        "simjoin",
+        help="two-table fuzzy text match (record linkage): shingle-Jaccard "
+        ">= t via the prefix-filtered AllPairs join",
+    )
+    sj.add_argument("--left", required=True, help="left parquet table path")
+    sj.add_argument("--right", required=True, help="right parquet table path")
+    sj.add_argument("--left-id", default="doc_id")
+    sj.add_argument("--right-id", default="doc_id")
+    sj.add_argument("--left-text", default="text")
+    sj.add_argument("--right-text", default="text")
+    sj.add_argument("--threshold", type=float, default=0.5)
+    sj.add_argument("--width", type=int, default=3, help="shingle width in tokens")
+    sj.add_argument("--out", default=None, help="write match pairs parquet here")
+    sj.add_argument("--limit", type=int, default=20)
+
     sub.add_parser("list", help="list declared queries")
 
     ex = sub.add_parser(
@@ -489,6 +505,28 @@ def main(argv: list[str] | None = None) -> int:
             sessions.show(args.limit, truncate=False)
         if args.attribution:
             asof_attribution_auto(ev, share=share).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "simjoin":
+        from .operators.simjoin import text_similarity_join
+
+        pairs = text_similarity_join(
+            spark.read.parquet(args.left),
+            spark.read.parquet(args.right),
+            left_id=args.left_id,
+            right_id=args.right_id,
+            left_text=args.left_text,
+            right_text=args.right_text,
+            threshold=args.threshold,
+            shingle_width=args.width,
+        )
+        if args.out:
+            pairs.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"matches: {n} pair(s) -> {args.out}")
+        else:
+            pairs.orderBy("jaccard", ascending=False).show(
+                args.limit, truncate=False
+            )
         return 0
     if args.cmd == "explain":
         if args.name not in QUERIES:

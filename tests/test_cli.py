@@ -271,3 +271,37 @@ def test_optimize_table_subcommand(spark, tmp_path, capsys):
     man = t.manifest()
     assert len(man["files"]) == 4 and len(man["stats"]) == 4
     assert t.read().count() == 5000
+
+
+def test_simjoin_subcommand_matches_library(spark, tmp_path, capsys):
+    """The simjoin CLI writes the same pair set the library returns."""
+    from etl_airflow_adventureworks_spark.operators.simjoin import (
+        text_similarity_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "q r s t u v"), (3, "x y z w k m")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, "a b c d e f"), (11, "a b c d e g"), (12, "n o p n o p")],
+        "doc_id long, text string",
+    )
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    left.write.parquet(lpath)
+    right.write.parquet(rpath)
+    out = str(tmp_path / "pairs")
+    assert main([
+        "simjoin", "--left", lpath, "--right", rpath,
+        "--threshold", "0.4", "--out", out,
+    ]) == 0
+    assert "pair(s)" in capsys.readouterr().out
+    got = {
+        (r["doc_id"], r["doc_id_r"])
+        for r in spark.read.parquet(out).collect()
+    }
+    expect = {
+        (r["doc_id"], r["doc_id_r"])
+        for r in text_similarity_join(left, right, threshold=0.4).collect()
+    }
+    assert got == expect and (1, 10) in got
