@@ -297,6 +297,15 @@ def stream_static_join(
     is refused by the engine anyway.  Colliding non-key static columns
     get ``rsuffix``, pandas-style; key columns merge (plain column-name
     join), so no duplicate key copies appear in the output.
+
+    Dim-freshness caveat: "re-resolved per batch" means the static
+    side's PLAN re-executes each micro-batch, but a plain parquet
+    DataFrame pins its file listing when it is created — an overwritten
+    dim is NOT picked up mid-query (and may fail the scan once the old
+    files vanish).  To follow a changing dim, restart the query with a
+    fresh dim frame (cheap under AvailableNow-style periodic runs) or
+    read the dim through a table format whose snapshot resolution is
+    per-batch.
     """
     if how not in _STATIC_HOW:
         raise ValueError(f"how must be one of {_STATIC_HOW}, got {how!r}")
