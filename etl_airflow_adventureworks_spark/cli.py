@@ -163,6 +163,23 @@ def main(argv: list[str] | None = None) -> int:
     ot.add_argument("--files", type=int, default=None,
                     help="target file count (default: size/128MB)")
 
+    dl = sub.add_parser(
+        "delete-rows",
+        help="DELETE WHERE on a VersionedTable: rewrites only the files "
+        "containing matches (carries the rest verbatim) as one atomic "
+        "new version; --erase then vacuums so no retained file still "
+        "holds the deleted rows (the GDPR procedure)",
+    )
+    dl.add_argument("--path", required=True)
+    dl.add_argument("--where", required=True,
+                    help="SQL predicate; matching rows are deleted "
+                    "(NULL-predicate rows survive, per SQL DELETE)")
+    dl.add_argument("--erase", action="store_true",
+                    help="vacuum(retain_last=1) after the delete — "
+                    "physically removes the pre-delete files")
+    dl.add_argument("--token", default=None,
+                    help="idempotency token (replay-safe job reruns)")
+
     rr = sub.add_parser(
         "refresh-rollup",
         help="bring a continuous-aggregate table up to its source's "
@@ -423,10 +440,12 @@ def main(argv: list[str] | None = None) -> int:
                 {c for ent in stats.values() for c in ent}
             ) if stats else []
             schema_cols = len(_json.loads(man["schema"]).get("fields", []))
+            op = man.get("op")
             print(
                 f"v{v}: {len(files)} file(s), {schema_cols} column(s), "
                 f"token={man.get('token')!r}, stats={covered}/{len(files)}"
                 + (f" on {cols}" if cols else "")
+                + (f", op={op}" if op else "")
             )
         return 0
     if args.cmd == "optimize-table":
@@ -438,6 +457,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"optimized into version {v}"
               + (f" z-ordered on ({args.zorder})" if args.zorder else ""))
+        return 0
+    if args.cmd == "delete-rows":
+        from .table import VersionedTable
+
+        t = VersionedTable(spark, args.path)
+        before = t.manifest()["version"] if t.versions() else None
+        v = t.delete_where(args.where, idempotency_token=args.token)
+        if v == before:
+            print(f"no rows matched {args.where!r} (or replayed token); "
+                  f"still at version {v}")
+            return 0
+        op = t.manifest(v)["op"]
+        print(f"deleted {op['rows_deleted']} row(s) into version {v} "
+              f"({op['files_rewritten']} file(s) rewritten, "
+              f"{op['files_carried']} carried)")
+        if args.erase:
+            n = t.vacuum(retain_last=1)
+            print(f"erased {n} pre-delete file(s) (history vacuumed)")
         return 0
     if args.cmd == "refresh-rollup":
         import json as _json

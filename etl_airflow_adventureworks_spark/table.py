@@ -191,6 +191,14 @@ class VersionedTable:
         }
         if stats:
             man["stats"] = stats
+        self._publish_manifest(man)
+        return version
+
+    def _publish_manifest(self, man: dict) -> None:
+        """Atomically publish ``man`` as version ``man['version']``: write a
+        fully-formed temp file, then rename — the commit point every writer
+        (commit / delete_where) shares."""
+        version = man["version"]
         data = json.dumps(man, indent=1).encode()
         tmp = self._HPath(
             f"{self.path}/{_MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json"
@@ -202,7 +210,6 @@ class VersionedTable:
             raise IOError(
                 f"commit conflict: version {version} already exists at {self.path}"
             )
-        return version
 
     @staticmethod
     def _validate_stats_cols(cols: list[str], schema) -> None:
@@ -313,6 +320,103 @@ class VersionedTable:
         if current is not None:
             merged = merged.localCheckpoint(eager=True)
         return self.commit(merged, mode="overwrite", idempotency_token=idempotency_token)
+
+    def delete_where(
+        self, predicate, idempotency_token: str | None = None
+    ) -> int:
+        """Targeted row delete (the lakehouse ``DELETE WHERE``): drop every
+        row where ``predicate`` (a SQL expression string or a Column) is
+        TRUE and publish the result as one atomic new version. Rows where
+        the predicate is FALSE **or NULL** survive — SQL DELETE semantics,
+        not filter complement.
+
+        Scale shape: one predicate-pushed scan finds which files contain a
+        match (grouped on ``input_file_name`` — the collect is one row per
+        *touched* file, never per row); ONLY those files are rewritten with
+        the survivors, and every untouched file is carried into the new
+        manifest verbatim, keeping its recorded min/max stats. On a 100 TB
+        table a keyed delete therefore rewrites the few files whose
+        row-group stats admit the key, not the table — the same
+        touched-file-rewrite contract Delta/Iceberg `DELETE` gives.
+
+        The new manifest records ``op = {rows_deleted, files_rewritten,
+        files_carried}``. A delete that matches nothing publishes NOTHING
+        and returns the current version (re-running it is naturally
+        idempotent). ``idempotency_token`` behaves as in ``commit``.
+
+        Erasure caveat (GDPR / right-to-be-forgotten): older versions still
+        reference the pre-delete files until ``vacuum`` — the erasure
+        procedure is ``delete_where(...)`` **then** ``vacuum(retain_last=1)``,
+        which physically removes every file the deleted rows lived in.
+        A delete is a rewrite, so ``changes()`` across it fails loud (by
+        design, like upsert/optimize); ``diff_versions`` classifies the
+        dropped rows as ``removed``."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+        from pyspark.sql.column import Column
+
+        latest = self.manifest()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        if (
+            idempotency_token is not None
+            and latest.get("token") == idempotency_token
+        ):
+            return latest["version"]
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if not isinstance(pred, Column):
+            raise TypeError(
+                f"predicate must be a SQL string or Column, got {type(predicate).__name__}"
+            )
+        files = latest["files"]
+        if not files:
+            return latest["version"]
+        schema = T.StructType.fromJson(json.loads(latest["schema"]))
+        full = self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in files]
+        )
+        hits = (
+            full.filter(pred)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )  # one row per TOUCHED file — bounded by file count, not rows
+        if not hits:
+            return latest["version"]
+
+        def rel(uri: str) -> str:
+            # rsplit: the table path itself may contain a /data/ segment
+            tail = uri.rsplit("/" + _DATA_DIR + "/", 1)[1]
+            return f"{_DATA_DIR}/{tail}"
+
+        touched = {rel(r["f"]): r["n"] for r in hits}
+        carried = [f for f in files if f not in touched]
+        version = latest["version"] + 1
+        survivors = self.spark.read.schema(schema).parquet(
+            *[f"{self.path}/{f}" for f in touched]
+        ).filter(~F.coalesce(pred, F.lit(False)))  # NULL-predicate rows survive
+        new_files = self._write_data_files(survivors, version)
+        old_stats = latest.get("stats") or {}
+        stats = {f: old_stats[f] for f in carried if f in old_stats}
+        stat_cols = sorted({c for ent in old_stats.values() for c in ent})
+        if stat_cols and new_files:
+            stats.update(self._file_stats(new_files, stat_cols, schema))
+        man = {
+            "version": version,
+            "files": carried + new_files,
+            "schema": latest["schema"],
+            "token": idempotency_token,
+            "op": {
+                "op": "delete",
+                "rows_deleted": sum(touched.values()),
+                "files_rewritten": len(touched),
+                "files_carried": len(carried),
+            },
+        }
+        if stats:
+            man["stats"] = stats
+        self._publish_manifest(man)
+        return version
 
     # -------------------------------------------------------------- read
 

@@ -305,3 +305,43 @@ def test_simjoin_subcommand_matches_library(spark, tmp_path, capsys):
         for r in text_similarity_join(left, right, threshold=0.4).collect()
     }
     assert got == expect and (1, 10) in got
+
+
+def test_delete_rows_subcommand(spark, tmp_path, capsys):
+    """r8: delete-rows = DELETE WHERE + optional --erase vacuum."""
+    import glob
+
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    df = spark.range(1000).selectExpr("id AS k", "id % 7 AS v")
+    t.commit(df.repartitionByRange(4, "k"), stats_cols=["k"])
+
+    assert main(["delete-rows", "--path", path,
+                 "--where", "k between 10 and 29"]) == 0
+    out = capsys.readouterr().out
+    assert "deleted 20 row(s) into version 2" in out
+    assert "1 file(s) rewritten" in out and "3 carried" in out
+    assert t.read().count() == 980
+
+    # no-match: reported, no new version
+    assert main(["delete-rows", "--path", path, "--where", "k = -1"]) == 0
+    assert "no rows matched" in capsys.readouterr().out
+    assert t.versions() == [1, 2]
+
+    # --erase leaves no retained file holding the deleted rows
+    assert main(["delete-rows", "--path", path,
+                 "--where", "k < 5", "--erase"]) == 0
+    out = capsys.readouterr().out
+    assert "into version 3" in out and "erased" in out
+    assert t.versions() == [3]
+    assert t.read().count() == 975
+    files_on_disk = glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet"))
+    assert {f"data/{p.split('/data/')[1]}" for p in files_on_disk} == set(
+        t.manifest()["files"]
+    )
+
+    # op metrics surface in table-info
+    assert main(["table-info", "--path", path]) == 0
+    assert "'rows_deleted': 5" in capsys.readouterr().out

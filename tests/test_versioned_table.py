@@ -425,3 +425,89 @@ def test_optimize_zorder_is_atomic_and_prunable(spark, tmp_path):
     # the change feed correctly refuses to span the rewrite
     with pytest.raises(ValueError, match="replaced files"):
         t.changes(1)
+
+
+def test_delete_where_semantics_and_null_rows_survive(spark, tmp_path):
+    """r8: DELETE WHERE — matching rows drop, FALSE **and NULL** predicate
+    rows survive (SQL DELETE, not filter complement); op metrics recorded;
+    history stays time-travelable; no-match deletes publish nothing."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c"), (4, "a")], "k long, v string"
+        )
+    )
+    v = t.delete_where("v = 'a'")  # NULL v: predicate is NULL -> survives
+    assert v == 2 and t.versions() == [1, 2]
+    assert sorted(map(tuple, t.read().collect())) == [(2, None), (3, "c")]
+    assert t.read(1).count() == 4  # time travel intact
+    op = t.manifest()["op"]
+    assert op["op"] == "delete" and op["rows_deleted"] == 2
+
+    # no-match delete: naturally idempotent, NO new version
+    assert t.delete_where("k = 999") == 2
+    assert t.versions() == [1, 2]
+
+    # idempotency token replay is a detected no-op
+    from pyspark.sql import functions as F
+
+    v3 = t.delete_where(F.col("k") == 3, idempotency_token="job:7")
+    assert v3 == 3 and t.read().count() == 1
+    assert t.delete_where(F.col("k") <= 99, idempotency_token="job:7") == 3
+    assert t.read().count() == 1  # replay deleted nothing
+
+    with pytest.raises(TypeError, match="SQL string or Column"):
+        t.delete_where(42)
+
+    # diff_versions classifies the dropped rows as removed
+    d = t.diff_versions(1, 2, key="k")
+    assert sorted(r["k"] for r in d.filter("change = 'removed'").collect()) == [1, 4]
+    # a delete is a rewrite: the append-only change feed refuses to span it
+    with pytest.raises(ValueError, match="replaced files"):
+        t.changes(1)
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """r8: the 100 TB contract — a keyed delete rewrites the few files
+    containing matches and carries every other file (and its stats)
+    verbatim; read_where still prunes afterwards; vacuum then physically
+    erases the pre-delete files (the GDPR procedure)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    # range-partitioned on k -> each file owns a disjoint k-range
+    t.commit(df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+             stats_cols=["k"])
+    man1 = t.manifest()
+    assert len(man1["files"]) == 8
+
+    # keys 100..119 live in exactly one file of the range layout
+    t.delete_where("k between 100 and 119")
+    man2 = t.manifest()
+    assert man2["op"]["rows_deleted"] == 20
+    assert man2["op"]["files_rewritten"] == 1
+    assert man2["op"]["files_carried"] == 7
+    carried = set(man1["files"]) & set(man2["files"])
+    assert len(carried) == 7  # untouched files carried byte-identically
+    # carried stats survive; the rewritten file got fresh stats
+    assert all(f in man2["stats"] for f in man2["files"])
+    assert t.read().count() == 9_980
+    assert t.read().filter("k between 100 and 119").count() == 0
+
+    # skip-scan still prunes on the post-delete manifest
+    pruned = t.read_where({"k": (9_000, 9_050)})
+    assert 0 < len(pruned.inputFiles()) < 8
+    assert pruned.count() == 51
+
+    # GDPR erasure: vacuum removes every file the deleted rows lived in
+    import glob
+
+    pre_delete_files = {f.rsplit("/", 1)[1] for f in man1["files"]}
+    t.vacuum(retain_last=1)
+    on_disk = {p.rsplit("/", 1)[1]
+               for p in glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet"))}
+    assert len(on_disk & pre_delete_files) == 7  # only the carried 7 remain
+    assert t.read().count() == 9_980  # survivors intact after the sweep
