@@ -300,8 +300,28 @@ class VersionedTable:
 
     def upsert(self, updates: DataFrame, key: str, idempotency_token: str | None = None) -> int:
         """SCD1 merge into the table (updates win on ``key``; bootstrap on
-        first commit) published as one atomic version."""
-        from .operators.upsert import scd1_upsert
+        first commit) published as one atomic version.
+
+        Scale shape (the copy-on-write MERGE): ``updates ∪ (current ⟕̸
+        keys)`` decomposes file-by-file, so only the files that CONTAIN a
+        matched key are rewritten — a broadcast-sized semi-join probe
+        (pre-pruned by the manifest's min/max stats when the key has them)
+        finds those files, their survivors are anti-joined and unioned
+        with the batch, and every untouched file is carried verbatim with
+        its stats. A micro-batch merge into a key-clustered 100 TB table
+        therefore rewrites the few files whose stats admit the batch's
+        keys — never the table (the old behavior, kept only as the
+        fallback when the batch's schema differs from the table's, where
+        the union must re-resolve every row anyway).
+
+        Insert-only batches (no key matched) touch NOTHING: the new files
+        are pure appends, so the append-only change feed (`changes`)
+        remains valid across them; a batch that updates rows is a rewrite
+        and trips the feed's guard as before. The manifest records
+        ``op = {rows_in_batch, rows_matched, files_rewritten,
+        files_carried}``."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         latest = self.manifest()
         if (
@@ -312,14 +332,92 @@ class VersionedTable:
             # replayed micro-batch: skip BEFORE building/materializing the
             # merge (the replay payload may even be partial — never touch it)
             return latest["version"]
-        current = self.read() if self.versions() else None
-        merged = updates if current is None else scd1_upsert(current, updates, key)
-        # the merge plan reads the CURRENT version's files lazily; checkpoint
-        # before writing so the new files aren't derived from a plan that
-        # could re-resolve the table mid-write
-        if current is not None:
-            merged = merged.localCheckpoint(eager=True)
-        return self.commit(merged, mode="overwrite", idempotency_token=idempotency_token)
+        if latest is None:
+            return self.commit(
+                updates, mode="overwrite", idempotency_token=idempotency_token
+            )
+        schema = T.StructType.fromJson(json.loads(latest["schema"]))
+        same_schema = {f.name: f.dataType.simpleString() for f in schema} == {
+            f.name: f.dataType.simpleString() for f in updates.schema
+        }
+        if not same_schema:
+            # schema drift: the union re-types every row, so the honest
+            # cost IS a full rewrite — the pre-r8 path
+            from .operators.upsert import scd1_upsert
+
+            merged = scd1_upsert(self.read(), updates, key).localCheckpoint(
+                eager=True
+            )
+            return self.commit(
+                merged, mode="overwrite", idempotency_token=idempotency_token
+            )
+        # the batch is read several times (probe, anti-join, union, write):
+        # pin it once — micro-batch-sized, same as the old merged checkpoint
+        updates = updates.localCheckpoint(eager=True)
+        files = latest["files"]
+        old_stats = latest.get("stats") or {}
+        cand = files
+        if any(key in (old_stats.get(f) or {}) for f in files):
+            kmin, kmax = updates.agg(F.min(key), F.max(key)).first()
+            if kmin is not None:
+                cand = [
+                    f
+                    for f in files
+                    if key not in (old_stats.get(f) or {})
+                    or not (
+                        old_stats[f][key][1] < kmin or old_stats[f][key][0] > kmax
+                    )
+                ]
+        keys_df = updates.select(key).distinct()
+        touched: dict[str, int] = {}
+        if cand:
+
+            def rel(uri: str) -> str:
+                tail = uri.rsplit("/" + _DATA_DIR + "/", 1)[1]
+                return f"{_DATA_DIR}/{tail}"
+
+            hits = (
+                self.spark.read.schema(schema)
+                .parquet(*[f"{self.path}/{f}" for f in cand])
+                .select(F.col(key), F.input_file_name().alias("f"))
+                .join(keys_df, key, "left_semi")
+                .groupBy("f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )  # one row per TOUCHED file
+            touched = {rel(r["f"]): r["n"] for r in hits}
+        carried = [f for f in files if f not in touched]
+        new_data = updates
+        if touched:
+            survivors = (
+                self.spark.read.schema(schema)
+                .parquet(*[f"{self.path}/{f}" for f in touched])
+                .join(keys_df, key, "left_anti")
+            )
+            new_data = updates.unionByName(survivors)
+        version = latest["version"] + 1
+        new_files = self._write_data_files(new_data, version)
+        stats = {f: old_stats[f] for f in carried if f in old_stats}
+        stat_cols = sorted({c for ent in old_stats.values() for c in ent})
+        if stat_cols and new_files:
+            stats.update(self._file_stats(new_files, stat_cols, schema))
+        man = {
+            "version": version,
+            "files": carried + new_files,
+            "schema": latest["schema"],
+            "token": idempotency_token,
+            "op": {
+                "op": "upsert",
+                "rows_in_batch": updates.count(),
+                "rows_matched": sum(touched.values()),
+                "files_rewritten": len(touched),
+                "files_carried": len(carried),
+            },
+        }
+        if stats:
+            man["stats"] = stats
+        self._publish_manifest(man)
+        return version
 
     def delete_where(
         self, predicate, idempotency_token: str | None = None
@@ -445,9 +543,11 @@ class VersionedTable:
         what lakehouse CDF does for pure appends).
 
         Fails loud if any commit in the range rewrote the visible file
-        set (overwrite/upsert/compaction): a row-level diff across a
-        rewrite is not derivable from manifests alone — use
-        ``read(v2)`` vs ``read(v1)`` key-diffing for SCD tables.
+        set (overwrite, matched upsert, delete, compaction): a row-level
+        diff across a rewrite is not derivable from manifests alone — use
+        ``read(v2)`` vs ``read(v1)`` key-diffing for SCD tables. Since r8
+        an INSERT-ONLY upsert carries every file (nothing matched, so
+        nothing rewrote), so the feed stays valid across it.
         ``since_version == to_version`` yields an empty (schema-correct)
         frame."""
         vs = self.versions()
@@ -462,13 +562,24 @@ class VersionedTable:
                 f"changes({since_version}, {man_to['version']}): "
                 "to_version must be >= since_version"
             )
+        # append-only must hold at EVERY step in the range, not just the
+        # endpoints: a partial rewrite (matched upsert / delete) of files
+        # added mid-range would otherwise re-surface rewritten rows as
+        # appends. vacuum retains a contiguous newest suffix, so a
+        # readable since_version implies readable intermediates.
         since_files = set(man_since["files"])
-        if not since_files <= set(man_to["files"]):
-            raise ValueError(
-                f"changes({since_version}, {man_to['version']}): a commit in "
-                "the range replaced files (overwrite/upsert) — the append-"
-                "only change feed is undefined across it"
-            )
+        prev = since_files
+        for v in vs:
+            if not (since_version < v <= man_to["version"]):
+                continue
+            cur = set(self.manifest(v)["files"])
+            if not prev <= cur:
+                raise ValueError(
+                    f"changes({since_version}, {man_to['version']}): commit "
+                    f"v{v} replaced files (overwrite/matched upsert/delete) "
+                    "— the append-only change feed is undefined across it"
+                )
+            prev = cur
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(man_to["schema"]))

@@ -511,3 +511,96 @@ def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
                for p in glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet"))}
     assert len(on_disk & pre_delete_files) == 7  # only the carried 7 remain
     assert t.read().count() == 9_980  # survivors intact after the sweep
+
+
+def test_upsert_rewrites_only_touched_files(spark, tmp_path):
+    """r8: copy-on-write MERGE — a keyed micro-batch rewrites only the
+    files containing matched keys (stats-pruned probe), carries the rest,
+    and equals the full scd1 merge row-for-row."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+             stats_cols=["k"])
+    man1 = t.manifest()
+
+    # batch: update 10 keys in one k-range + insert 5 brand-new keys
+    batch = spark.createDataFrame(
+        [(k, -1) for k in range(2_000, 2_010)]
+        + [(k, -2) for k in range(90_000, 90_005)],
+        "k long, v long",
+    )
+    v = t.upsert(batch, key="k")
+    man2 = t.manifest(v)
+    assert man2["op"]["op"] == "upsert"
+    assert man2["op"]["rows_in_batch"] == 15
+    assert man2["op"]["rows_matched"] == 10
+    assert man2["op"]["files_rewritten"] == 1
+    assert man2["op"]["files_carried"] == 7
+    assert len(set(man1["files"]) & set(man2["files"])) == 7
+    assert all(f in man2["stats"] for f in man2["files"])  # stats maintained
+
+    # row-for-row scd1 equivalence
+    got = t.read()
+    assert got.count() == 8_005
+    assert got.filter("v = -1").count() == 10
+    assert got.filter("v = -2").count() == 5
+    assert got.filter("k between 2000 and 2009 and v <> -1").count() == 0
+    chk = "bit_xor(xxhash64(k, v))"
+    from etl_airflow_adventureworks_spark.operators.upsert import scd1_upsert
+
+    want = scd1_upsert(df, batch, "k")
+    assert got.selectExpr(chk).first() == want.selectExpr(chk).first()
+
+    # skip-scan still prunes after the merge
+    pruned = t.read_where({"k": (7_000, 7_050)})
+    assert 0 < len(pruned.inputFiles()) < len(man2["files"])
+    assert pruned.count() == 51
+
+
+def test_insert_only_upsert_keeps_change_feed_alive(spark, tmp_path):
+    """r8: a batch matching NO existing key carries every file (pure
+    append) — `changes` tails across it; a matched batch still trips
+    the rewrite guard."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    t.upsert(_df(spark, [(3, "c"), (4, "d")]), key="k")  # insert-only
+    delta = t.changes(1)
+    assert sorted(map(tuple, delta.collect())) == [(3, "c"), (4, "d")]
+    assert t.manifest()["op"]["files_rewritten"] == 0
+
+    t.upsert(_df(spark, [(4, "D"), (5, "e")]), key="k")  # matched -> rewrite
+    assert sorted(map(tuple, t.read().collect())) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "D"), (5, "e")]
+    with pytest.raises(ValueError, match="replaced files"):
+        t.changes(1)
+
+    # NULL-keyed current rows never match (SQL join semantics) and
+    # duplicate batch keys pass through verbatim — scd1 parity
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(_df(spark, [(None, "n"), (1, "a")]))
+    t2.upsert(
+        spark.createDataFrame([(1, "A1"), (1, "A2")], "k long, v string"),
+        key="k",
+    )
+    assert sorted(map(tuple, t2.read().collect()),
+                  key=lambda r: (r[0] is not None, r)) == [
+        (None, "n"), (1, "A1"), (1, "A2")]
+
+
+def test_upsert_schema_drift_falls_back_to_full_merge(spark, tmp_path):
+    """r8: a batch whose schema differs re-types every row — the honest
+    full-rewrite path runs and the result matches scd1 on the widened
+    frame."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))
+    widened = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    v = t.upsert(widened, key="k")  # k: long -> int drift
+    assert v == 2
+    assert "op" not in t.manifest()  # full-path commit, not a pruned merge
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "B"), (3, "c")]
