@@ -1,0 +1,196 @@
+"""Time-series gap filling over bucketed series (hypertable-style).
+
+The reference's analytics stop at GROUP BY month (KPI 8,
+`/root/reference/dags/dag_analytics.py` seasonality); real event
+analytics over the `events` table also needs dense per-key time series —
+"requests per user per hour, INCLUDING the silent hours" — which a plain
+groupBy cannot produce: missing buckets simply have no row. Timescale's
+`time_bucket_gapfill` + `locf()`/`interpolate()` is the canonical SQL
+surface for this; Spark has no counterpart, so this module composes one
+from built-ins:
+
+1. per-key bucket bounds (one summary-sized aggregate — parquet
+   min/max footer stats serve it on a raw scan);
+2. the dense grid = `sequence(min_bucket, max_bucket, step)` exploded
+   JVM-side (`explode` of a generated array — no Python, no shuffle:
+   the sequence is computed on the summary row and explodes in place);
+3. one left join of the grid against the series on (key, bucket);
+4. fill: `null` (leave the gap visible), a constant, `locf`
+   (last-observation-carried-forward via running `last() IGNORE
+   NULLS`), or `linear` (interpolation between the neighbouring
+   observations via back/forward `last`/`first() IGNORE NULLS` over
+   a carried (bucket, value) struct — edges beyond the first/last
+   observation stay NULL, matching Timescale's `interpolate`).
+
+Scale: output is exactly keys × buckets-in-range rows — declared, not
+data-dependent; the wide work is the grid⋈series join on (key, bucket)
+plus, for locf/linear, one re-exchange to per-key partitions for the
+fill windows (null/const fills stop at the join). A hot key costs its
+range length, not its event count, so skew in EVENTS does not skew the
+fill. For a 100 TB corpus
+the knob that matters is the bucket width: the caller declares the
+grid size (keys × range/step) up front, and `max_buckets_per_key`
+fails loud before a mis-set step explodes a year into milliseconds —
+the same guard discipline as `rangejoin`'s shard explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_RESERVED = ("__bucket", "__grid", "__prev", "__next", "__n", "__nd", "__mis")
+
+
+def bucketize(
+    df: DataFrame, ts_col: str, step_seconds: int, out_col: str = "bucket_ts"
+) -> DataFrame:
+    """Floor ``ts_col`` (timestamp) to ``step_seconds``-aligned epoch
+    buckets, emitted as epoch SECONDS (long) — integer bucket identity
+    is exact across engines where timestamp identity is not."""
+    sec = F.unix_timestamp(F.col(ts_col))
+    return df.withColumn(
+        out_col, (sec - sec % F.lit(step_seconds)).cast("long")
+    )
+
+
+def gapfill(
+    series: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    step_seconds: int,
+    value_cols: list[str],
+    fill: str = "locf",
+    fill_value=None,
+    start=None,
+    end=None,
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Densify a bucketed series: one row per key per ``step_seconds``
+    bucket between ``start`` and ``end`` (epoch seconds; default: each
+    key's own [min, max] — Timescale's gapfill window semantics), with
+    missing ``value_cols`` filled per ``fill``:
+
+    - ``'null'``: gap rows appear with NULL values;
+    - ``'zero'`` / ``'const'``: gaps take ``fill_value`` (0 for zero) —
+      the right fill for additive counts;
+    - ``'locf'``: last observation carried forward (leading gaps NULL);
+    - ``'linear'``: linear interpolation between the neighbouring
+      observations; beyond the first/last observation stays NULL.
+
+    ``series`` must already be aggregated to one row per (key, bucket)
+    — the operator fails loud otherwise (duplicate buckets would make
+    every fill rule ambiguous). ``bucket_col`` is epoch-seconds long,
+    aligned to ``step_seconds`` (see ``bucketize``); misaligned buckets
+    fail loud rather than silently landing between grid points."""
+    if fill not in ("null", "zero", "const", "locf", "linear"):
+        raise ValueError(f"unknown fill {fill!r}")
+    for c in _RESERVED:
+        if c in series.columns:
+            raise ValueError(f"column {c!r} collides with a reserved name")
+    missing = [c for c in key_cols + [bucket_col] + value_cols
+               if c not in series.columns]
+    if missing:
+        raise ValueError(f"gapfill: no such column(s) {missing}")
+    if fill == "zero":
+        fill_value = 0
+    step = int(step_seconds)
+    if step <= 0:
+        raise ValueError("step_seconds must be positive")
+    if start is not None and int(start) % step != 0:
+        raise ValueError(
+            "start must be step-aligned, or the grid lands between the "
+            "series' buckets"
+        )
+
+    b = F.col(bucket_col)
+    # alignment + uniqueness guards ride the bounds aggregate (one pass)
+    lo = F.lit(int(start)) if start is not None else F.min(b)
+    hi = F.lit(int(end)) if end is not None else F.max(b)
+    bounds = series.groupBy(*key_cols).agg(
+        lo.alias("__prev"),
+        hi.alias("__next"),
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(b).alias("__nd"),
+        F.max(b % F.lit(step)).alias("__mis"),
+    )
+    guard = F.when(
+        F.col("__n") != F.col("__nd"),
+        F.raise_error(F.lit(
+            "gapfill: duplicate (key, bucket) rows — aggregate the series "
+            "to one row per bucket first")),
+    ).when(
+        F.col("__mis") != 0,
+        F.raise_error(F.lit(
+            f"gapfill: bucket_col not aligned to step_seconds={step} — "
+            "use bucketize()")),
+    ).when(
+        (F.col("__next") - F.col("__prev")) / F.lit(step)
+        >= F.lit(max_buckets_per_key),
+        F.raise_error(F.lit(
+            f"gapfill: a key spans >= {max_buckets_per_key} buckets — "
+            "widen step_seconds or raise max_buckets_per_key")),
+    ).otherwise(F.col("__prev"))
+    grid = (
+        bounds.withColumn("__prev", guard)
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("__prev", "__next", F.lit(step))
+            ).alias(bucket_col),
+        )
+    )
+    joined = grid.join(series, key_cols + [bucket_col], "left")
+
+    if fill in ("null", "zero", "const"):
+        if fill == "null":
+            return joined
+        out = joined
+        for c in value_cols:
+            typ = dict(series.dtypes)[c]
+            out = out.withColumn(
+                c, F.coalesce(F.col(c), F.lit(fill_value).cast(typ))
+            )
+        return out
+
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if fill == "locf":
+        out = joined
+        for c in value_cols:
+            out = out.withColumn(
+                c, F.last(F.col(c), ignorenulls=True).over(w_back)
+            )
+        return out
+
+    # linear: carry (bucket, value) of the nearest observation on each
+    # side, then interpolate on the bucket axis
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = joined
+    for c in value_cols:
+        obs = F.when(
+            F.col(c).isNotNull(), F.struct(b.alias("t"), F.col(c).alias("v"))
+        )
+        out = (
+            out.withColumn("__prev", F.last(obs, ignorenulls=True).over(w_back))
+            .withColumn("__next", F.first(obs, ignorenulls=True).over(w_fwd))
+            .withColumn(
+                c,
+                F.when(F.col(c).isNotNull(), F.col(c).cast("double")).otherwise(
+                    F.col("__prev.v").cast("double")
+                    + (F.col("__next.v").cast("double")
+                       - F.col("__prev.v").cast("double"))
+                    * (b - F.col("__prev.t"))
+                    / (F.col("__next.t") - F.col("__prev.t"))
+                ),
+            )
+            .drop("__prev", "__next")
+        )
+    return out
