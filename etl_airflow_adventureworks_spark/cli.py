@@ -232,6 +232,18 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--out", default=None, help="write sessions parquet here")
     se.add_argument("--limit", type=int, default=20)
 
+    dn = sub.add_parser(
+        "densify",
+        help="gap-filled dense per-user time series from the events table: "
+        "bucketize to --step seconds, aggregate (count, sum value), then "
+        "fill the missing buckets (hypertable time_bucket_gapfill)",
+    )
+    dn.add_argument("--sf-dir", required=True, help="dir containing events.parquet")
+    dn.add_argument("--step", type=int, default=3600, help="bucket seconds")
+    dn.add_argument("--fill", default="locf",
+                    choices=["null", "zero", "locf", "linear"])
+    dn.add_argument("--out", default=None, help="write the dense series here")
+
     sj = sub.add_parser(
         "simjoin",
         help="two-table fuzzy text match (record linkage): shingle-Jaccard "
@@ -542,6 +554,30 @@ def main(argv: list[str] | None = None) -> int:
             sessions.show(args.limit, truncate=False)
         if args.attribution:
             asof_attribution_auto(ev, share=share).show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "densify":
+        from pyspark.sql import functions as F
+
+        from .operators.timeseries import bucketize, gapfill
+        from .sources import load_table
+
+        ev = load_table(spark, args.sf_dir, "events")
+        series = (
+            bucketize(ev, "ts", args.step)
+            .groupBy("user_id", "bucket_ts")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+        )
+        dense = gapfill(series, ["user_id"], "bucket_ts", args.step,
+                        ["n_events", "sum_value"], fill=args.fill)
+        if args.out:
+            dense.write.mode("overwrite").parquet(args.out)
+        sparse_n, dense_n = series.count(), (
+            spark.read.parquet(args.out).count() if args.out else dense.count()
+        )
+        print(f"densified {sparse_n} -> {dense_n} rows "
+              f"(step={args.step}s, fill={args.fill})"
+              + (f" -> {args.out}" if args.out else ""))
         return 0
     if args.cmd == "simjoin":
         from .operators.simjoin import text_similarity_join

@@ -345,3 +345,27 @@ def test_delete_rows_subcommand(spark, tmp_path, capsys):
     # op metrics surface in table-info
     assert main(["table-info", "--path", path]) == 0
     assert "'rows_deleted': 5" in capsys.readouterr().out
+
+
+def test_densify_subcommand(spark, tmp_path, capsys):
+    """r8: densify = bucketize + gapfill over events, written as parquet."""
+    out = str(tmp_path / "dense")
+    assert main(["densify", "--sf-dir", "/root/testdata/sf0.001",
+                 "--step", "21600", "--fill", "zero", "--out", out]) == 0
+    msg = capsys.readouterr().out
+    assert "densified" in msg
+    dense = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.operators.timeseries import bucketize
+    from etl_airflow_adventureworks_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    sparse = bucketize(ev, "ts", 21600).select("user_id", "bucket_ts").distinct()
+    assert dense.count() > sparse.count()          # gaps actually filled
+    assert dense.filter("n_events is null").count() == 0  # zero-filled
+    # per-key grid completeness: rows per user == their bucket span
+    span = sparse.groupBy("user_id").agg(
+        ((F.max("bucket_ts") - F.min("bucket_ts")) / 21600 + 1).alias("want"))
+    got = dense.groupBy("user_id").count()
+    assert got.join(span, "user_id").filter("count <> want").count() == 0
