@@ -78,6 +78,12 @@ def gapfill(
     - ``'linear'``: linear interpolation between the neighbouring
       observations; beyond the first/last observation stays NULL.
 
+    NULL handling: after the grid join, an OBSERVED NULL value is
+    indistinguishable from a gap row, so every fill rule fills both
+    (locf carries past it, linear interpolates across it, zero/const
+    replace it). If observed NULLs must stay NULL, encode them as a
+    sentinel before filling.
+
     ``series`` must already be aggregated to one row per (key, bucket)
     — the operator fails loud otherwise (duplicate buckets would make
     every fill rule ambiguous). ``bucket_col`` is epoch-seconds long,

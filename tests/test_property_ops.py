@@ -182,3 +182,80 @@ def test_remove_boilerplate_matches_brute_force(spark, texts, min_docs, keep_fir
         ).collect()
     }
     assert got == _brute_boiler(rows, min_docs, keep_first)
+
+
+# -- gap fill ---------------------------------------------------------------
+
+from etl_airflow_adventureworks_spark.operators.timeseries import gapfill  # noqa: E402
+
+_series_rows = st.lists(
+    st.tuples(st.integers(0, 2),            # key
+              st.integers(-5, 15),          # bucket index (scaled by step)
+              st.one_of(st.none(), st.integers(-50, 50))),  # value
+    min_size=1, max_size=20,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+def _brute_gapfill(rows, step, fill):
+    """Pure-python oracle: dense per-key grid + the four fill rules."""
+    by_key: dict = {}
+    for k, bi, v in rows:
+        by_key.setdefault(k, {})[bi * step] = v
+    out = []
+    for k, obs in by_key.items():
+        lo, hi = min(obs), max(obs)
+        buckets = list(range(lo, hi + 1, step))
+        last = None
+        for b in buckets:
+            if fill == "null":
+                out.append((k, b, obs.get(b)))
+            elif fill == "zero":
+                # an observed NULL is indistinguishable from a gap after
+                # the grid join and fills by the same rule (see docstring)
+                v = obs.get(b)
+                out.append((k, b, 0 if v is None else v))
+            elif fill == "locf":
+                if b in obs and obs[b] is not None:
+                    last = obs[b]
+                out.append((k, b, obs[b] if b in obs and obs[b] is not None
+                            else last))
+            elif fill == "linear":
+                if b in obs and obs[b] is not None:
+                    out.append((k, b, float(obs[b])))
+                else:
+                    prev = next_ = None
+                    for bb in range(b - step, lo - step, -step):
+                        if bb in obs and obs[bb] is not None:
+                            prev = (bb, obs[bb]); break
+                    for bb in range(b + step, hi + step, step):
+                        if bb in obs and obs[bb] is not None:
+                            next_ = (bb, obs[bb]); break
+                    if prev is None or next_ is None:
+                        out.append((k, b, None))
+                    else:
+                        (pt, pv), (nt, nv) = prev, next_
+                        out.append((k, b, pv + (nv - pv) * (b - pt) / (nt - pt)))
+    return sorted(out, key=lambda r: (r[0], r[1]))
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_series_rows, step=st.sampled_from([1, 7, 3600]),
+       fill=st.sampled_from(["null", "zero", "locf", "linear"]))
+def test_gapfill_matches_brute_force(spark, rows, step, fill):
+    df = spark.createDataFrame(
+        [(k, bi * step, v) for k, bi, v in rows], "k long, b long, v long"
+    )
+    got = sorted(
+        ((r["k"], r["b"], r["v"]) for r in
+         gapfill(df, ["k"], "b", step, ["v"], fill=fill).collect()),
+        key=lambda r: (r[0], r[1]),
+    )
+    want = _brute_gapfill(rows, step, fill)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:2] == w[:2]
+        if g[2] is None or w[2] is None:
+            assert g[2] is None and w[2] is None, (g, w, fill)
+        else:
+            assert abs(float(g[2]) - float(w[2])) < 1e-9, (g, w, fill)
