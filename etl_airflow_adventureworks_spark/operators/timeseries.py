@@ -54,6 +54,62 @@ def bucketize(
     )
 
 
+def cohort_retention(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_seconds: int,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention matrix over an events table: cohort = the
+    ``step_seconds`` bucket of each key's FIRST activity; for every
+    (cohort, offset) emit how many of that cohort's keys were active
+    ``offset`` buckets later, plus the retention ratio vs the cohort's
+    size (offset 0 is the cohort itself, ratio 1.0 by construction) —
+    the weekly-retention triangle every event-analytics suite ships
+    (the reference stops at month-grain KPI grouping,
+    `/root/reference/dags/dag_analytics.py`).
+
+    Output: (cohort_ts, offset, n_active, retention), summary-sized
+    (cohorts × offsets). Scale shape: one (key, bucket) distinct, one
+    per-key min, one key-co-partitioned join, one (cohort, offset)
+    aggregate, one cohort-partitioned window for the ratio — every
+    intermediate is bounded by active-(key, bucket) pairs, never raw
+    events, and the heaviest exchange (the distinct) map-side combines.
+    ``max_offset`` truncates the matrix (long-lived keys otherwise make
+    it as wide as the corpus' history)."""
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    for c in _RESERVED:
+        if c in events.columns:
+            raise ValueError(f"column {c!r} collides with a reserved name")
+    activity = (
+        bucketize(events, ts_col, step_seconds, out_col="__bucket")
+        .select(key_col, "__bucket")
+        .distinct()
+    )
+    firsts = activity.groupBy(key_col).agg(F.min("__bucket").alias("__grid"))
+    j = activity.join(firsts, key_col).withColumn(
+        "offset",
+        ((F.col("__bucket") - F.col("__grid")) / F.lit(step_seconds)).cast("long"),
+    )
+    if max_offset is not None:
+        j = j.filter(F.col("offset") <= max_offset)
+    g = j.groupBy(F.col("__grid").alias("cohort_ts"), "offset").agg(
+        F.count(F.lit(1)).alias("n_active")  # (key, bucket) is distinct
+    )
+    w = Window.partitionBy("cohort_ts")
+    return (
+        g.withColumn(
+            "__n",
+            F.max(F.when(F.col("offset") == 0, F.col("n_active"))).over(w),
+        )
+        .withColumn("retention", F.col("n_active") / F.col("__n"))
+        .drop("__n")
+        .orderBy("cohort_ts", "offset")
+    )
+
+
 def gapfill(
     series: DataFrame,
     key_cols: list[str],

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_airflow_adventureworks_spark.operators.timeseries import (
     bucketize,
+    cohort_retention,
     gapfill,
 )
 from etl_airflow_adventureworks_spark.sources import load_table
@@ -181,3 +182,43 @@ def test_gapfill_plan_is_python_free(spark):
                    ["n", "mv"], fill="linear")._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Cartesian" not in plan
     assert "Generate explode" in plan  # the JVM-side grid
+
+
+def test_cohort_retention_matches_duckdb(spark):
+    """r8: the retention triangle equals an independent DuckDB build —
+    counts exact, ratios IEEE-identical (same integer operands)."""
+    got = cohort_retention(
+        load_table(spark, SF_SMOKE, "events"), "user_id", "ts", STEP
+    ).toPandas()
+    want = duckdb.sql(f"""
+        WITH a AS (SELECT DISTINCT user_id,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // {STEP}) * {STEP} AS b
+                   FROM read_parquet('{SF_SMOKE}/events.parquet')),
+        f AS (SELECT user_id, min(b) AS c FROM a GROUP BY 1),
+        g AS (SELECT f.c AS cohort_ts, (a.b - f.c) // {STEP} AS "offset",
+                     count(*) AS n_active
+              FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+        SELECT cohort_ts, "offset", n_active,
+               n_active / (max(CASE WHEN "offset" = 0 THEN n_active END)
+                           OVER (PARTITION BY cohort_ts)) AS retention
+        FROM g ORDER BY cohort_ts, "offset"
+    """).df()
+    assert len(got) == len(want) > 0
+    assert list(got["cohort_ts"]) == list(want["cohort_ts"])
+    assert list(got["offset"]) == list(want["offset"])
+    assert list(got["n_active"]) == list(want["n_active"])
+    assert list(got["retention"]) == list(want["retention"])  # bit-exact
+    # structural invariants: offset 0 is the full cohort; max_offset trims
+    z = got[got["offset"] == 0]
+    assert (z["retention"] == 1.0).all()
+    assert int(z["n_active"].sum()) == (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    trimmed = cohort_retention(
+        load_table(spark, SF_SMOKE, "events"), "user_id", "ts", STEP,
+        max_offset=2,
+    ).toPandas()
+    assert trimmed["offset"].max() <= 2
+    with pytest.raises(ValueError, match="positive"):
+        cohort_retention(load_table(spark, SF_SMOKE, "events"), "user_id",
+                         "ts", 0)
