@@ -14,6 +14,14 @@ incremental algebra instead:
 
 which is exact for DECOMPOSABLE aggregates — count/sum re-merge with
 SUM, min/max with MIN/MAX (avg = sum+count, derived at read time).
+COUNT DISTINCT is not decomposable, which is the classic continuous-
+aggregate limitation; the ``approx_distinct`` measure closes it with
+the mergeable form: the rollup stores a DataSketches HLL sketch
+(binary) per (dims) row — `hll_sketch_agg` on the delta, `hll_union_agg`
+on the merge — and `finalize_rollup` projects point estimates at read
+time. Sketch union is register-wise max, so the incremental estimate
+EQUALS the from-scratch estimate (order-insensitive), at the usual HLL
+error vs the true distinct count (~1.6% rsd at the default lgK=12).
 "Exact" means up to SUM's reassociation: integer and decimal sums are
 bit-identical to a from-scratch aggregate; double sums can differ in
 the last ulp because incremental merging changes the addition order
@@ -47,7 +55,25 @@ _FNS = {
     "sum": (lambda c: F.sum(F.expr(c)), F.sum),
     "min": (lambda c: F.min(F.expr(c)), F.min),
     "max": (lambda c: F.max(F.expr(c)), F.max),
+    # mergeable COUNT DISTINCT: the rollup row holds the HLL sketch
+    # (binary); estimates are projected by finalize_rollup at read time
+    "approx_distinct": (
+        lambda c: F.hll_sketch_agg(F.expr(c)),
+        F.hll_union_agg,
+    ),
 }
+
+
+def finalize_rollup(df: DataFrame, measures: dict) -> DataFrame:
+    """Project read-time values from a rollup's mergeable state: every
+    ``approx_distinct`` sketch column becomes its point estimate (long);
+    all other measures are already final. Keep the STORED rollup in
+    sketch form — estimating is lossy and kills mergeability."""
+    out = df
+    for name, (fn, _col) in measures.items():
+        if fn == "approx_distinct":
+            out = out.withColumn(name, F.hll_sketch_estimate(F.col(name)))
+    return out
 
 
 def _aggregate(df: DataFrame, dims: list[str], measures: dict) -> DataFrame:
@@ -91,7 +117,9 @@ def refresh_rollup(
     ``dims`` are SQL expressions (aliased ones become the rollup's key
     columns — e.g. ``["event_type", "date_trunc('hour', ts) AS hour"]``);
     ``measures`` maps output column -> (fn, source column), fn one of
-    count/sum/min/max (col ignored for count). First call bootstraps
+    count/sum/min/max/approx_distinct (col ignored for count;
+    approx_distinct stores a mergeable HLL sketch — read through
+    ``finalize_rollup``). First call bootstraps
     from the full source snapshot; later calls read ONLY the delta files
     plus the current rollup. Refreshing an already-current rollup is a
     no-op returning the existing version.
@@ -99,6 +127,8 @@ def refresh_rollup(
     for name, (fn, _col) in measures.items():
         if fn not in _FNS:
             raise ValueError(f"measure {name}: fn must be one of {sorted(_FNS)}")
+        if fn == "approx_distinct" and not _col:
+            raise ValueError(f"measure {name}: approx_distinct needs a column")
     src = VersionedTable(spark, source_path)
     roll = VersionedTable(spark, rollup_path)
     src_latest = src.manifest()

@@ -190,3 +190,62 @@ def test_rollup_composes_with_the_ingest_gate(spark, tmp_path):
     want = {r["parity"]: (r["n"], r["t"]) for r in want_df.collect()}
     assert got == want
     assert sum(n for n, _ in got.values()) == 22  # 20 + 2 accepted, not 23
+
+
+def test_approx_distinct_measure_merges_as_hll_sketches(spark, tmp_path):
+    """r8: mergeable COUNT DISTINCT — the rollup stores HLL sketches;
+    the INCREMENTAL estimate equals the from-scratch estimate exactly
+    (sketch union is register-wise max, order-insensitive), and both sit
+    within the HLL error band of the true distinct count."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        finalize_rollup,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "event_type", "user_id")
+    )
+    slices = [ev.filter(f"event_id % 2 = {i}") for i in range(2)]
+    dims = ["event_type"]
+    measures = {"n_users": ("approx_distinct", "user_id"),
+                "n_events": ("count", None)}
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    roll_path = str(tmp_path / "roll")
+
+    src.commit(slices[0])
+    refresh_rollup(spark, src.path, roll_path, dims, measures)
+    src.commit(slices[1], mode="append")
+    refresh_rollup(spark, src.path, roll_path, dims, measures)
+
+    roll = VersionedTable(spark, roll_path).read()
+    assert dict(roll.dtypes)["n_users"] == "binary"  # mergeable state
+    got = {
+        r["event_type"]: (r["n_users"], r["n_events"])
+        for r in finalize_rollup(roll, measures).collect()
+    }
+
+    # from-scratch sketch over the SAME rows: estimates identical
+    scratch = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n"))
+        .collect()
+    }
+    truth = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(scratch) == set(truth)
+    for et in got:
+        assert got[et][0] == scratch[et], "incremental != from-scratch sketch"
+        assert abs(got[et][0] - truth[et]) <= max(3, 0.05 * truth[et]), (
+            et, got[et][0], truth[et])
+    # the additive measure is unaffected by the sketch column riding along
+    assert sum(v[1] for v in got.values()) == ev.count()
+
+    # validation: approx_distinct requires a column
+    with pytest.raises(ValueError, match="needs a column"):
+        refresh_rollup(spark, src.path, str(tmp_path / "r2"), dims,
+                       {"x": ("approx_distinct", None)})
