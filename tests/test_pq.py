@@ -1,0 +1,110 @@
+"""Product quantization (`operators/pq.py`): codegen'd encoding parity vs
+numpy, the honest refine knob (large enough == the exact answer), a
+measured recall floor vs the exact twin, and the compression arithmetic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import SF_SMOKE
+
+from pyspark.sql import functions as F
+
+from etl_airflow_adventureworks_spark.functions.vectors import to_double_array
+from etl_airflow_adventureworks_spark.operators.pq import (
+    ann_pq_topk,
+    fit_pq_codebooks,
+    pq_code_expr,
+)
+from etl_airflow_adventureworks_spark.operators.similarity import (
+    TOP_K,
+    ext_ann_cosine_topk,
+)
+from etl_airflow_adventureworks_spark.sources import load_table
+
+M, K = 8, 16
+
+
+@pytest.fixture(scope="module")
+def books(spark):
+    return fit_pq_codebooks(spark, SF_SMOKE, m=M, k=K)
+
+
+def test_codebook_shape_and_validation(spark, books):
+    assert len(books) == M and all(len(b) == K for b in books)
+    assert all(len(c) == 64 // M for b in books for c in b)
+    with pytest.raises(ValueError, match="subspaces"):
+        fit_pq_codebooks(spark, SF_SMOKE, m=7)
+    with pytest.raises(ValueError, match="sample vectors"):
+        fit_pq_codebooks(spark, SF_SMOKE, m=8, k=16, sample_rows=5)
+
+
+def test_catalyst_encoding_matches_numpy(spark, books):
+    """The argmax-of-(IP − ‖c‖²/2) lowering encodes identically to a
+    straight numpy argmin-L2 for every vector and subspace."""
+    e = load_table(spark, SF_SMOKE, "embeddings").selectExpr(
+        "vec_id", f"{to_double_array('embedding')} AS v"
+    )
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in e.selectExpr(
+            "vec_id", f"{pq_code_expr('v', books)} AS codes"
+        ).collect()
+    }
+    rows = e.collect()
+    bk = [np.asarray(b) for b in books]
+    dsub = 64 // M
+    for r in rows:
+        v = np.asarray(r["v"])
+        want = [
+            int(((v[j * dsub:(j + 1) * dsub] - bk[j]) ** 2).sum(axis=1).argmin())
+            for j in range(M)
+        ]
+        assert list(got[r["vec_id"]]) == want, r["vec_id"]
+    # compression arithmetic: m codes of < k values vs d doubles
+    assert all(0 <= c < K for cs in got.values() for c in cs)
+    assert len(next(iter(got.values()))) == M  # 8 small ints vs 512 B raw
+
+
+def test_refine_knob_degenerates_to_exact(spark, books):
+    """refine covering the whole collection == the exact cosine top-k —
+    the same honesty contract as IVF's nprobe == k_cells."""
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    exact = ext_ann_cosine_topk(spark, SF_SMOKE).collect()
+    full = ann_pq_topk(spark, SF_SMOKE, books,
+                       refine=(n // TOP_K) + 1).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+
+
+def test_pq_recall_floors_and_monotone_refine(spark):
+    """Measured recall of PQ-ADC + re-rank vs the exact twin at m=16,
+    k=64 (dsub=4 on this 64-dim corpus — still a 32× scan shrink).
+    These near-random testdata embeddings are PQ's WORST case (no
+    subspace structure to exploit), so the floors are conservative:
+    measured 0.87 at refine=4 and 1.00 at refine=8 (floors 0.75/0.85
+    with regression margin), and refine must be monotone."""
+    fine = fit_pq_codebooks(spark, SF_SMOKE, m=16, k=64)
+    exact = {}
+    for r in ext_ann_cosine_topk(spark, SF_SMOKE).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(v) for v in exact.values())
+
+    def recall(refine):
+        got = {}
+        for r in ann_pq_topk(spark, SF_SMOKE, fine, refine=refine).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        assert set(got) == set(exact)
+        return sum(len(got[q] & exact[q]) for q in exact) / total
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.75, f"PQ recall collapsed at refine=4: {r4:.2f}"
+    assert r8 >= 0.85, f"PQ recall collapsed at refine=8: {r8:.2f}"
+    assert r8 >= r4  # the knob is monotone
+
+
+def test_pq_plans_are_python_free(spark, books):
+    df = ann_pq_topk(spark, SF_SMOKE, books)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "BatchEvalPython" not in plan
