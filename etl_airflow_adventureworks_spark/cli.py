@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     bi.add_argument("--index", required=True, help="index root path")
     bi.add_argument("--k-cells", type=int, default=16)
     bi.add_argument("--seed", type=int, default=7)
+    bi.add_argument("--pq-m", type=int, default=None,
+                    help="enable product quantization: subspace count "
+                    "(codes ride the layout; codebooks version-coupled)")
+    bi.add_argument("--pq-k", type=int, default=16, help="codes per subspace")
 
     qi = sub.add_parser(
         "query-index",
@@ -94,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
     qi.add_argument("--version", type=int, default=None,
                     help="pin a committed index version (default latest)")
     qi.add_argument("--limit", type=int, default=20)
+    qi.add_argument("--pq", action="store_true",
+                    help="serve via the build's PQ codes (ADC candidate "
+                    "scan + exact re-rank; requires a --pq-m build)")
+    qi.add_argument("--refine", type=int, default=4,
+                    help="PQ re-rank depth: top-k x refine ADC survivors")
 
     bd = sub.add_parser(
         "build-dedup-index",
@@ -363,9 +372,11 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.similarity import build_ivf_index
 
         v = build_ivf_index(
-            spark, args.sf_dir, args.index, k_cells=args.k_cells, seed=args.seed
+            spark, args.sf_dir, args.index, k_cells=args.k_cells,
+            seed=args.seed, pq_m=args.pq_m, pq_k=args.pq_k,
         )
-        print(f"committed IVF index version {v} at {args.index}")
+        print(f"committed IVF index version {v} at {args.index}"
+              + (f" (PQ m={args.pq_m} k={args.pq_k})" if args.pq_m else ""))
         return 0
     if args.cmd == "query-index":
         # one manifest read serves both the staleness probe and the query
@@ -382,9 +393,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"index staleness vs {args.sf_dir}: {staleness:.1%}"
               + (" — refit advised" if staleness > 0.25 else ""))
-        ann_ivf_topk_from_index(
-            spark, args.index, args.nprobe, preloaded=index
-        ).show(args.limit, truncate=False)
+        if args.pq:
+            from .operators.pq import ann_ivf_pq_topk_from_index
+
+            ann_ivf_pq_topk_from_index(
+                spark, args.index, args.nprobe, refine=args.refine,
+                version=args.version,
+            ).show(args.limit, truncate=False)
+        else:
+            ann_ivf_topk_from_index(
+                spark, args.index, args.nprobe, preloaded=index
+            ).show(args.limit, truncate=False)
         return 0
     if args.cmd == "build-dedup-index":
         from .operators.dedup_incremental import build_neardup_index

@@ -117,6 +117,128 @@ def _adc_score_expr(tables_col: str, codes_col: str, m: int) -> str:
     )
 
 
+def load_pq_codebooks(
+    spark: SparkSession, index_path: str, meta: dict
+) -> list[list[list[float]]]:
+    """Codebooks of a PQ-enabled IVF index build — read from the
+    ``_pq_codebooks.json`` INSIDE that version's immutable layout dir
+    (version-coupled to the cell assignment by construction). Raises
+    FileNotFoundError for a plain (non-PQ) build."""
+    import json
+
+    from .similarity import _read_fs_text
+
+    try:
+        text = _read_fs_text(
+            spark, f"{index_path}/{meta['layout_dir']}/_pq_codebooks.json"
+        )
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"index build at {index_path} (layout {meta['layout_dir']}) has "
+            "no PQ codebooks — rebuild with build_ivf_index(..., pq_m=...)"
+        ) from None
+    return json.loads(text)
+
+
+def ann_ivf_pq_topk_from_index(
+    spark: SparkSession,
+    index_path: str,
+    nprobe: int = 4,
+    refine: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Serving-path IVF × PQ top-k over the persisted index: the probe
+    prunes to ``nprobe`` cells' FILES (directory pruning, as in
+    ``ann_ivf_topk_from_index``) and the candidate stage inside those
+    cells reads (vec_id, cell, codes) only — both effects at once. The
+    TOP_K × refine ADC survivors per query are re-ranked with the exact
+    cosine fetched by id from the same layout. With ``nprobe`` = all
+    cells and ``refine`` covering them, degenerates to the exact answer
+    restricted to nothing — i.e. the brute-force result (asserted in
+    tests)."""
+    import numpy as np
+
+    from .similarity import load_ivf_index
+
+    cents, meta = load_ivf_index(spark, index_path, version)
+    books = load_pq_codebooks(spark, index_path, meta)
+    m = len(books)
+    nb = [np.asarray(b, dtype=np.float64) for b in books]
+    dsub = nb[0].shape[1]
+    layout = f"{index_path}/{meta['layout_dir']}"
+    coll = spark.read.parquet(layout).selectExpr(
+        "vec_id", "cell", "codes", f"{to_double_array('embedding')} AS v"
+    ).selectExpr("vec_id", "cell", "codes", "v", f"{norm('v')} AS nrm")
+
+    cents_np = np.asarray(cents, dtype=np.float64)
+    q_rows = (
+        coll.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v", "nrm")
+        .collect()
+    )
+    probes = []
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        tables = [
+            [float(t) for t in nb[j] @ qv[j * dsub:(j + 1) * dsub]]
+            for j in range(m)
+        ]
+        d2 = (cents_np @ qv) - 0.5 * (cents_np * cents_np).sum(axis=1)
+        for cell in np.argsort(-d2)[:nprobe]:
+            probes.append(
+                (r["vec_id"], list(r["v"]), float(r["nrm"]), int(cell), tables)
+            )
+    q = spark.createDataFrame(
+        probes,
+        "query_id long, qv array<double>, qnrm double, qcell long, "
+        "tables array<array<double>>",
+    )
+    probed_cells = sorted({p[3] for p in probes})
+    w_pq = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_ip"), F.asc("neighbor_id")
+    )
+    cand = (
+        coll.filter(F.col("cell").isin(probed_cells))  # directory pruning
+        .select("vec_id", "cell", "codes")
+        .join(
+            F.broadcast(q.select("query_id", "qcell", "tables")),
+            (F.col("qcell") == F.col("cell"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_adc_score_expr("tables", "codes", m)).alias("pq_ip"),
+        )
+        .withColumn("rn", F.row_number().over(w_pq))
+        .filter(F.col("rn") <= TOP_K * refine)
+        .select("query_id", "neighbor_id")
+    )
+    cos_r = F.round(F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    # survivors live in probed cells by construction — the exact-fetch
+    # scan keeps the same directory pruning as the candidate scan
+    fetch = coll.filter(F.col("cell").isin(probed_cells)).select(
+        F.col("vec_id").alias("neighbor_id"), "v", "nrm"
+    )
+    return (
+        cand.join(fetch, "neighbor_id")
+        .join(
+            F.broadcast(
+                q.select("query_id", "qv", "qnrm").dropDuplicates(["query_id"])
+            ),
+            "query_id",
+        )
+        .select("query_id", "neighbor_id", cos_r.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .orderBy("query_id", "rn")
+        .drop("rn")
+    )
+
+
 def ann_pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -125,9 +247,16 @@ def ann_pq_topk(
 ) -> DataFrame:
     """Approximate top-k neighbors via PQ-ADC + exact re-rank, output-
     compatible with ``ext_ann_cosine_topk`` (query_id, neighbor_id,
-    cos_sim). The scan reads codes (m small ints), not vectors; only
-    the ``TOP_K × refine`` PQ survivors per query are re-scored with
-    the exact cosine."""
+    cos_sim). The CANDIDATE scan reads codes (m small ints), not
+    vectors; only the ``TOP_K × refine`` PQ survivors per query are
+    re-scored with the exact cosine.
+
+    Honest scale note for this FLAT form: the survivor fetch is an
+    id-join against the collection, so without a pruned layout that
+    stage still scans the vector column — the deployment shape is the
+    IVF composition (``ann_ivf_pq_topk_from_index``), where both the
+    candidate scan AND the fetch keep the probed cells' directory
+    pruning."""
     import numpy as np
 
     m = len(codebooks)

@@ -262,18 +262,23 @@ def ann_ivf_topk(
 
 
 def write_embeddings_ivf_layout(
-    spark: SparkSession, sf_dir: str, path: str, centroids: list[list[float]]
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    centroids: list[list[float]],
+    extra_cols: dict[str, str] | None = None,
 ) -> None:
     """Write the collection PARTITIONED BY its IVF cell — the learned-key
     analogue of write_embeddings_layout: a probe's literal cell filter
-    becomes directory pruning, so a query opens nprobe/k of the files."""
-    (
-        load_table(spark, sf_dir, "embeddings")
-        .withColumn("cell", F.expr(ivf_cell_expr(to_double_array("embedding"), centroids)))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
+    becomes directory pruning, so a query opens nprobe/k of the files.
+    ``extra_cols`` ({name: SQL expr}) ride along — the PQ build adds its
+    ``codes`` column here so the layout can be scanned code-only."""
+    df = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell", F.expr(ivf_cell_expr(to_double_array("embedding"), centroids))
     )
+    for name, expr in (extra_cols or {}).items():
+        df = df.withColumn(name, F.expr(expr))
+    df.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def ann_ivf_topk_over_layout(
@@ -334,12 +339,38 @@ def _ivf_topk(
     )
 
 
+def _write_fs_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through Hadoop's FileSystem API (scheme-
+    resolved like `table.py` — file://, hdfs://, s3a:// all work)."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode()))
+    finally:
+        out.close()
+
+
+def _read_fs_text(spark: SparkSession, path: str) -> str:
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise FileNotFoundError(path)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
     index_path: str,
     k_cells: int = 16,
     seed: int = 7,
+    pq_m: int | None = None,
+    pq_k: int = 16,
 ) -> int:
     """Build + PERSIST the IVF index as a serving artifact (no per-query
     k-means refit): the centroid table commits through ``VersionedTable``'s
@@ -359,7 +390,17 @@ def build_ivf_index(
     cell carrying ``n_vectors_at_build`` and ``built_from`` — so
     ``ivf_index_staleness`` can compare against the live collection with
     one cheap count and no extra metadata channel. Returns the committed
-    centroid-table version."""
+    centroid-table version.
+
+    ``pq_m`` adds product quantization to the build: the layout gains a
+    ``codes`` column (m sub-codes per vector, encoded in codegen —
+    `operators/pq.py`) and the trained codebooks are written as
+    ``_pq_codebooks.json`` INSIDE the immutable layout dir, so they are
+    version-coupled to the cell assignment exactly like the centroids
+    (underscore-prefixed → invisible to the parquet reader). Serve via
+    ``pq.ann_ivf_pq_topk_from_index``: file pruning from the cells AND
+    a code-only candidate scan."""
+    import json as _json
     import uuid
 
     from ..table import VersionedTable
@@ -367,7 +408,22 @@ def build_ivf_index(
     cents = fit_ivf_centroids(spark, sf_dir, k_cells=k_cells, seed=seed)
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
     layout_dir = f"layout-{uuid.uuid4().hex[:12]}"
-    write_embeddings_ivf_layout(spark, sf_dir, f"{index_path}/{layout_dir}", cents)
+    extra = None
+    books = None
+    if pq_m is not None:
+        from .pq import fit_pq_codebooks, pq_code_expr
+
+        books = fit_pq_codebooks(spark, sf_dir, m=pq_m, k=pq_k, seed=seed)
+        extra = {"codes": pq_code_expr(to_double_array("embedding"), books)}
+    write_embeddings_ivf_layout(
+        spark, sf_dir, f"{index_path}/{layout_dir}", cents, extra_cols=extra
+    )
+    if books is not None:
+        _write_fs_text(
+            spark,
+            f"{index_path}/{layout_dir}/_pq_codebooks.json",
+            _json.dumps(books),
+        )
     cent_df = spark.createDataFrame(
         [(i, c, n_vecs, sf_dir, layout_dir) for i, c in enumerate(cents)],
         "cell int, centroid array<double>, n_vectors_at_build long,"

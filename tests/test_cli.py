@@ -369,3 +369,17 @@ def test_densify_subcommand(spark, tmp_path, capsys):
         ((F.max("bucket_ts") - F.min("bucket_ts")) / 21600 + 1).alias("want"))
     got = dense.groupBy("user_id").count()
     assert got.join(span, "user_id").filter("count <> want").count() == 0
+
+
+def test_index_pq_flags_build_and_serve(spark, tmp_path, capsys):
+    """r8: --pq-m rides the build; --pq serves through ADC + re-rank."""
+    idx = str(tmp_path / "idx")
+    assert main(["build-index", "--sf-dir", "/root/testdata/sf0.001",
+                 "--index", idx, "--k-cells", "4",
+                 "--pq-m", "16", "--pq-k", "64"]) == 0
+    assert "(PQ m=16 k=64)" in capsys.readouterr().out
+    assert main(["query-index", "--sf-dir", "/root/testdata/sf0.001",
+                 "--index", idx, "--nprobe", "4", "--pq",
+                 "--refine", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "staleness" in out and "query_id" in out and "cos_sim" in out

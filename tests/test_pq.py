@@ -108,3 +108,68 @@ def test_pq_plans_are_python_free(spark, books):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "BatchEvalPython" not in plan
+
+def test_ivf_pq_index_build_serve_and_pruning(spark, tmp_path):
+    """r8: the IVF × PQ composition over the persisted index — codebooks
+    version-coupled inside the layout dir, directory pruning preserved
+    on BOTH the code scan and the exact fetch, and refine covering the
+    probed cells degenerating to the plain IVF serve's answer."""
+    from etl_airflow_adventureworks_spark.operators.pq import (
+        ann_ivf_pq_topk_from_index,
+        load_pq_codebooks,
+    )
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        ann_ivf_topk_from_index,
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=8, pq_m=16, pq_k=64)
+    _, meta = load_ivf_index(spark, idx)
+    books = load_pq_codebooks(spark, idx, meta)
+    assert len(books) == 16 and len(books[0]) == 64
+    layout = spark.read.parquet(f"{idx}/{meta['layout_dir']}")
+    assert "codes" in layout.columns  # the layout is scannable code-only
+
+    # full-probe + covering refine == the plain IVF serve (exact rerank
+    # over the same candidate set) — the honesty contract
+    n = layout.count()
+    ivf = [tuple(r) for r in ann_ivf_topk_from_index(spark, idx, nprobe=8).collect()]
+    pq_full = [
+        tuple(r)
+        for r in ann_ivf_pq_topk_from_index(
+            spark, idx, nprobe=8, refine=(n // TOP_K) + 1
+        ).collect()
+    ]
+    assert pq_full == ivf
+
+    # directory pruning survives the whole serve plan at nprobe=2 —
+    # EVERY executed FileScan (code scan and exact fetch) reads fewer
+    # files than the layout holds (inputFiles() is pre-pruning; use the
+    # executed numFiles metrics, same as test_bucketing)
+    from test_bucketing import scan_num_files
+
+    pruned = ann_ivf_pq_topk_from_index(spark, idx, nprobe=2, refine=4)
+    pruned.collect()
+    total_files = len(layout.inputFiles())
+    counts = scan_num_files(pruned)
+    assert counts and all(0 < c < total_files for c in counts), (
+        counts, total_files)
+
+    # measured recall floor at working settings vs the exact twin
+    exact = {}
+    for r in ext_ann_cosine_topk(spark, SF_SMOKE).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in ann_ivf_pq_topk_from_index(spark, idx, nprobe=8, refine=8).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(v) for v in exact.values())
+    recall = sum(len(got[q] & exact[q]) for q in exact) / total
+    assert recall >= 0.85, f"IVF-PQ recall collapsed: {recall:.2f}"
+
+    # a plain (non-PQ) build refuses PQ serving loudly
+    plain = str(tmp_path / "plain")
+    build_ivf_index(spark, SF_SMOKE, plain, k_cells=4)
+    with pytest.raises(FileNotFoundError, match="no PQ codebooks"):
+        ann_ivf_pq_topk_from_index(spark, plain)
