@@ -54,6 +54,53 @@ def bucketize(
     )
 
 
+_ROLL_FNS = {"count": F.count, "sum": F.sum, "avg": F.avg,
+             "min": F.min, "max": F.max}
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    aggs: dict[str, tuple[str, str]],
+    preceding: int,
+    following: int = 0,
+) -> DataFrame:
+    """Value-RANGE moving aggregates per key: each row gains
+    ``{name: fn(col) over [order − preceding, order + following]}`` —
+    the trailing/centered moving averages the ranking-window suite
+    (`ext_window_suite`) deliberately leaves out. ``order_col`` is a
+    NUMERIC axis (epoch seconds/micros from `bucketize`/`unix_micros`
+    for time) so the frame is a value range, not a row count: rows
+    sharing an order value are peers and always land in each other's
+    frame — SQL RANGE semantics on both engines, and gaps in the axis
+    shrink the frame instead of silently widening it the way a
+    ROWS-frame "last N rows" does.
+
+    One exchange on the key; the frame evaluation is Spark's running
+    window over the sorted partition — a hot key costs its own row
+    count, same as any per-key window (shard upstream if a single key
+    dominates, as `sessionize` does). ``aggs``: {out_name: (fn, col)},
+    fn ∈ count/sum/avg/min/max. Cross-engine float caveat: sum/avg over
+    DOUBLE accumulate in frame order and can differ in the last ulp
+    between engines — oracle tests use exact types (counts, min/max
+    copies, integer sums), the same discipline as the money layer."""
+    for name, (fn, _c) in aggs.items():
+        if fn not in _ROLL_FNS:
+            raise ValueError(f"agg {name}: fn must be one of {sorted(_ROLL_FNS)}")
+    if preceding < 0 or following < 0:
+        raise ValueError("preceding/following must be >= 0 (window extents)")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rangeBetween(-preceding, following)
+    )
+    out = df
+    for name, (fn, col) in aggs.items():
+        out = out.withColumn(name, _ROLL_FNS[fn](col).over(w))
+    return out
+
+
 def cohort_retention(
     events: DataFrame,
     key_col: str,

@@ -222,3 +222,73 @@ def test_cohort_retention_matches_duckdb(spark):
     with pytest.raises(ValueError, match="positive"):
         cohort_retention(load_table(spark, SF_SMOKE, "events"), "user_id",
                          "ts", 0)
+
+
+def test_rolling_agg_matches_duckdb_range_frame(spark):
+    """r8: value-RANGE moving aggregates == DuckDB's RANGE frame exactly
+    (exact types only: counts, min/max copies, integer sums — the
+    cross-engine float-sum caveat is documented on the operator)."""
+    from etl_airflow_adventureworks_spark.operators.timeseries import (
+        rolling_agg,
+    )
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("user_id", "event_id",
+                    "unix_micros(ts) AS us",
+                    "CAST(floor(value * 1000) AS BIGINT) AS v_mil")
+    )
+    hour_us = 3600 * 1_000_000
+    got = (
+        rolling_agg(
+            ev, ["user_id"], "us",
+            {"n_1h": ("count", "event_id"), "sum_1h": ("sum", "v_mil"),
+             "min_1h": ("min", "v_mil"), "max_1h": ("max", "v_mil")},
+            preceding=hour_us,
+        )
+        .orderBy("user_id", "us", "event_id")
+        .collect()
+    )
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                          CAST(floor(value * 1000) AS BIGINT) AS v_mil
+                   FROM read_parquet('{SF_SMOKE}/events.parquet'))
+        SELECT user_id, event_id, us, v_mil,
+               count(event_id) OVER w AS n_1h,
+               sum(v_mil) OVER w AS sum_1h,
+               min(v_mil) OVER w AS min_1h,
+               max(v_mil) OVER w AS max_1h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN {hour_us} PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, us, event_id
+    """).fetchall()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert (g["user_id"], g["event_id"], g["n_1h"], g["sum_1h"],
+                g["min_1h"], g["max_1h"]) == (w[0], w[1], w[4], w[5], w[6], w[7])
+
+    # centered frame parity (preceding + following)
+    from etl_airflow_adventureworks_spark.operators.timeseries import (
+        rolling_agg as ra,
+    )
+
+    got_c = (
+        ra(ev, ["user_id"], "us", {"n_c": ("count", "event_id")},
+           preceding=hour_us, following=hour_us)
+        .orderBy("user_id", "us", "event_id")
+        .collect()
+    )
+    want_c = duckdb.sql(f"""
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                   FROM read_parquet('{SF_SMOKE}/events.parquet'))
+        SELECT count(event_id) OVER (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {hour_us} PRECEDING AND {hour_us} FOLLOWING)
+        FROM e ORDER BY user_id, us, event_id
+    """).fetchall()
+    assert [g["n_c"] for g in got_c] == [w[0] for w in want_c]
+
+    with pytest.raises(ValueError, match="fn must be"):
+        ra(ev, ["user_id"], "us", {"x": ("median", "v_mil")}, 10)
+    with pytest.raises(ValueError, match=">= 0"):
+        ra(ev, ["user_id"], "us", {"x": ("count", "v_mil")}, -5)
