@@ -454,3 +454,54 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS min_shingle_hash",
         )
     )
+
+
+def weighted_sample_per_group(
+    df,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    n_per_group: int,
+    seed: int = 7,
+):
+    """Deterministic WEIGHTED sampling without replacement, per group —
+    Efraimidis–Spirakis exponential jitter (the weighted reservoir
+    rule): each row draws key = −ln(u)/w from a uniform u and the
+    ``n_per_group`` smallest keys win, so inclusion probability is
+    proportional to ``weight_col`` and the pick is exactly
+    re-derivable (dataset-card discipline, like `ext_group_cap_sample`
+    but quality-weighted — the knob a curated-corpus mixture actually
+    wants: sample MORE from high-quality documents, never a coin flip
+    you cannot replay).
+
+    The uniform is hash-derived, not RNG-derived: u = the first 8 hex
+    chars of md5(id || ':' || seed) scaled to (0, 1]. md5 agrees across
+    engines, so the SAME rows win in DuckDB — the test pins pick-for-
+    pick parity, not a distribution test. Rows with NULL or
+    non-positive weight are excluded (a zero weight must never win;
+    −ln(u)/0 would make it always win on +inf ordering ties).
+
+    Scale: the jitter is row-local column algebra (md5 + ln, codegen),
+    and the per-group top-n is the same rank-limit window as
+    `ext_group_cap_sample` — Spark's WindowGroupLimit runs a partial
+    top-n map-side, so only ≤ n × partitions survivors reach the
+    exchange even when one group dominates the corpus."""
+    from pyspark.sql import Window
+
+    if n_per_group < 1:
+        raise ValueError("n_per_group must be >= 1")
+    u = (
+        f"(CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), ':', "
+        f"'{int(seed)}')), 1, 8), 16, 10) AS DOUBLE) + 1) / 4294967296.0"
+    )
+    key = F.expr(f"-ln({u})") / F.col(weight_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__es_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key", key)
+        .withColumn("__es_rn", F.row_number().over(w))
+        .filter(F.col("__es_rn") <= n_per_group)
+        .drop("__es_key", "__es_rn")
+    )

@@ -228,3 +228,63 @@ def test_sample_to_mixture_rejects_bad_weights(spark):
         sample_to_mixture(docs, {})
     with _pytest.raises(ValueError):
         sample_to_mixture(docs, {"src0": -0.5, "src1": 1.5})
+
+
+def test_weighted_sample_per_group_matches_duckdb_pick_for_pick(spark):
+    """r8: Efraimidis–Spirakis weighted sampling with a hash-derived
+    uniform — DuckDB replays the EXACT same picks (md5 agrees across
+    engines, −ln(u)/w on identical operands is IEEE-identical), plus
+    the structural contracts: weight bias, zero/NULL-weight exclusion,
+    and seed sensitivity."""
+    import duckdb
+
+    from etl_airflow_adventureworks_spark.operators.textops import (
+        weighted_sample_per_group,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs, ["source"], "doc_id", "n_chars", n_per_group=10, seed=7
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in duckdb.sql("""
+        WITH d AS (SELECT source, doc_id, n_chars,
+                   (-ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::UBIGINT + 1)
+                        / 4294967296.0)) / n_chars AS es_key
+                   FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+                   WHERE n_chars IS NOT NULL AND n_chars > 0)
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY es_key ASC, doc_id ASC) AS rn
+          FROM d) WHERE rn <= 10
+    """).fetchall())
+    assert got == want and len(got) > 0
+
+    # weight bias: heavy rows are overrepresented vs their population share
+    big = docs.approxQuantile("n_chars", [0.8], 0.0)[0]
+    picked = weighted_sample_per_group(
+        docs, ["source"], "doc_id", "n_chars", n_per_group=20, seed=7)
+    frac_pop = docs.filter(f"n_chars >= {big}").count() / docs.count()
+    frac_pick = (picked.filter(f"n_chars >= {big}").count() / picked.count())
+    assert frac_pick > frac_pop  # ∝-weight inclusion really biases
+
+    # zero/NULL weights can never win; different seed = different picks
+    from pyspark.sql import functions as F
+
+    rigged = docs.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    zs = weighted_sample_per_group(rigged, ["source"], "doc_id", "w", 5)
+    assert zs.filter("doc_id % 2 = 0").count() == 0
+    s7 = {r["doc_id"] for r in weighted_sample_per_group(
+        docs, ["source"], "doc_id", "n_chars", 10, seed=7).collect()}
+    s8 = {r["doc_id"] for r in weighted_sample_per_group(
+        docs, ["source"], "doc_id", "n_chars", 10, seed=8).collect()}
+    assert s7 != s8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        weighted_sample_per_group(docs, ["source"], "doc_id", "n_chars", 0)
