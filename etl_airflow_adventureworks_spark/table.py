@@ -419,6 +419,133 @@ class VersionedTable:
         self._publish_manifest(man)
         return version
 
+    def apply_cdc(
+        self,
+        batch: DataFrame,
+        key: str,
+        op_col: str = "op",
+        idempotency_token: str | None = None,
+    ) -> int:
+        """Apply a CDC batch — rows carrying ``op_col`` ∈ {'upsert',
+        'delete'} plus the table's columns — as ONE atomic version (the
+        Debezium-apply primitive: a replication batch lands whole or not
+        at all, never as a delete version racing an upsert version).
+
+        Contract: ONE row per key (collapse multi-op streams to their
+        final state first — fail-loud validated); unknown ops fail loud;
+        delete rows only need ``key`` populated (other columns ignored).
+        Cost shape is the copy-on-write merge's: only the files
+        containing any batch key are rewritten (upsert keys replaced,
+        delete keys dropped, everything else carried with its stats);
+        the batch's upsert rows are appended. ``op`` metrics record both
+        counts. Replay via ``idempotency_token`` is a no-op, so a
+        foreachBatch CDC consumer passing the epoch id is exactly-once."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        latest = self.manifest()
+        if latest is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        if (
+            idempotency_token is not None
+            and latest.get("token") == idempotency_token
+        ):
+            return latest["version"]
+        if op_col not in batch.columns:
+            raise ValueError(f"apply_cdc: no op column {op_col!r} in batch")
+        batch = batch.localCheckpoint(eager=True)
+        probe = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(key).alias("nd"),
+            F.sum((~F.col(op_col).isin("upsert", "delete")).cast("int")).alias(
+                "bad"
+            ),
+        ).first()
+        if probe["bad"]:
+            raise ValueError(
+                f"apply_cdc: {probe['bad']} row(s) with op outside "
+                "{'upsert', 'delete'}"
+            )
+        if probe["n"] != probe["nd"]:
+            raise ValueError(
+                "apply_cdc: multiple rows per key — collapse the CDC stream "
+                "to one final op per key first"
+            )
+        schema = T.StructType.fromJson(json.loads(latest["schema"]))
+        want = {f.name: f.dataType.simpleString() for f in schema}
+        have = {
+            f.name: f.dataType.simpleString()
+            for f in batch.schema
+            if f.name != op_col
+        }
+        if want != have:
+            raise ValueError(
+                "apply_cdc: batch payload must match the table schema "
+                f"exactly (table {sorted(want.items())}, batch "
+                f"{sorted(have.items())}) — a CDC stream that drifted is "
+                "an upstream bug, not something to coerce silently"
+            )
+        files = latest["files"]
+        keys_df = batch.select(key)
+        touched: dict[str, int] = {}
+        if files:
+
+            def rel(uri: str) -> str:
+                tail = uri.rsplit("/" + _DATA_DIR + "/", 1)[1]
+                return f"{_DATA_DIR}/{tail}"
+
+            hits = (
+                self.spark.read.schema(schema)
+                .parquet(*[f"{self.path}/{f}" for f in files])
+                .select(F.col(key), F.input_file_name().alias("f"))
+                .join(keys_df, key, "left_semi")
+                .groupBy("f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            touched = {rel(r["f"]): r["n"] for r in hits}
+        carried = [f for f in files if f not in touched]
+        upserts = batch.filter(F.col(op_col) == "upsert").select(
+            *[f.name for f in schema]
+        )
+        new_data = upserts
+        if touched:
+            survivors = (
+                self.spark.read.schema(schema)
+                .parquet(*[f"{self.path}/{f}" for f in touched])
+                .join(keys_df, key, "left_anti")
+            )
+            new_data = upserts.unionByName(survivors)
+        version = latest["version"] + 1
+        new_files = self._write_data_files(new_data, version)
+        old_stats = latest.get("stats") or {}
+        stats = {f: old_stats[f] for f in carried if f in old_stats}
+        stat_cols = sorted({c for ent in old_stats.values() for c in ent})
+        if stat_cols and new_files:
+            stats.update(self._file_stats(new_files, stat_cols, schema))
+        man = {
+            "version": version,
+            "files": carried + new_files,
+            "schema": latest["schema"],
+            "token": idempotency_token,
+            "op": {
+                "op": "cdc",
+                "rows_upserted": batch.filter(
+                    F.col(op_col) == "upsert"
+                ).count(),
+                "rows_deleted": batch.filter(
+                    F.col(op_col) == "delete"
+                ).count(),
+                "rows_matched": sum(touched.values()),
+                "files_rewritten": len(touched),
+                "files_carried": len(carried),
+            },
+        }
+        if stats:
+            man["stats"] = stats
+        self._publish_manifest(man)
+        return version
+
     def delete_where(
         self, predicate, idempotency_token: str | None = None
     ) -> int:

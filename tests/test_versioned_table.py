@@ -604,3 +604,67 @@ def test_upsert_schema_drift_falls_back_to_full_merge(spark, tmp_path):
     assert v == 2
     assert "op" not in t.manifest()  # full-path commit, not a pruned merge
     assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_apply_cdc_atomic_upserts_plus_deletes(spark, tmp_path):
+    """r8: one CDC batch (upserts + deletes) lands as ONE atomic version
+    with the copy-on-write cost shape, exactly-once under token replay,
+    and fail-loud contracts (multi-op keys, unknown ops, payload drift)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+             stats_cols=["k"])
+
+    batch = spark.createDataFrame(
+        [("upsert", 100, -1), ("upsert", 101, -1),   # updates
+         ("upsert", 9_000, -2),                      # insert
+         ("delete", 200, None), ("delete", 777_777, None)],  # one no-op del
+        "op string, k long, v long",
+    )
+    v = t.apply_cdc(batch, key="k", idempotency_token="epoch:5")
+    man = t.manifest(v)
+    assert man["op"]["op"] == "cdc"
+    assert man["op"]["rows_upserted"] == 3
+    assert man["op"]["rows_deleted"] == 2
+    assert man["op"]["rows_matched"] == 3   # 100, 101, 200 existed
+    assert man["op"]["files_rewritten"] == 1  # all hot keys in one k-range
+    assert man["op"]["files_carried"] == 3
+    # carried files keep their stats (empty new part-files are legitimately
+    # stat-less — read_where scans, never wrongly prunes, those)
+    old_stats = t.manifest(1)["stats"]
+    assert all(man["stats"][f] == old_stats[f]
+               for f in man["files"] if f in old_stats)
+    assert t.read_where({"k": (3_000, 3_050)}).count() == 51
+
+    got = t.read()
+    assert got.count() == 4_000 - 1 + 1  # one delete landed, one insert
+    assert got.filter("k = 200").count() == 0
+    assert got.filter("v = -1").count() == 2
+    assert got.filter("k = 9000 and v = -2").count() == 1
+    assert t.read(1).count() == 4_000  # time travel intact
+
+    # replayed epoch: detected no-op
+    assert t.apply_cdc(batch, key="k", idempotency_token="epoch:5") == v
+    assert t.versions() == [1, 2]
+
+    # contracts fail loud BEFORE any write
+    with pytest.raises(ValueError, match="one final op per key"):
+        t.apply_cdc(batch.unionAll(batch.limit(1)), key="k")
+    with pytest.raises(ValueError, match="op outside"):
+        t.apply_cdc(
+            spark.createDataFrame([("merge", 1, 1)], "op string, k long, v long"),
+            key="k",
+        )
+    with pytest.raises(ValueError, match="match the table schema"):
+        t.apply_cdc(
+            spark.createDataFrame([("upsert", 1, "x")],
+                                  "op string, k long, v string"),
+            key="k",
+        )
+    with pytest.raises(ValueError, match="no op column"):
+        t.apply_cdc(spark.createDataFrame([(1, 1)], "k long, v long"), key="k")
+    assert t.versions() == [1, 2]  # nothing published by the failures
