@@ -852,6 +852,39 @@ class VersionedTable:
         return deleted
 
 
+def stream_cdc_to_versioned(
+    cdc: DataFrame, table_path: str, checkpoint: str, key: str,
+    op_col: str = "op",
+) -> "object":
+    """Exactly-once CDC replication: each micro-batch of (op, key,
+    payload...) rows lands through ``apply_cdc`` with the epoch id as
+    the idempotency token, so a crash-replayed batch is a detected
+    no-op and a mixed upsert+delete batch is one atomic version.
+
+    Multiple ops for one key inside one micro-batch fail loud (the
+    ``apply_cdc`` contract — deliberately NOT auto-collapsed here: a
+    micro-batch is unordered, so "latest op wins" needs the source's
+    sequence number to resolve; collapse upstream with that number,
+    e.g. a row_number over (key ORDER BY seq DESC) before the sink).
+    Empty micro-batches commit nothing. Returns the StreamingQuery."""
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not batch_df.take(1):
+            return
+        VersionedTable(batch_df.sparkSession, table_path).apply_cdc(
+            batch_df, key=key, op_col=op_col,
+            idempotency_token=f"epoch:{epoch_id}",
+        )
+
+    return (
+        cdc.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(merge)
+        .start()
+    )
+
+
 def stream_upsert_to_versioned(
     events: DataFrame, table_path: str, checkpoint: str
 ) -> "object":

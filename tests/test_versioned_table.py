@@ -668,3 +668,60 @@ def test_apply_cdc_atomic_upserts_plus_deletes(spark, tmp_path):
     with pytest.raises(ValueError, match="no op column"):
         t.apply_cdc(spark.createDataFrame([(1, 1)], "k long, v long"), key="k")
     assert t.versions() == [1, 2]  # nothing published by the failures
+
+
+def test_stream_cdc_exactly_once(spark, tmp_path):
+    """r8: the CDC streaming sink — micro-batched upsert/delete files
+    replicate into the table exactly-once (epoch tokens), final state ==
+    applying the batches in order, restart from the checkpoint does not
+    re-apply."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_airflow_adventureworks_spark.table import stream_cdc_to_versioned
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [(k, "base") for k in range(10)], "k long, v string"))
+
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [("upsert", 3, "b1"), ("delete", 4, None), ("upsert", 100, "b1")],
+        "op string, k long, v string")
+    b2 = spark.createDataFrame(
+        [("upsert", 4, "back"), ("delete", 100, None)],
+        "op string, k long, v string")
+    b1.coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = (
+        spark.readStream.schema("op string, k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_cdc_to_versioned(stream, t.path, ckpt, key="k")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    after_b1 = {r["k"]: r["v"] for r in t.read().collect()}
+    assert after_b1[3] == "b1" and after_b1[100] == "b1" and 4 not in after_b1
+
+    # drop the second batch and RESTART from the same checkpoint: only
+    # the new file applies; nothing from b1 is re-applied (version count)
+    b2.coalesce(1).write.parquet(f"{src}/f2")
+    n_vers = len(t.versions())
+    q2 = stream_cdc_to_versioned(
+        spark.readStream.schema("op string, k long, v string")
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"),
+        t.path, ckpt, key="k")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    final = {r["k"]: r["v"] for r in t.read().collect()}
+    assert final[4] == "back" and 100 not in final and final[3] == "b1"
+    assert len(t.versions()) == n_vers + 1  # exactly one new epoch landed
+    assert t.read().count() == 10  # 10 base - del 4 + ups 4 back, 100 gone
