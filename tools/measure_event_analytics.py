@@ -50,13 +50,18 @@ def main() -> None:
     n_events = ev.count()
 
     def run_gapfill():
+        # consume the filled columns — a bare count() would let Catalyst
+        # prune the locf windows away (same note as run_rolling)
         s = bucketize(ev, "ts", 3600).groupBy("user_id", "bucket_ts").agg(
             F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
-        return gapfill(s, ["user_id"], "bucket_ts", 3600, ["n", "sv"],
-                       fill="locf").count()
+        return gapfill(
+            s, ["user_id"], "bucket_ts", 3600, ["n", "sv"], fill="locf"
+        ).selectExpr("sum(n) AS s", "sum(sv) AS v").first()["s"]
 
     def run_cohort():
-        return cohort_retention(ev, "user_id", "ts", 86400).count()
+        return cohort_retention(ev, "user_id", "ts", 86400).selectExpr(
+            "sum(n_active) AS s", "sum(retention) AS r"
+        ).first()["s"]
 
     def run_funnel():
         f = ordered_funnel(ev, "user_id", "ts", "event_type",
@@ -68,9 +73,25 @@ def main() -> None:
         return transition_matrix(ev, "user_id", "ts", "event_type",
                                  "event_id").count()
 
+    def run_rolling():
+        from etl_airflow_adventureworks_spark.operators.timeseries import (
+            rolling_agg,
+        )
+
+        base = ev.selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+                             "value")
+        # consume the windowed columns — a bare count() would let
+        # Catalyst prune the window evaluation away entirely
+        return rolling_agg(
+            base, ["user_id"], "us",
+            {"n_24h": ("count", "event_id"), "avg_24h": ("avg", "value")},
+            preceding=24 * 3600 * 1_000_000,
+        ).selectExpr("sum(n_24h) AS s", "sum(avg_24h) AS a").first()["s"]
+
     ops = {"gapfill_locf_1h": run_gapfill, "cohort_retention_1d": run_cohort,
            "ordered_funnel_4step": run_funnel,
-           "transition_matrix": run_transitions}
+           "transition_matrix": run_transitions,
+           "rolling_24h": run_rolling}
     out = {"metric": "event_analytics_ops", "sf_dir": sf_dir,
            "n_events": n_events, "cpus": cpus,
            "protocol": "1 warmup + median-of-3, fresh JVM per sf"}
