@@ -253,6 +253,20 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["null", "zero", "locf", "linear"])
     dn.add_argument("--out", default=None, help="write the dense series here")
 
+    fu = sub.add_parser(
+        "funnel",
+        help="time-ordered funnel over the events table: greedy "
+        "first-occurrence step matching with an optional per-hop "
+        "conversion window; prints the reached-per-step counts",
+    )
+    fu.add_argument("--sf-dir", required=True, help="dir containing events.parquet")
+    fu.add_argument("--steps", required=True,
+                    help="comma-ordered event types, e.g. signup,view,click,purchase")
+    fu.add_argument("--within-hours", type=float, default=None,
+                    help="max hours between consecutive completed steps")
+    fu.add_argument("--out", default=None,
+                    help="write the per-key completion table here")
+
     sj = sub.add_parser(
         "simjoin",
         help="two-table fuzzy text match (record linkage): shingle-Jaccard "
@@ -597,6 +611,28 @@ def main(argv: list[str] | None = None) -> int:
         print(f"densified {sparse_n} -> {dense_n} rows "
               f"(step={args.step}s, fill={args.fill})"
               + (f" -> {args.out}" if args.out else ""))
+        return 0
+    if args.cmd == "funnel":
+        from .operators.funnel import funnel_counts, ordered_funnel
+        from .sources import load_table
+
+        steps = [s.strip() for s in args.steps.split(",") if s.strip()]
+        within = (int(args.within_hours * 3600)
+                  if args.within_hours is not None else None)
+        f = ordered_funnel(
+            load_table(spark, args.sf_dir, "events"), "user_id", "ts",
+            "event_type", steps, within_seconds=within,
+        )
+        if args.out:
+            f.write.mode("overwrite").parquet(args.out)
+        counts = funnel_counts(f, len(steps)).first()
+        for i, s in enumerate(steps):
+            n = counts[f"reached_{i + 1}"]
+            print(f"step {i + 1} {s}: {n}"
+                  + (f" ({n / counts['reached_1']:.1%} of step 1)"
+                     if counts["reached_1"] else ""))
+        if args.out:
+            print(f"per-key completion table -> {args.out}")
         return 0
     if args.cmd == "simjoin":
         from .operators.simjoin import text_similarity_join

@@ -383,3 +383,21 @@ def test_index_pq_flags_build_and_serve(spark, tmp_path, capsys):
                  "--refine", "8"]) == 0
     out = capsys.readouterr().out
     assert "staleness" in out and "query_id" in out and "cos_sim" in out
+
+
+def test_funnel_subcommand(spark, tmp_path, capsys):
+    """r8: the funnel CLI prints monotone reached-per-step counts and
+    writes the per-key table."""
+    out = str(tmp_path / "funnel")
+    assert main(["funnel", "--sf-dir", "/root/testdata/sf0.001",
+                 "--steps", "view,click,purchase",
+                 "--within-hours", "6", "--out", out]) == 0
+    msg = capsys.readouterr().out
+    assert "step 1 view:" in msg and "step 3 purchase:" in msg
+    import re
+
+    ns = [int(m) for m in re.findall(r"step \d \w+: (\d+)", msg)]
+    assert len(ns) == 3 and ns[0] >= ns[1] >= ns[2] > 0
+    f = spark.read.parquet(out)
+    assert {"t_1", "t_2", "t_3", "steps_completed"} <= set(f.columns)
+    assert f.count() == ns[0]
