@@ -1,7 +1,7 @@
 """Ordered event funnels and transition matrices over the events table.
 
 The reference's analytics have no event-sequence notion at all (KPIs are
-set-level GROUP BYs — `/root/reference/sql/KPIs.sql`); the engine's own
+set-level GROUP BYs — `/root/reference/KPIs.sql`); the engine's own
 `ext_event_funnel_pivot` counts per-type events per user but ignores
 ORDER. This module adds the two sequence primitives every product
 analytics suite ships:

@@ -1,7 +1,7 @@
 """Time-series gap filling over bucketed series (hypertable-style).
 
-The reference's analytics stop at GROUP BY month (KPI 8,
-`/root/reference/dags/dag_analytics.py` seasonality); real event
+The reference's analytics stop at GROUP BY month (KPI 8 seasonality,
+`/root/reference/KPIs.sql:58-67`); real event
 analytics over the `events` table also needs dense per-key time series —
 "requests per user per hour, INCLUDING the silent hours" — which a plain
 groupBy cannot produce: missing buckets simply have no row. Timescale's
@@ -115,7 +115,7 @@ def cohort_retention(
     size (offset 0 is the cohort itself, ratio 1.0 by construction) —
     the weekly-retention triangle every event-analytics suite ships
     (the reference stops at month-grain KPI grouping,
-    `/root/reference/dags/dag_analytics.py`).
+    `/root/reference/KPIs.sql:58-67`).
 
     Output: (cohort_ts, offset, n_active, retention), summary-sized
     (cohorts × offsets). Scale shape: one (key, bucket) distinct, one
@@ -210,6 +210,11 @@ def gapfill(
         raise ValueError(
             "start must be step-aligned, or the grid lands between the "
             "series' buckets"
+        )
+    if end is not None and int(end) % step != 0:
+        raise ValueError(
+            "end must be step-aligned — a misaligned end would silently "
+            "truncate the grid at the last aligned bucket below it"
         )
 
     b = F.col(bucket_col)

@@ -159,6 +159,11 @@ def test_gapfill_window_start_end_and_guards(spark):
     with pytest.raises(ValueError, match="step-aligned"):
         gapfill(s, ["user_id"], "bucket_ts", STEP, ["n"], start=start + 1,
                 end=end)
+    # a misaligned END fails loud too (r9: it used to silently truncate
+    # the grid at the last aligned bucket below it)
+    with pytest.raises(ValueError, match="end must be step-aligned"):
+        gapfill(s, ["user_id"], "bucket_ts", STEP, ["n"], start=start,
+                end=end + 1)
     with pytest.raises(ValueError, match="reserved"):
         gapfill(s.withColumn("__prev", F.lit(1)), ["user_id"], "bucket_ts",
                 STEP, ["n"])
