@@ -30,8 +30,11 @@ a per-key sequence scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
 
 
 def ordered_funnel(
@@ -42,6 +45,7 @@ def ordered_funnel(
     steps: list[str],
     within_seconds: int | None = None,
     allow_ties: bool = True,
+    within_total_seconds: int | None = None,
 ) -> DataFrame:
     """Per-key funnel completion times: one row per key that completed
     step 1, with ``t_1 .. t_k`` (epoch microseconds; NULL from the first
@@ -50,6 +54,13 @@ def ordered_funnel(
     Step i matches the earliest event of ``steps[i]`` at-or-after step
     i-1's match (strictly after with ``allow_ties=False``), and within
     ``within_seconds`` of it when set (the per-hop conversion window).
+    ``within_total_seconds`` additionally bounds EVERY step to land
+    within that many seconds of step 1's match — the overall-window
+    funnel ("completed the whole flow within a day"), the other half of
+    the commercial funnel API; both windows may be set at once and a
+    step must satisfy both. Same greedy first-occurrence semantics and
+    the same per-key O(steps) state either way — the total window is
+    one more predicate on the step-i gate (t_1 is already carried).
     ``steps`` may repeat a type ("view then view again").
 
     Timestamps are compared as integer microseconds — exact, total-
@@ -80,6 +91,10 @@ def ordered_funnel(
         if within_seconds is not None:
             gate = gate & (
                 F.col("__us") <= F.col(prev) + within_seconds * 1_000_000
+            )
+        if within_total_seconds is not None:
+            gate = gate & (
+                F.col("__us") <= F.col("t_1") + within_total_seconds * 1_000_000
             )
         matched = (
             cand.filter(gate)
@@ -125,4 +140,86 @@ def transition_matrix(
         .groupBy(F.col(type_col).alias("state"),
                  F.col("__next").alias("next_state"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+#: the declared funnel path — the canonical view→click→purchase flow
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "ext_event_analytics_suite",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+             COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS purchase_value
+      FROM events
+      GROUP BY user_id
+    ),
+    f1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    f2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_2
+      FROM events e JOIN f1 ON e.user_id = f1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= f1.t_1
+      GROUP BY e.user_id
+    ),
+    f3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_3
+      FROM events e JOIN f2 ON e.user_id = f2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f2.t_2
+      GROUP BY e.user_id
+    )
+    SELECT p.user_id, p.n_view, p.n_click, p.n_purchase, p.n_signup,
+           p.n_error, p.purchase_value, f1.t_1, f2.t_2, f3.t_3,
+           CAST(CASE WHEN f1.t_1 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN f2.t_2 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN f3.t_3 IS NOT NULL THEN 1 ELSE 0 END
+              AS BIGINT) AS steps_completed
+    FROM p
+    LEFT JOIN f1 ON p.user_id = f1.user_id
+    LEFT JOIN f2 ON p.user_id = f2.user_id
+    LEFT JOIN f3 ON p.user_id = f3.user_id
+    """,
+)
+def ext_event_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-analytics suite (E5) — the r9 absorber row
+    (COVERAGE.md fold policy (b)): ONE per-user result carrying
+
+    - the per-type pivot counts + purchase value (absorbed from the
+      former ``ext_event_funnel_pivot`` slot — the exact columns of the
+      library twin ``sessionize.ext_event_funnel_pivot``), and
+    - the ORDERED funnel view→click→purchase (``ordered_funnel``:
+      greedy first-occurrence step times t_1..t_3 as epoch micros and
+      steps_completed), previously pytest-only.
+
+    The driver's oracle hashes the values of ALL columns, so a drift in
+    either absorbed column-set breaks this row (fold-strictness rule).
+    Plan: the pivot is one shuffle; each funnel hop is one filtered
+    map-side-combined aggregate + a summary-sized join; the final joins
+    are per-user summaries joined on the same key. No event array is
+    ever collected — a hot user costs aggregate combines only."""
+    from .sessionize import event_funnel_pivot_frame
+
+    ev = load_table(spark, sf_dir, "events")
+    pivot = event_funnel_pivot_frame(ev)
+    fun = ordered_funnel(ev, "user_id", "ts", "event_type", FUNNEL_STEPS)
+    fun = fun.select(
+        "user_id",
+        "t_1",
+        "t_2",
+        "t_3",
+        F.col("steps_completed").cast("long").alias("steps_completed"),
+    )
+    return pivot.join(fun, "user_id", "left").withColumn(
+        "steps_completed", F.coalesce("steps_completed", F.lit(0).cast("long"))
     )

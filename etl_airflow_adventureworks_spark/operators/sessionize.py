@@ -379,24 +379,21 @@ def asof_attribution_sharded(ev: DataFrame, shard_hours: int = 24) -> DataFrame:
     )
 
 
-@query(
-    "ext_event_funnel_pivot",
-    oracle=f"""
-    SELECT user_id,
-           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
-           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
-           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
-           CAST(SUM({_VAL_DUCK}) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
-             AS purchase_value
-    FROM events
-    GROUP BY user_id
-    """,
-)
 def ext_event_funnel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user funnel via the native pivot() API (E5 shape, long→wide):
     counts per event type plus purchase value, in ONE shuffle.
+
+    Library/bench twin since round 9: its registry slot became
+    ``ext_event_analytics_suite`` (operators/funnel.py), which carries
+    these exact pivot columns next to the ordered-funnel columns under
+    one oracle (fold policy (b), COVERAGE.md); this standalone form stays
+    benched and result-equality-tested against the absorber
+    (tests/test_funnel.py::test_pivot_twin_matches_suite_absorber)."""
+    return event_funnel_pivot_frame(load_table(spark, sf_dir, "events"))
+
+
+def event_funnel_pivot_frame(ev: DataFrame) -> DataFrame:
+    """The pivot plan on a frame (shared by the twin and the suite).
 
     The pivot carries an EXPLICIT value list — without it Spark runs an
     extra distinct scan to discover values, which at 100 TB is a full pass
@@ -405,7 +402,6 @@ def ext_event_funnel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns. Missing cells are NULL from pivot → counts filled to 0 (DuckDB
     FILTER count yields 0); the value sum keeps NULL-when-absent on both
     engines."""
-    ev = load_table(spark, sf_dir, "events")
     wide = (
         ev.groupBy("user_id")
         .pivot("event_type", ["view", "click", "purchase", "signup", "error"])

@@ -23,6 +23,23 @@ from ..sources import load_table
 _TOK_SPARK = r"split(trim(text), '\\s+')"
 _TOK_DUCK = r"string_split_regex(trim(text), '\s+')"
 
+#: BPE-ish pre-tokenizer regex (GPT-2-style, ASCII simplification):
+#: contractions, optional-space letter runs, digit runs, punctuation runs.
+#: Same pattern text compiles identically under Java regex (Spark) and
+#: RE2 (DuckDB) — alternation + character classes only.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+#: k-shingle construction — i in 0..max(len-k,0), join of slice(i+1, k).
+#: Clamped slices make short docs yield one partial shingle in both engines.
+_SHINGLES_SPARK = (
+    "transform(sequence(0, greatest(size(t) - {k}, 0)),"
+    " i -> concat_ws(' ', slice(t, i + 1, {k})))"
+)
+_SHINGLES_DUCK = (
+    "[array_to_string(t[i + 1 : i + {k}], ' ')"
+    " for i in range(0, greatest(len(t) - {k}, 0) + 1)]"
+)
+
 #: small per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Data, not locale.
 STOPWORDS = {
@@ -50,7 +67,12 @@ def _sw_array_sql(lang: str) -> str:
              AS avg_token_len,
            CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
            CASE WHEN trim(text) = '' THEN '<empty>'
-                ELSE substr(trim(text), 1, 10) END AS head
+                ELSE substr(trim(text), 1, 10) END AS head,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+             AS n_bpe_tokens,
+           md5(text) AS content_hash,
+           list_min(list_transform({_SHINGLES_DUCK.format(k=3)}, s -> md5(s)))
+             AS min_shingle_hash
     FROM toks
     """,
 )
@@ -58,7 +80,16 @@ def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (E4): whitespace+regex tokens, type-token ratio, mean
     token length, plus the empty-default CASE head (op 12 shape;
     `df.loc[df[c]=='', c] = default`, etl_dim_cliente.py:31 — lifted to a
-    native CASE). Pure per-row expressions — no shuffle at all."""
+    native CASE). Pure per-row expressions — no shuffle at all.
+
+    Since round 9 this is the per-document text-suite ABSORBER (fold
+    policy (b), COVERAGE.md): it also carries the BPE-ish token count
+    (former ``ext_bpe_token_count`` slot — its ``n_ws_tokens`` is this
+    row's ``n_tokens`` by definition, same expression) and both
+    fingerprint columns (former ``ext_fingerprint`` slot) over the SAME
+    scan and tokenization. The driver's oracle hashes all columns, so a
+    drift in any absorbed expression breaks this row; the standalone
+    twins stay benched and equality-tested."""
     return (
         load_table(spark, sf_dir, "documents")
         .selectExpr("doc_id", "text", f"{_TOK_SPARK} AS t")
@@ -71,6 +102,11 @@ def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS ttr",
             "CASE WHEN trim(text) = '' THEN '<empty>'"
             " ELSE substr(trim(text), 1, 10) END AS head",
+            f"CAST(size(regexp_extract_all(text, \"{BPE_PATTERN}\", 0)) AS BIGINT)"
+            " AS n_bpe_tokens",
+            "md5(text) AS content_hash",
+            f"array_min(transform({_SHINGLES_SPARK.format(k=3)}, s -> md5(s)))"
+            " AS min_shingle_hash",
         )
     )
 
@@ -387,28 +423,17 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: BPE-ish pre-tokenizer regex (GPT-2-style, ASCII simplification):
-#: contractions, optional-space letter runs, digit runs, punctuation runs.
-#: Same pattern text compiles identically under Java regex (Spark) and
-#: RE2 (DuckDB) — alternation + character classes only.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
-
-
-@query(
-    "ext_bpe_token_count",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
-             AS n_bpe_tokens,
-           CAST(len({_TOK_DUCK}) AS BIGINT) AS n_ws_tokens
-    FROM documents
-    """,
-)
 def ext_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-ish (E4 charter: 'whitespace + a BPE-ish
     regex'): a GPT-2-style pre-tokenizer pattern counted next to the
     whitespace count — the cost-estimation signal for LLM data budgeting.
-    regexp_extract_all is codegen'd; no Python tokenizer in the loop."""
+    regexp_extract_all is codegen'd; no Python tokenizer in the loop.
+
+    Library/bench twin since round 9: its registry slot was folded into
+    ``ext_token_stats`` (fold policy (b) — same documents scan, same
+    per-doc granularity; the absorber carries ``n_bpe_tokens``, and this
+    twin's ``n_ws_tokens`` is definitionally the absorber's ``n_tokens``).
+    Equality-tested in tests/test_relational_suites.py::test_bpe_twin_matches_absorber."""
     return load_table(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         f"CAST(size(regexp_extract_all(text, \"{BPE_PATTERN}\", 0)) AS BIGINT)"
@@ -417,33 +442,16 @@ def ext_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: k-shingle construction — i in 0..max(len-k,0), join of slice(i+1, k).
-#: Clamped slices make short docs yield one partial shingle in both engines.
-_SHINGLES_SPARK = (
-    "transform(sequence(0, greatest(size(t) - {k}, 0)),"
-    " i -> concat_ws(' ', slice(t, i + 1, {k})))"
-)
-_SHINGLES_DUCK = (
-    "[array_to_string(t[i + 1 : i + {k}], ' ')"
-    " for i in range(0, greatest(len(t) - {k}, 0) + 1)]"
-)
-
-
-@query(
-    "ext_fingerprint",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, text, {_TOK_DUCK} AS t FROM documents)
-    SELECT doc_id,
-           md5(text) AS content_hash,
-           list_min(list_transform({_SHINGLES_DUCK.format(k=3)}, s -> md5(s)))
-             AS min_shingle_hash
-    FROM toks
-    """,
-)
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (E4): full-content md5 plus a min-hash over
     3-token shingles (a 1-permutation MinHash — the rolling-window
-    fingerprint used for near-dup candidate keys)."""
+    fingerprint used for near-dup candidate keys).
+
+    Library/bench twin since round 9: its registry slot was folded into
+    ``ext_token_stats`` (fold policy (b) — same documents scan and
+    tokenization, same per-doc granularity; the absorber carries both
+    fingerprint columns). Equality-tested in
+    tests/test_relational_suites.py::test_fingerprint_twin_matches_absorber."""
     return (
         load_table(spark, sf_dir, "documents")
         .selectExpr("doc_id", "text", f"{_TOK_SPARK} AS t")

@@ -36,8 +36,11 @@ the same guard discipline as `rangejoin`'s shard explode.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
 
 _RESERVED = ("__bucket", "__grid", "__prev", "__next", "__n", "__nd", "__mis")
 
@@ -308,3 +311,101 @@ def gapfill(
             .drop("__prev", "__next")
         )
     return out
+
+
+GAPFILL_STEP = 3600  # the declared query's bucket width (hourly)
+RETENTION_STEP = 86400  # the declared retention cohort grain (daily)
+
+
+@query(
+    "ext_gapfill",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             b - b % {GAPFILL_STEP} AS bucket_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS mv
+      FROM (SELECT user_id, value, epoch_us(ts) // 1000000 AS b FROM events)
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM s GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(lo, hi + {GAPFILL_STEP}, {GAPFILL_STEP}))
+               AS bucket_ts
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket_ts, s.mv
+      FROM grid g LEFT JOIN s ON g.user_id = s.user_id
+                             AND g.bucket_ts = s.bucket_ts
+    )
+    SELECT user_id, bucket_ts,
+           last_value(mv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mv
+    FROM j
+    """,
+)
+def ext_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared gapfill row (r9, VERDICT r8 #1): each user's hourly
+    value series densified over the user's own [min, max] hour with
+    last-observation-carried-forward — Timescale's
+    `time_bucket_gapfill + locf` shape, driver-gated against DuckDB's
+    own dense-grid window SQL. locf COPIES values (no arithmetic), so
+    the double column is bit-exact across engines; the summed value
+    goes through the exact-decimal path before the one boundary cast.
+    Plan shape: one (user, bucket) aggregate, the JVM-side `sequence`
+    grid explode off a summary aggregate, one grid⋈series join, one
+    per-user fill window — output is declared keys × buckets
+    (~users × 720 at this corpus' 30-day span), never event-count."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        bucketize(ev, "ts", GAPFILL_STEP, out_col="bucket_ts")
+        .groupBy("user_id", "bucket_ts")
+        .agg(
+            F.sum(F.expr("CAST(value AS DECIMAL(18,6))"))
+            .cast("double")
+            .alias("mv")
+        )
+    )
+    return gapfill(
+        series, ["user_id"], "bucket_ts", GAPFILL_STEP, ["mv"], fill="locf"
+    )
+
+
+@query(
+    "ext_cohort_retention",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT user_id, b - b % {RETENTION_STEP} AS bucket_ts
+      FROM (SELECT user_id, epoch_us(ts) // 1000000 AS b FROM events)
+    ),
+    f AS (
+      SELECT user_id, min(bucket_ts) AS cohort_ts FROM a GROUP BY user_id
+    ),
+    g AS (
+      SELECT f.cohort_ts,
+             (a.bucket_ts - f.cohort_ts) // {RETENTION_STEP} AS "offset",
+             COUNT(*) AS n_active
+      FROM a JOIN f ON a.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT cohort_ts, "offset", n_active,
+           CAST(n_active AS DOUBLE) /
+             MAX(CASE WHEN "offset" = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_ts) AS retention
+    FROM g
+    """,
+)
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared cohort-retention row (r9, VERDICT r8 #1): daily-grain
+    first-activity cohorts × day offsets over the events table — the
+    weekly-retention triangle, driver-gated. Counts are exact integers;
+    the retention ratio is ONE double division of exact integers on
+    both engines (IEEE-identical). Every intermediate is bounded by
+    active (user, day) pairs, never raw events (see `cohort_retention`)."""
+    return cohort_retention(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", RETENTION_STEP
+    )

@@ -39,6 +39,8 @@ _MODULES = [
     "etl_airflow_adventureworks_spark.operators.dedup",
     "etl_airflow_adventureworks_spark.operators.similarity",
     "etl_airflow_adventureworks_spark.operators.sessionize",
+    "etl_airflow_adventureworks_spark.operators.funnel",
+    "etl_airflow_adventureworks_spark.operators.timeseries",
     "etl_airflow_adventureworks_spark.operators.multimodal",
     "etl_airflow_adventureworks_spark.streaming.events",
     "etl_airflow_adventureworks_spark.plans.kpis",

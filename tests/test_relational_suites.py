@@ -41,3 +41,44 @@ def test_registry_holds_at_cap():
     q = entrymod.queries()
     assert len(q) == 50, sorted(q)
     assert "ext_range_join" in q and "ext_table_profile" not in q
+
+
+def test_bpe_twin_matches_absorber(spark):
+    # r9 fold: ext_bpe_token_count → ext_token_stats. Same scan, same
+    # per-doc granularity; the twin's n_ws_tokens is the absorber's
+    # n_tokens by definition (same expression).
+    from etl_airflow_adventureworks_spark.operators.textops import (
+        ext_bpe_token_count,
+    )
+
+    twin = {r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+            for r in ext_bpe_token_count(spark, SF_ORACLE).collect()}
+    absorber = {r["doc_id"]: (r["n_bpe_tokens"], r["n_tokens"])
+                for r in entrymod.queries()["ext_token_stats"](spark, SF_ORACLE)
+                .select("doc_id", "n_bpe_tokens", "n_tokens").collect()}
+    assert twin == absorber and len(twin) > 0
+
+
+def test_fingerprint_twin_matches_absorber(spark):
+    # r9 fold: ext_fingerprint → ext_token_stats.
+    from etl_airflow_adventureworks_spark.operators.textops import (
+        ext_fingerprint,
+    )
+
+    twin = {r["doc_id"]: (r["content_hash"], r["min_shingle_hash"])
+            for r in ext_fingerprint(spark, SF_ORACLE).collect()}
+    absorber = {r["doc_id"]: (r["content_hash"], r["min_shingle_hash"])
+                for r in entrymod.queries()["ext_token_stats"](spark, SF_ORACLE)
+                .collect()}
+    assert twin == absorber and len(twin) > 0
+
+
+def test_r9_fold_slots():
+    # the r9 slot changes: three folds in, three new declared rows
+    q = entrymod.queries()
+    for gone in ("ext_bpe_token_count", "ext_fingerprint",
+                 "ext_event_funnel_pivot"):
+        assert gone not in q
+    for new in ("ext_event_analytics_suite", "ext_gapfill",
+                "ext_cohort_retention"):
+        assert new in q and new in entrymod.oracle_sql()
