@@ -32,9 +32,13 @@ self-describing, idempotent when already current, and crash-safe: a
 refresh that dies before its commit leaves the old token, and the
 retry recomputes the same delta.
 
-If the source history was rewritten in the window (overwrite / upsert /
-compaction), `changes` fails loud; pass ``full_rebuild=True`` to
-re-aggregate from the current snapshot (same result, full-scan cost).
+If the source history was rewritten in the window with a rowset
+change (overwrite / matched upsert / delete), `changes` fails loud;
+pass ``full_rebuild=True`` to re-aggregate from the current snapshot
+(same result, full-scan cost). A pure COMPACTION (`optimize`) is
+rowset-preserving and the feed skips it since r9, so continuous
+refresh survives periodic OPTIMIZE with no rebuild
+(tests/test_rollup.py::test_refresh_survives_optimize_reading_only_the_delta).
 
 No reference counterpart (the reference recomputes KPIs from scratch
 per run — `KPIs.sql` over the whole warehouse); this is the charter's

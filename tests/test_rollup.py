@@ -249,3 +249,38 @@ def test_approx_distinct_measure_merges_as_hll_sketches(spark, tmp_path):
     with pytest.raises(ValueError, match="needs a column"):
         refresh_rollup(spark, src.path, str(tmp_path / "r2"), dims,
                        {"x": ("approx_distinct", None)})
+
+
+def test_refresh_survives_optimize_reading_only_the_delta(spark, tmp_path):
+    """r9 (VERDICT r8 #2): append -> refresh -> OPTIMIZE -> append ->
+    refresh. The compaction is rowset-preserving, so the second refresh
+    reads only the post-optimize delta instead of failing loud / paying
+    a full rebuild."""
+    ev, slices = _events_slices(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    roll_path = str(tmp_path / "roll")
+    args = (spark, str(tmp_path / "src"), roll_path, DIMS, MEASURES)
+
+    src.commit(slices[0])                          # v1
+    refresh_rollup(*args)
+    src.commit(slices[1], mode="append")           # v2
+    refresh_rollup(*args)
+    v_opt = src.optimize(num_files=1)              # v3: pure rewrite
+    assert src.manifest()["op"]["rowset_preserving"] is True
+    # already-current refresh across the optimize: the delta is EMPTY,
+    # so the rollup state is unchanged (possibly re-tokened) and exact
+    refresh_rollup(*args)
+    assert _snap(VersionedTable(spark, roll_path).read()) == _snap(
+        _full_agg(slices[0].unionByName(slices[1]))
+    )
+
+    src.commit(slices[2], mode="append")           # v4
+    # the incremental path reads ONLY v4's files (never the 1-file
+    # optimize output NOR v1/v2's originals)
+    delta = src.changes(v_opt)
+    v4_files = set(src.manifest(4)["files"]) - set(src.manifest(3)["files"])
+    scanned = {f.split(str(tmp_path / "src"))[-1].lstrip("/")
+               for f in delta.inputFiles()}
+    assert scanned == v4_files
+    refresh_rollup(*args)
+    assert _snap(VersionedTable(spark, roll_path).read()) == _snap(_full_agg(ev))

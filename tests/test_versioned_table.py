@@ -422,9 +422,106 @@ def test_optimize_zorder_is_atomic_and_prunable(spark, tmp_path):
     assert len(t2.manifest()["files"]) == 1
     assert t2.read().count() == ev.count()
 
-    # the change feed correctly refuses to span the rewrite
+    # r9: an optimize is a ROWSET-PRESERVING rewrite — the change feed
+    # skips it (zero row delta) instead of failing; a genuine overwrite
+    # still trips the guard (tested below and in the delete/upsert tests)
+    assert t.changes(1).count() == 0
+    assert t.manifest()["op"] == {"op": "optimize", "rowset_preserving": True}
+
+
+def test_changes_survive_optimize_and_read_only_the_delta(spark, tmp_path):
+    """r9 (VERDICT r8 #2): append -> optimize -> append; the feed spans
+    the compaction, returns exactly the appended rows, and scans ONLY
+    the append commits' files — never the optimize's rewritten files."""
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))                  # v1
+    t.commit(_df(spark, [(3, "c")]), mode="append")             # v2
+    t.optimize(num_files=1)                                     # v3 rewrite
+    t.commit(_df(spark, [(4, "d"), (5, "e")]), mode="append")   # v4
+
+    # pre-compaction append (v2) + post-compaction append (v4)
+    delta = t.changes(1)
+    assert {r["k"] for r in delta.collect()} == {3, 4, 5}
+    # scanned files: v2's delta + v4's delta, NOT the optimize's output
+    opt_files = {f for f in t.manifest(3)["files"]}
+    scanned = {f.split(str(tmp_path / "t"))[-1].lstrip("/")
+               for f in delta.inputFiles()}
+    assert scanned and scanned.isdisjoint(opt_files)
+    # window entirely after the optimize
+    assert {r["k"] for r in t.changes(3).collect()} == {4, 5}
+    # window ending AT the optimize: zero rows, schema intact
+    assert t.changes(2, 3).count() == 0
+    # a real overwrite still fails loud
+    t.commit(_df(spark, [(9, "z")]))                            # v5
     with pytest.raises(ValueError, match="replaced files"):
         t.changes(1)
+
+
+def test_occ_commit_retry_under_contention(spark, tmp_path):
+    """r9 (VERDICT r8 #3): two writers racing the same version — both
+    appends land (the loser re-reads and re-targets the next version);
+    a snapshot-dependent upsert recomputes instead of raising or
+    clobbering."""
+    from etl_airflow_adventureworks_spark.table import (
+        CommitConflict,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    b = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))
+
+    orig = VersionedTable._publish_manifest
+
+    def race_once(interloper):
+        """Patch publish so writer B lands a commit just before A's FIRST
+        publish attempt — deterministic version contention. The hook
+        disarms itself before B writes, so B (and A's retry) publish
+        through the original path."""
+        armed = {"on": True}
+
+        def racing_publish(self_, man):
+            if armed["on"]:
+                armed["on"] = False
+                interloper()
+            return orig(self_, man)
+
+        VersionedTable._publish_manifest = racing_publish
+
+    # --- append vs append: BOTH land, loser re-targets the next version
+    race_once(lambda: b.commit(_df(spark, [(2, "b")]), mode="append"))
+    try:
+        v = t.commit(_df(spark, [(3, "c")]), mode="append")
+    finally:
+        VersionedTable._publish_manifest = orig
+    assert v == 3 and t.versions() == [1, 2, 3]
+    assert sorted(map(tuple, t.read().collect())) == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+    # --- upsert vs upsert: the conflicting upsert RECOMPUTES against
+    # the new snapshot, preserving B's concurrent update of k=1
+    race_once(lambda: b.upsert(_df(spark, [(1, "A!")]), key="k"))
+    try:
+        t.upsert(_df(spark, [(3, "C!")]), key="k")
+    finally:
+        VersionedTable._publish_manifest = orig
+    assert sorted(map(tuple, t.read().collect())) == [
+        (1, "A!"), (2, "b"), (3, "C!")]
+
+    # --- retries are bounded: exhaustion surfaces CommitConflict
+    def always_conflict(self_, man):
+        raise CommitConflict("forced")
+
+    VersionedTable._publish_manifest = always_conflict
+    try:
+        with pytest.raises(CommitConflict):
+            t.commit(_df(spark, [(7, "g")]), mode="append")
+        with pytest.raises(CommitConflict):
+            t.upsert(_df(spark, [(8, "h")]), key="k")
+    finally:
+        VersionedTable._publish_manifest = orig
 
 
 def test_delete_where_semantics_and_null_rows_survive(spark, tmp_path):
