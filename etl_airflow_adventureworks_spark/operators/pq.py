@@ -53,11 +53,21 @@ def fit_pq_codebooks(
     iters: int = 10,
     seed: int = 7,
     sample_rows: int = 100_000,
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train ``m`` per-subspace codebooks of ``k`` centroids each over a
     bounded sample of the embeddings (driver-side numpy Lloyd's,
     deterministic seed/init — index-build time only). The embedding dim
-    must divide evenly into ``m`` subspaces."""
+    must divide evenly into ``m`` subspaces.
+
+    ``centroids`` (r9, VERDICT r8 #6): train on RESIDUALS v − c(v)
+    against the given coarse IVF centroids — the standard IVFADC
+    refinement (Jégou et al. 2011 §IV). Residuals have strictly smaller
+    magnitude than the raw vectors (the coarse quantizer absorbed the
+    cell mean), so the same (m, k) budget spends its codes on a tighter
+    distribution and the quantization error drops; ADC adds the exact
+    q·c(v) term back per probed cell (see ``ann_ivf_pq_topk_from_index``),
+    so the approximation error is ONLY the residual's."""
     import numpy as np
 
     rows = (
@@ -72,6 +82,10 @@ def fit_pq_codebooks(
         raise ValueError(f"dim {d} does not split into m={m} subspaces")
     if n < k:
         raise ValueError(f"need >= k={k} sample vectors, have {n}")
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        d2 = (x @ cents.T) - 0.5 * (cents * cents).sum(axis=1)[None, :]
+        x = x - cents[d2.argmax(axis=1)]
     dsub = d // m
     rng = np.random.default_rng(seed)
     books = []
@@ -117,13 +131,29 @@ def _adc_score_expr(tables_col: str, codes_col: str, m: int) -> str:
     )
 
 
-def load_pq_codebooks(
+def residual_expr(vec_col: str, cell_col: str, centroids: list[list[float]]) -> str:
+    """v − centroid[cell] as ONE native expression (`zip_with` over the
+    vector and the cell's centroid looked up from a literal
+    array<array<double>>) — the residual the IVFADC codes quantize.
+    Stage it as its own column before `pq_code_expr` so the centroid
+    literal appears once, not once per (subspace × code) dot fold."""
+    cents = "array(" + ", ".join(_lit_array(c) for c in centroids) + ")"
+    return (
+        f"zip_with({vec_col}, "
+        f"element_at({cents}, CAST({cell_col} + 1 AS INT)), "
+        "(a, b) -> a - b)"
+    )
+
+
+def load_pq_quantizer(
     spark: SparkSession, index_path: str, meta: dict
-) -> list[list[list[float]]]:
-    """Codebooks of a PQ-enabled IVF index build — read from the
-    ``_pq_codebooks.json`` INSIDE that version's immutable layout dir
-    (version-coupled to the cell assignment by construction). Raises
-    FileNotFoundError for a plain (non-PQ) build."""
+) -> tuple[list[list[list[float]]], bool]:
+    """(codebooks, residual?) of a PQ-enabled IVF index build — read from
+    the ``_pq_codebooks.json`` INSIDE that version's immutable layout dir
+    (version-coupled to the cell assignment by construction). r9 builds
+    serialize ``{"residual": bool, "books": [...]}``; pre-r9 files are a
+    bare codebook list (raw-vector encoding). Raises FileNotFoundError
+    for a plain (non-PQ) build."""
     import json
 
     from .similarity import _read_fs_text
@@ -137,7 +167,17 @@ def load_pq_codebooks(
             f"index build at {index_path} (layout {meta['layout_dir']}) has "
             "no PQ codebooks — rebuild with build_ivf_index(..., pq_m=...)"
         ) from None
-    return json.loads(text)
+    parsed = json.loads(text)
+    if isinstance(parsed, dict):
+        return parsed["books"], bool(parsed.get("residual", False))
+    return parsed, False
+
+
+def load_pq_codebooks(
+    spark: SparkSession, index_path: str, meta: dict
+) -> list[list[list[float]]]:
+    """Codebooks only (see ``load_pq_quantizer`` for the residual flag)."""
+    return load_pq_quantizer(spark, index_path, meta)[0]
 
 
 def ann_ivf_pq_topk_from_index(
@@ -155,13 +195,20 @@ def ann_ivf_pq_topk_from_index(
     cosine fetched by id from the same layout. With ``nprobe`` = all
     cells and ``refine`` covering them, degenerates to the exact answer
     restricted to nothing — i.e. the brute-force result (asserted in
-    tests)."""
+    tests).
+
+    Residual builds (r9 default — see ``build_ivf_index(pq_residual=)``):
+    codes quantize v − c(v), so the ADC inner product decomposes as
+    q·v ≈ q·c(cell) + Σ_j tables[j][codes[j]] — the exact coarse term
+    q·c(cell) is computed once per (query, probed cell) driver-side and
+    rides the probe row (``qc_ip``); candidates in one cell share it.
+    Raw builds carry qc_ip = 0 and the same plan serves both."""
     import numpy as np
 
     from .similarity import load_ivf_index
 
     cents, meta = load_ivf_index(spark, index_path, version)
-    books = load_pq_codebooks(spark, index_path, meta)
+    books, residual = load_pq_quantizer(spark, index_path, meta)
     m = len(books)
     nb = [np.asarray(b, dtype=np.float64) for b in books]
     dsub = nb[0].shape[1]
@@ -185,13 +232,15 @@ def ann_ivf_pq_topk_from_index(
         ]
         d2 = (cents_np @ qv) - 0.5 * (cents_np * cents_np).sum(axis=1)
         for cell in np.argsort(-d2)[:nprobe]:
+            qc_ip = float(cents_np[cell] @ qv) if residual else 0.0
             probes.append(
-                (r["vec_id"], list(r["v"]), float(r["nrm"]), int(cell), tables)
+                (r["vec_id"], list(r["v"]), float(r["nrm"]), int(cell),
+                 qc_ip, tables)
             )
     q = spark.createDataFrame(
         probes,
         "query_id long, qv array<double>, qnrm double, qcell long, "
-        "tables array<array<double>>",
+        "qc_ip double, tables array<array<double>>",
     )
     probed_cells = sorted({p[3] for p in probes})
     w_pq = Window.partitionBy("query_id").orderBy(
@@ -201,14 +250,17 @@ def ann_ivf_pq_topk_from_index(
         coll.filter(F.col("cell").isin(probed_cells))  # directory pruning
         .select("vec_id", "cell", "codes")
         .join(
-            F.broadcast(q.select("query_id", "qcell", "tables")),
+            F.broadcast(q.select("query_id", "qcell", "qc_ip", "tables")),
             (F.col("qcell") == F.col("cell"))
             & (F.col("query_id") != F.col("vec_id")),
         )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.expr(_adc_score_expr("tables", "codes", m)).alias("pq_ip"),
+            (
+                F.col("qc_ip")
+                + F.expr(_adc_score_expr("tables", "codes", m))
+            ).alias("pq_ip"),
         )
         .withColumn("rn", F.row_number().over(w_pq))
         .filter(F.col("rn") <= TOP_K * refine)

@@ -272,12 +272,17 @@ def write_embeddings_ivf_layout(
     analogue of write_embeddings_layout: a probe's literal cell filter
     becomes directory pruning, so a query opens nprobe/k of the files.
     ``extra_cols`` ({name: SQL expr}) ride along — the PQ build adds its
-    ``codes`` column here so the layout can be scanned code-only."""
+    ``codes`` column here so the layout can be scanned code-only.
+    Names starting with ``__`` are STAGING columns (evaluated in order,
+    visible to later extras, dropped before the write) — the residual
+    build stages ``__res`` once so the centroid literal isn't repeated
+    per dot fold."""
     df = load_table(spark, sf_dir, "embeddings").withColumn(
         "cell", F.expr(ivf_cell_expr(to_double_array("embedding"), centroids))
     )
     for name, expr in (extra_cols or {}).items():
         df = df.withColumn(name, F.expr(expr))
+    df = df.drop(*[n for n in (extra_cols or {}) if n.startswith("__")])
     df.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
@@ -371,6 +376,7 @@ def build_ivf_index(
     seed: int = 7,
     pq_m: int | None = None,
     pq_k: int = 16,
+    pq_residual: bool = True,
 ) -> int:
     """Build + PERSIST the IVF index as a serving artifact (no per-query
     k-means refit): the centroid table commits through ``VersionedTable``'s
@@ -399,7 +405,16 @@ def build_ivf_index(
     version-coupled to the cell assignment exactly like the centroids
     (underscore-prefixed → invisible to the parquet reader). Serve via
     ``pq.ann_ivf_pq_topk_from_index``: file pruning from the cells AND
-    a code-only candidate scan."""
+    a code-only candidate scan.
+
+    ``pq_residual`` (r9 default, VERDICT r8 #6): codes quantize the
+    RESIDUAL v − c(cell) instead of v — the standard IVFADC refinement.
+    Codebooks train on sampled residuals; encoding stages the residual
+    as one ``zip_with`` column (``__res``, dropped before the write) and
+    codes it in the same codegen path; the serialized quantizer records
+    ``residual: true`` so the serve adds the exact q·c(cell) term back.
+    Measured strictly better recall at the same (m, k, nprobe, refine)
+    — see RECALL.md; set False only to reproduce a pre-r9 raw build."""
     import json as _json
     import uuid
 
@@ -411,10 +426,21 @@ def build_ivf_index(
     extra = None
     books = None
     if pq_m is not None:
-        from .pq import fit_pq_codebooks, pq_code_expr
+        from .pq import fit_pq_codebooks, pq_code_expr, residual_expr
 
-        books = fit_pq_codebooks(spark, sf_dir, m=pq_m, k=pq_k, seed=seed)
-        extra = {"codes": pq_code_expr(to_double_array("embedding"), books)}
+        books = fit_pq_codebooks(
+            spark, sf_dir, m=pq_m, k=pq_k, seed=seed,
+            centroids=cents if pq_residual else None,
+        )
+        if pq_residual:
+            extra = {
+                "__res": residual_expr(
+                    to_double_array("embedding"), "cell", cents
+                ),
+                "codes": pq_code_expr("__res", books),
+            }
+        else:
+            extra = {"codes": pq_code_expr(to_double_array("embedding"), books)}
     write_embeddings_ivf_layout(
         spark, sf_dir, f"{index_path}/{layout_dir}", cents, extra_cols=extra
     )
@@ -422,7 +448,7 @@ def build_ivf_index(
         _write_fs_text(
             spark,
             f"{index_path}/{layout_dir}/_pq_codebooks.json",
-            _json.dumps(books),
+            _json.dumps({"residual": bool(pq_residual), "books": books}),
         )
     cent_df = spark.createDataFrame(
         [(i, c, n_vecs, sf_dir, layout_dir) for i, c in enumerate(cents)],

@@ -173,3 +173,56 @@ def test_ivf_pq_index_build_serve_and_pruning(spark, tmp_path):
     build_ivf_index(spark, SF_SMOKE, plain, k_cells=4)
     with pytest.raises(FileNotFoundError, match="no PQ codebooks"):
         ann_ivf_pq_topk_from_index(spark, plain)
+
+
+def test_residual_encoding_recall_at_least_raw(spark, tmp_path):
+    """r9 (VERDICT r8 #6): IVFADC residual encoding — codes quantize
+    v − c(cell), ADC adds the exact q·c(cell) term back per probed
+    cell. At the SAME (m, k, nprobe, refine) budget the residual build's
+    recall must be >= the raw build's at every grid point (residuals
+    are a strictly tighter distribution for the same code budget), and
+    strictly better somewhere below saturation (measured 0.933 vs 0.867
+    at nprobe=8/refine=4 on this corpus — pinned with margin). The
+    serialized quantizer records the flag; a pre-r9 bare-list codebook
+    file still loads as a raw build."""
+    from etl_airflow_adventureworks_spark.operators.pq import (
+        ann_ivf_pq_topk_from_index,
+        load_pq_quantizer,
+    )
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    exact = {}
+    for r in ext_ann_cosine_topk(spark, SF_SMOKE).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(v) for v in exact.values())
+
+    def recall(idx, nprobe, refine):
+        got = {}
+        for r in ann_ivf_pq_topk_from_index(
+            spark, idx, nprobe=nprobe, refine=refine
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & exact[q]) for q in exact) / total
+
+    idx_raw = str(tmp_path / "raw")
+    idx_res = str(tmp_path / "res")
+    build_ivf_index(spark, SF_SMOKE, idx_raw, k_cells=8, pq_m=16, pq_k=64,
+                    pq_residual=False)
+    build_ivf_index(spark, SF_SMOKE, idx_res, k_cells=8, pq_m=16, pq_k=64)
+
+    _, meta_raw = load_ivf_index(spark, idx_raw)
+    _, meta_res = load_ivf_index(spark, idx_res)
+    assert load_pq_quantizer(spark, idx_raw, meta_raw)[1] is False
+    assert load_pq_quantizer(spark, idx_res, meta_res)[1] is True
+
+    grid = [(4, 4), (4, 8), (8, 4), (8, 8)]
+    rr = {p: recall(idx_raw, *p) for p in grid}
+    rs = {p: recall(idx_res, *p) for p in grid}
+    for p in grid:
+        assert rs[p] >= rr[p], (p, rs[p], rr[p])
+    # strictly better below saturation (deterministic seeds; RECALL.md)
+    assert rs[(8, 4)] >= rr[(8, 4)] + 0.05, (rs[(8, 4)], rr[(8, 4)])
+    assert rs[(8, 4)] >= 0.9 and rs[(8, 8)] >= 0.95
