@@ -22,6 +22,14 @@ on the merge — and `finalize_rollup` projects point estimates at read
 time. Sketch union is register-wise max, so the incremental estimate
 EQUALS the from-scratch estimate (order-insensitive), at the usual HLL
 error vs the true distinct count (~1.6% rsd at the default lgK=12).
+QUANTILES are likewise not decomposable; the ``histogram`` measure
+(r9) closes them with the mergeable equi-width histogram over a
+DECLARED [lo, hi) range: the rollup stores bin counts (array<long> —
+underflow/overflow bins clamp out-of-range mass loudly), merge is
+elementwise sum (commutative integer addition, so the incremental
+state is BIT-IDENTICAL to from-scratch — a stronger guarantee than
+HLL's), and ``histogram_quantiles`` projects rank-interpolated
+estimates at read time with error bounded by one bin width.
 "Exact" means up to SUM's reassociation: integer and decimal sums are
 bit-identical to a from-scratch aggregate; double sums can differ in
 the last ulp because incremental merging changes the addition order
@@ -65,14 +73,82 @@ _FNS = {
         lambda c: F.hll_sketch_agg(F.expr(c)),
         F.hll_union_agg,
     ),
+    # mergeable QUANTILES (r9): the rollup row holds an equi-width
+    # histogram (array<long> of declared-range bin counts) — see
+    # _histogram_spec / histogram_quantiles. Merge = elementwise sum,
+    # so the incremental sketch is BIT-IDENTICAL to from-scratch
+    # (integer counts, commutative addition), unlike percentile_approx,
+    # whose internal state Spark does not expose for merging.
+    "histogram": (None, None),  # handled structurally below
 }
+
+
+def _histogram_spec(col) -> tuple[str, float, float, int]:
+    """Validate a histogram measure's column spec: (expr, lo, hi, nbins).
+    ``lo``/``hi`` declare the value range (the caller's contract — the
+    same declared-bounds discipline as gapfill's grid); values outside
+    land in dedicated underflow/overflow bins so totals still reconcile
+    and quantile estimates degrade loudly (clamped to the range edge)
+    instead of silently wrong."""
+    try:
+        expr, lo, hi, nbins = col
+    except (TypeError, ValueError):
+        raise ValueError(
+            "histogram measure needs col = (expr, lo, hi, nbins), "
+            f"got {col!r}"
+        ) from None
+    lo, hi, nbins = float(lo), float(hi), int(nbins)
+    if not (hi > lo):
+        raise ValueError(f"histogram: hi must be > lo, got [{lo}, {hi})")
+    if nbins < 1 or nbins > 4096:
+        raise ValueError(f"histogram: nbins must be in [1, 4096], got {nbins}")
+    return expr, lo, hi, nbins
+
+
+def _histogram_agg(col) -> "F.Column":
+    """Per-delta histogram state: array of nbins+2 counts (index 0 =
+    underflow, 1..nbins = range bins, nbins+1 = overflow; NULLs are not
+    counted). One array of filtered count aggregates — nbins+2 codegen'd
+    sums, no shuffle beyond the rollup's own groupBy."""
+    expr, lo, hi, nbins = _histogram_spec(col)
+    width = (hi - lo) / nbins
+    x = F.expr(expr).cast("double")
+    bucket = (
+        F.when(x.isNull(), F.lit(None))
+        .when(x < lo, F.lit(0))
+        .when(x >= hi, F.lit(nbins + 1))
+        .otherwise(F.floor((x - F.lit(lo)) / F.lit(width)).cast("int") + 1)
+    )
+    # when/otherwise (not a bare equality cast): a NULL bucket must count
+    # as 0, and a group of only-NULL values must yield a zero array, not
+    # NULL entries that would poison the zip_with merge
+    return F.array(
+        *[
+            F.sum(F.when(bucket == i, F.lit(1)).otherwise(F.lit(0))).cast("long")
+            for i in range(nbins + 2)
+        ]
+    )
+
+
+def _histogram_merge(name: str, col) -> "F.Column":
+    """Merge aggregate: elementwise sum of the per-part states. The
+    collect_list is bounded by the number of parts per (dims) group —
+    exactly 2 in a refresh (current rollup ∪ delta partial) — never
+    data-sized."""
+    _expr, _lo, _hi, nbins = _histogram_spec(col)
+    return F.expr(
+        f"aggregate(collect_list({name}), array_repeat(0L, {nbins + 2}),"
+        " (acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+    )
 
 
 def finalize_rollup(df: DataFrame, measures: dict) -> DataFrame:
     """Project read-time values from a rollup's mergeable state: every
     ``approx_distinct`` sketch column becomes its point estimate (long);
-    all other measures are already final. Keep the STORED rollup in
-    sketch form — estimating is lossy and kills mergeability."""
+    all other measures are already final (``histogram`` states stay as
+    bin-count arrays — project quantiles with ``histogram_quantiles``).
+    Keep the STORED rollup in sketch form — estimating is lossy and
+    kills mergeability."""
     out = df
     for name, (fn, _col) in measures.items():
         if fn == "approx_distinct":
@@ -80,16 +156,72 @@ def finalize_rollup(df: DataFrame, measures: dict) -> DataFrame:
     return out
 
 
+def histogram_quantiles(
+    df: DataFrame, name: str, col, qs: list[float], prefix: str | None = None
+) -> DataFrame:
+    """Read-time quantile estimates from a ``histogram`` measure column:
+    for each q in ``qs`` add ``{prefix or name}_p{q*100:g}`` = linear-
+    interpolated value at rank q·total inside the equi-width bins — one
+    codegen'd fold per quantile, no shuffle (the rollup is already
+    summary-sized). Estimate error is bounded by ONE bin width for any
+    quantile landing inside [lo, hi) (asserted in tests against the
+    exact percentile); mass in the underflow/overflow bins clamps to
+    lo/hi — widen the declared range if that matters. An empty state
+    (all-NULL values) yields NULL."""
+    expr_, lo, hi, nbins = _histogram_spec(col)
+    width = (hi - lo) / nbins
+    out = df
+    base = prefix or name
+    total = f"CAST(aggregate({name}, 0L, (a, x) -> a + x) AS DOUBLE)"
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile must be in [0, 1], got {q}")
+        rank = f"({q!r}D * {total})"
+        # lambda variables carry the module's reserved __ prefix — a
+        # measure column named like a bare lambda var (e.g. "h") would
+        # otherwise be shadowed inside the fold
+        est = (
+            f"CASE WHEN __hq_e.i = 0 THEN {lo!r}D "
+            f"WHEN __hq_e.i = {nbins + 1} THEN {hi!r}D "
+            f"ELSE {lo!r}D + (__hq_e.i - 1) * {width!r}D "
+            f"+ {width!r}D * (({rank} - CAST(__hq_s.cum AS DOUBLE))"
+            " / CAST(__hq_e.x AS DOUBLE)) END"
+        )
+        step = (
+            "CASE WHEN __hq_s.ans IS NOT NULL THEN __hq_s.ans "
+            f"WHEN __hq_e.x > 0 AND CAST(__hq_s.cum + __hq_e.x AS DOUBLE)"
+            f" >= {rank} THEN {est} ELSE CAST(NULL AS DOUBLE) END"
+        )
+        fold = (
+            f"aggregate("
+            f"zip_with({name}, sequence(0, {nbins + 1}),"
+            " (__hq_x, __hq_i) -> struct(__hq_x AS x, __hq_i AS i)), "
+            "struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS DOUBLE) AS ans), "
+            f"(__hq_s, __hq_e) -> "
+            f"struct(__hq_s.cum + __hq_e.x AS cum, {step} AS ans), "
+            "__hq_s -> __hq_s.ans)"
+        )
+        label = f"{q * 100:g}".replace(".", "_")
+        out = out.withColumn(f"{base}_p{label}", F.expr(fold))
+    return out
+
+
 def _aggregate(df: DataFrame, dims: list[str], measures: dict) -> DataFrame:
     aggs = [
-        _FNS[fn][0](col).alias(name) for name, (fn, col) in measures.items()
+        (_histogram_agg(col) if fn == "histogram" else _FNS[fn][0](col)).alias(
+            name
+        )
+        for name, (fn, col) in measures.items()
     ]
     return df.groupBy(*[F.expr(d) for d in dims]).agg(*aggs)
 
 
 def _merge(parts: DataFrame, dim_names: list[str], measures: dict) -> DataFrame:
     aggs = [
-        _FNS[fn][1](name).alias(name) for name, (fn, _col) in measures.items()
+        (
+            _histogram_merge(name, col) if fn == "histogram" else _FNS[fn][1](name)
+        ).alias(name)
+        for name, (fn, col) in measures.items()
     ]
     return parts.groupBy(*dim_names).agg(*aggs)
 
@@ -127,12 +259,24 @@ def refresh_rollup(
     from the full source snapshot; later calls read ONLY the delta files
     plus the current rollup. Refreshing an already-current rollup is a
     no-op returning the existing version.
+
+    Concurrent refreshers (r9): the rollup commit passes ``retry=False``
+    — a rollup state is derived from the rollup snapshot it read, so the
+    table layer's blind OCC re-publish could overwrite a CONCURRENT
+    refresher's newer state with this one's staler state. On conflict
+    the WHOLE refresh recomputes (bounded): re-reads the reflected
+    version, no-ops if the winner already brought the rollup to (or
+    past) this source version, else re-merges from the new state.
     """
+    from ..table import _MAX_COMMIT_ATTEMPTS, CommitConflict
+
     for name, (fn, _col) in measures.items():
         if fn not in _FNS:
             raise ValueError(f"measure {name}: fn must be one of {sorted(_FNS)}")
         if fn == "approx_distinct" and not _col:
             raise ValueError(f"measure {name}: approx_distinct needs a column")
+        if fn == "histogram":
+            _histogram_spec(_col)  # fail loud before any commit
     src = VersionedTable(spark, source_path)
     roll = VersionedTable(spark, rollup_path)
     src_latest = src.manifest()
@@ -141,19 +285,31 @@ def refresh_rollup(
     v_src = src_latest["version"]
     token = f"rollup-of:v{v_src}"
 
-    reflected = _reflected_version(roll)
-    if reflected == v_src:
-        return roll.manifest()["version"]
-    if reflected is None or full_rebuild:
-        state = _aggregate(src.read(), dims, measures)
-        return roll.commit(state, mode="overwrite", idempotency_token=token)
-
-    delta = src.changes(reflected, v_src)  # fails loud across rewrites
-    partial = _aggregate(delta, dims, measures)
-    dim_names = partial.columns[: len(dims)]
-    current = roll.read()
-    merged = _merge(
-        current.unionByName(partial), dim_names, measures
-    ).localCheckpoint(eager=True)  # don't derive the new files from a
-    # plan that still reads the rollup version being replaced
-    return roll.commit(merged, mode="overwrite", idempotency_token=token)
+    last_err: CommitConflict | None = None
+    for _ in range(_MAX_COMMIT_ATTEMPTS):
+        try:
+            reflected = _reflected_version(roll)
+            if reflected is not None and reflected >= v_src:
+                # already current — a concurrent refresher may even have
+                # reflected a NEWER source version; never step backward
+                return roll.manifest()["version"]
+            if reflected is None or full_rebuild:
+                state = _aggregate(src.read(), dims, measures)
+                return roll.commit(
+                    state, mode="overwrite", idempotency_token=token,
+                    retry=False,
+                )
+            delta = src.changes(reflected, v_src)  # fails loud across rewrites
+            partial = _aggregate(delta, dims, measures)
+            dim_names = partial.columns[: len(dims)]
+            current = roll.read()
+            merged = _merge(
+                current.unionByName(partial), dim_names, measures
+            ).localCheckpoint(eager=True)  # don't derive the new files from a
+            # plan that still reads the rollup version being replaced
+            return roll.commit(
+                merged, mode="overwrite", idempotency_token=token, retry=False
+            )
+        except CommitConflict as e:
+            last_err = e
+    raise last_err

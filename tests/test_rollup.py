@@ -284,3 +284,134 @@ def test_refresh_survives_optimize_reading_only_the_delta(spark, tmp_path):
     assert scanned == v4_files
     refresh_rollup(*args)
     assert _snap(VersionedTable(spark, roll_path).read()) == _snap(_full_agg(ev))
+
+
+def test_concurrent_refreshers_never_step_backward(spark, tmp_path):
+    """r9: two refreshers racing — the loser recomputes instead of
+    blind-republishing its staler state over the winner's newer one;
+    a refresher that finds the rollup already AT or PAST its source
+    version no-ops."""
+    from etl_airflow_adventureworks_spark.table import VersionedTable as VT
+
+    ev, slices = _events_slices(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    roll_path = str(tmp_path / "roll")
+    args = (spark, str(tmp_path / "src"), roll_path, DIMS, MEASURES)
+
+    src.commit(slices[0])                         # src v1
+    refresh_rollup(*args)                         # rollup reflects v1
+    src.commit(slices[1], mode="append")          # src v2
+
+    # interloper: just before A's rollup commit publishes, B completes a
+    # full refresh to v2 — A's conflict retry must detect reflected >= v2
+    # and no-op, never overwrite B's state with its own v2 recompute
+    orig = VT._publish_manifest
+    armed = {"on": True}
+
+    def racing_publish(self_, man):
+        if armed["on"] and (man.get("token") or "").startswith("rollup-of:"):
+            armed["on"] = False
+            refresh_rollup(*args)  # B wins (publishes through this hook,
+            # now disarmed -> original path)
+        return orig(self_, man)
+
+    VT._publish_manifest = racing_publish
+    try:
+        v = refresh_rollup(*args)  # A
+    finally:
+        VT._publish_manifest = orig
+    roll = VersionedTable(spark, roll_path)
+    # A returned B's version (no-op) — exactly one post-race commit
+    assert v == roll.manifest()["version"]
+    assert roll.manifest()["token"] == f"rollup-of:v{src.manifest()['version']}"
+    two = slices[0].unionByName(slices[1])
+    assert _snap(roll.read()) == _snap(_full_agg(two))
+
+    # and a refresher against an OLDER source view can never regress the
+    # rollup: reflected (v2) >= its target — no-op
+    assert refresh_rollup(*args) == roll.manifest()["version"]
+
+
+def test_histogram_measure_mergeable_and_quantile_bound(spark, tmp_path):
+    """r9: the mergeable quantile measure — incremental histogram state
+    is BIT-IDENTICAL to from-scratch after every refresh generation
+    (integer bin counts, commutative merge), and the read-time quantile
+    estimate sits within one bin width of the exact percentile."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        histogram_quantiles,
+    )
+
+    ev, slices = _events_slices(spark)
+    lo, hi = [float(x) for x in ev.agg(F.min("value"), F.max("value")).first()]
+    hi = hi + 1e-9  # right-open range: include the max
+    NB = 64
+    width = (hi - lo) / NB
+    meas = {
+        "n": ("count", None),
+        "h_value": ("histogram", ("value", lo, hi, NB)),
+    }
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    roll_path = str(tmp_path / "roll")
+    args = (spark, str(tmp_path / "src"), roll_path, ["event_type"], meas)
+
+    src.commit(slices[0])
+    refresh_rollup(*args)
+    src.commit(slices[1], mode="append")
+    refresh_rollup(*args)
+    src.commit(slices[2], mode="append")
+    refresh_rollup(*args)
+
+    got = {
+        r["event_type"]: (list(r["h_value"]), r["n"])
+        for r in VersionedTable(spark, roll_path).read().collect()
+    }
+    want = {
+        r["event_type"]: (list(r["h_value"]), r["n"])
+        for r in _aggregate_hist(ev, meas).collect()
+    }
+    assert got == want  # bit-identical incremental state
+    # totals reconcile: every non-null value landed in exactly one bin
+    assert all(sum(h) == n for h, n in got.values())
+
+    # quantile estimates within one bin width of the exact percentile
+    q_df = histogram_quantiles(
+        VersionedTable(spark, roll_path).read(),
+        "h_value", ("value", lo, hi, NB), [0.5, 0.95],
+    )
+    est = {r["event_type"]: (r["h_value_p50"], r["h_value_p95"])
+           for r in q_df.collect()}
+    exact = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        ).collect()
+    }
+    for et, (p50, p95) in exact.items():
+        assert abs(est[et][0] - p50) <= width + 1e-9, (et, est[et][0], p50)
+        assert abs(est[et][1] - p95) <= width + 1e-9, (et, est[et][1], p95)
+
+    # out-of-range mass clamps loudly to the range edges
+    narrow = ("value", lo, lo + (hi - lo) / 4, 8)
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _aggregate as _agg,
+    )
+    nstate = _agg(ev, ["event_type"], {"h": ("histogram", narrow)})
+    nq = histogram_quantiles(nstate, "h", narrow, [0.99]).collect()
+    assert all(r["h_p99"] <= lo + (hi - lo) / 4 + 1e-9 for r in nq)
+
+    # spec validation fails loud before any commit
+    with pytest.raises(ValueError, match="hi must be > lo"):
+        refresh_rollup(spark, str(tmp_path / "src"), str(tmp_path / "r2"),
+                       ["event_type"], {"h": ("histogram", ("value", 5, 5, 4))})
+    with pytest.raises(ValueError, match="nbins"):
+        refresh_rollup(spark, str(tmp_path / "src"), str(tmp_path / "r2"),
+                       ["event_type"], {"h": ("histogram", ("value", 0, 1, 0))})
+    with pytest.raises(ValueError, match="col = "):
+        refresh_rollup(spark, str(tmp_path / "src"), str(tmp_path / "r2"),
+                       ["event_type"], {"h": ("histogram", "value")})
+
+
+def _aggregate_hist(df, meas):
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+    return _aggregate(df, ["event_type"], meas)
