@@ -219,3 +219,12 @@ def test_pivot_twin_matches_suite_absorber(spark):
     assert fun == suite_fun
     # keys with no step-1 event carry 0 completed, NULL times
     assert suite.filter("t_1 IS NULL AND steps_completed != 0").count() == 0
+
+
+def test_event_analytics_suite_plan_is_python_and_array_free(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ext_event_analytics_suite"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Cartesian" not in plan
+    assert "collect_list" not in plan  # no per-key event arrays
