@@ -19,9 +19,15 @@ aggregate limitation; the ``approx_distinct`` measure closes it with
 the mergeable form: the rollup stores a DataSketches HLL sketch
 (binary) per (dims) row — `hll_sketch_agg` on the delta, `hll_union_agg`
 on the merge — and `finalize_rollup` projects point estimates at read
-time. Sketch union is register-wise max, so the incremental estimate
-EQUALS the from-scratch estimate (order-insensitive), at the usual HLL
-error vs the true distinct count (~1.6% rsd at the default lgK=12).
+time. The incremental estimate agrees with a from-scratch sketch
+bit-for-bit while sketches are in exact (LIST/SET) mode and within the
+HLL error band once they promote to estimation mode — r9 measured that
+DataSketches estimates there depend on the merge topology (the same
+6000 distincts estimate 5977/6035/6012 under 1/4/32-partition builds),
+so "equals from-scratch" is NOT a general invariant; the stated
+contract is the usual HLL error vs the true distinct count (~1.6% rsd
+at the default lgK=12), which holds at every scale and which the tests
+and tools/measure_rollup_refresh.py gate.
 QUANTILES are likewise not decomposable; the ``histogram`` measure
 (r9) closes them with the mergeable equi-width histogram over a
 DECLARED [lo, hi) range: the rollup stores bin counts (array<long> —

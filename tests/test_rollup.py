@@ -193,10 +193,17 @@ def test_rollup_composes_with_the_ingest_gate(spark, tmp_path):
 
 
 def test_approx_distinct_measure_merges_as_hll_sketches(spark, tmp_path):
-    """r8: mergeable COUNT DISTINCT — the rollup stores HLL sketches;
-    the INCREMENTAL estimate equals the from-scratch estimate exactly
-    (sketch union is register-wise max, order-insensitive), and both sit
-    within the HLL error band of the true distinct count."""
+    """r8: mergeable COUNT DISTINCT — the rollup stores HLL sketches.
+    At this corpus' per-group cardinality (15 users — sketches in exact
+    LIST/SET mode) the incremental estimate equals the from-scratch
+    estimate bit-for-bit; r9 measured that this equality is
+    SCALE-BOUNDED: in estimation mode (thousands of distincts) the
+    DataSketches estimate depends on the merge topology (direct
+    1-partition build 5977 vs 4-partition 6035 vs 32-partition 6012 on
+    the same 6000 distincts), so incremental-vs-scratch agree only
+    within the HLL error band there — the contract the docstring and
+    tools/measure_rollup_refresh.py state, and what the error-band
+    assertion below actually gates."""
     from etl_airflow_adventureworks_spark.operators.rollup import (
         finalize_rollup,
     )
@@ -239,6 +246,8 @@ def test_approx_distinct_measure_merges_as_hll_sketches(spark, tmp_path):
     }
     assert set(got) == set(scratch) == set(truth)
     for et in got:
+        # exact-mode equality at this scale; the general contract is the
+        # error band vs truth (next assert), which holds at EVERY scale
         assert got[et][0] == scratch[et], "incremental != from-scratch sketch"
         assert abs(got[et][0] - truth[et]) <= max(3, 0.05 * truth[et]), (
             et, got[et][0], truth[et])
