@@ -888,3 +888,90 @@ def test_available_now_incremental_runs_exact(spark, tmp_path):
     } - set(closed)
     assert closed and open_, (len(closed), len(open_))
     assert got == closed
+
+
+def test_checkpoint_restart_dedup_exact(spark, tmp_path):
+    """r9: the streaming exact dedup (dropDuplicatesWithinWatermark on
+    event_id) across a kill-and-restart with PLANTED duplicates — the
+    existing dedup test's corpus has unique ids, so the drop path and
+    its recovered state were never exercised. Plants: within-batch dups,
+    cross-file dups within phase 1, and dups whose original arrived
+    BEFORE the kill and whose copy arrives AFTER the restart (those
+    prove the dedup STATE, not just source offsets, was recovered —
+    without it the copy would re-emit)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    staging = str(tmp_path / "staging")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staging)
+
+    t0 = dt.datetime(2024, 3, 1)
+    files = []
+    n_per, n_files = 200, 6
+    for k in range(n_files):
+        base = (
+            spark.range(k * 1000, k * 1000 + n_per)
+            .selectExpr(
+                "id AS event_id",
+                f"timestamp'{t0}' + make_interval(0,0,0,0,0,{k * 30},"
+                " CAST(id % 60 AS INT)) AS ts",
+                "CAST(id % 40 AS LONG) AS user_id",
+                "'view' AS event_type",
+                "CAST(id % 7 AS DOUBLE) AS value",
+                "'{}' AS props",
+            )
+        )
+        dup_src = {1: 0, 2: 1, 3: 2, 5: 4}.get(k)  # k=3 dups k=2: spans the kill
+        if dup_src is not None:
+            dups = (
+                spark.range(dup_src * 1000, dup_src * 1000 + 50)
+                .selectExpr(
+                    "id AS event_id",
+                    f"timestamp'{t0}' + make_interval(0,0,0,0,0,{k * 30},"
+                    " CAST(id % 60 AS INT)) AS ts",  # re-arrival time, same id
+                    "CAST(id % 40 AS LONG) AS user_id",
+                    "'view' AS event_type",
+                    "CAST(id % 7 AS DOUBLE) AS value",
+                    "'{}' AS props",
+                )
+            )
+            base = base.unionByName(dups).unionByName(dups.limit(10))  # + in-batch dups
+        part_dir = os.path.join(staging, f"_f{k}")
+        base.coalesce(1).write.parquet(part_dir)
+        (part,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dest = os.path.join(staging, f"f{k}.parquet")
+        shutil.move(part, dest)
+        files.append(dest)
+
+    _reveal(files[:3], src)
+    _wm1, in1, nb1 = _drain_file_sink(spark, se.deduped_stream, src, out, ckpt)
+    _reveal(files[3:], src)
+    _wm2, in2, nb2 = _drain_file_sink(
+        spark, se.deduped_stream, src, out, ckpt, flush=True
+    )
+    assert nb1 >= 2 and nb2 >= 2
+    # duplicates really flowed on both sides of the kill
+    assert in1 == 3 * n_per + 2 * 60 and in2 == 3 * n_per + 2 * 60
+
+    emitted = spark.read.parquet(out)
+    ids = [r["event_id"] for r in emitted.select("event_id").collect()]
+    # exactly-once: every planted id exactly once, duplicates dropped —
+    # including f3's copies of f2 ids (originals pre-kill, copies
+    # post-restart: recovered dedup state did the dropping)
+    assert len(ids) == len(set(ids)) == n_files * n_per
+    batch_distinct = spark.read.parquet(*files).select("event_id").distinct()
+    assert set(ids) == {r["event_id"] for r in batch_distinct.collect()}
+    # the first arrival wins: each kept row's ts is the MIN planted ts
+    firsts = (
+        spark.read.parquet(*files)
+        .groupBy("event_id").agg(F.min("ts").alias("ts"))
+    )
+    kept = emitted.select("event_id", "ts")
+    assert kept.exceptAll(firsts).count() == 0
