@@ -264,6 +264,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-ordered event types, e.g. signup,view,click,purchase")
     fu.add_argument("--within-hours", type=float, default=None,
                     help="max hours between consecutive completed steps")
+    fu.add_argument("--within-total-hours", type=float, default=None,
+                    help="max hours between step 1 and EVERY later step "
+                    "(the overall conversion window, r9; composable with "
+                    "--within-hours — a step must satisfy both)")
     fu.add_argument("--out", default=None,
                     help="write the per-key completion table here")
 
@@ -619,9 +623,12 @@ def main(argv: list[str] | None = None) -> int:
         steps = [s.strip() for s in args.steps.split(",") if s.strip()]
         within = (int(args.within_hours * 3600)
                   if args.within_hours is not None else None)
+        within_total = (int(args.within_total_hours * 3600)
+                        if args.within_total_hours is not None else None)
         f = ordered_funnel(
             load_table(spark, args.sf_dir, "events"), "user_id", "ts",
             "event_type", steps, within_seconds=within,
+            within_total_seconds=within_total,
         )
         if args.out:
             f.write.mode("overwrite").parquet(args.out)

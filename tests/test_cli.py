@@ -401,3 +401,18 @@ def test_funnel_subcommand(spark, tmp_path, capsys):
     f = spark.read.parquet(out)
     assert {"t_1", "t_2", "t_3", "steps_completed"} <= set(f.columns)
     assert f.count() == ns[0]
+
+    # r9: the overall conversion window — vs the UNBOUNDED funnel (which
+    # completes fully on this dense corpus), a 2h total window must bite
+    assert main(["funnel", "--sf-dir", "/root/testdata/sf0.001",
+                 "--steps", "view,click,purchase"]) == 0
+    free = [int(m) for m in re.findall(r"step \d \w+: (\d+)",
+                                       capsys.readouterr().out)]
+    assert main(["funnel", "--sf-dir", "/root/testdata/sf0.001",
+                 "--steps", "view,click,purchase",
+                 "--within-total-hours", "2"]) == 0
+    ns2 = [int(m) for m in re.findall(r"step \d \w+: (\d+)",
+                                      capsys.readouterr().out)]
+    assert len(ns2) == 3 and ns2[0] == free[0]  # step 1 unaffected
+    assert all(b <= a for a, b in zip(free, ns2))
+    assert ns2[2] < free[2]  # the 2h total really bites on this corpus
