@@ -259,3 +259,63 @@ def test_gapfill_matches_brute_force(spark, rows, step, fill):
             assert g[2] is None and w[2] is None, (g, w, fill)
         else:
             assert abs(float(g[2]) - float(w[2])) < 1e-9, (g, w, fill)
+
+
+# -- mergeable histogram quantiles (r9) --------------------------------------
+
+_hist_vals = st.lists(
+    st.one_of(st.none(), st.floats(min_value=-50.0, max_value=150.0,
+                                   allow_nan=False, allow_infinity=False)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=_hist_vals, nbins=st.sampled_from([1, 4, 16]),
+       q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+       split=st.integers(0, 59))
+def test_histogram_quantile_bound_and_merge_identity(spark, vals, nbins, q, split):
+    """Random values (NULLs included), random bin count / quantile /
+    merge split: (a) the two-part merged histogram state is BIT-equal to
+    the single-pass state (commutative integer sums); (b) the quantile
+    estimate sits within one bin width of a rank-based reference for any
+    quantile landing inside the declared range, and clamps to the range
+    edges for mass in the under/overflow bins."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _aggregate,
+        _merge,
+        histogram_quantiles,
+    )
+
+    lo, hi = 0.0, 100.0
+    width = (hi - lo) / nbins
+    spec = ("v", lo, hi, nbins)
+    meas = {"h": ("histogram", spec)}
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    one = _aggregate(df.selectExpr("1 AS k", "v"), ["k"], meas)
+    parts = _aggregate(
+        df.selectExpr("1 AS k", "v", f"id < {split} AS half"),
+        ["k", "half"], meas,
+    ).drop("half")
+    merged = _merge(parts, ["k"], meas)
+    h_one = list(one.first()["h"])
+    h_merged = list(merged.first()["h"])
+    assert h_one == h_merged  # bit-identical mergeable state
+
+    est = histogram_quantiles(one, "h", spec, [q]).first()[
+        f"h_p{q * 100:g}".replace(".", "_")
+    ]
+    present = sorted(v for v in vals if v is not None)
+    if not present:
+        assert est is None
+        return
+    # rank-based reference on the clamped values (the sketch clamps
+    # out-of-range mass to the declared edges by construction)
+    clamped = [min(max(v, lo), hi) for v in present]
+    rank = q * len(clamped)
+    idx = max(0, min(len(clamped) - 1, int(rank if rank == int(rank) else rank + 1) - 1))
+    ref = clamped[idx]
+    assert est is not None
+    assert abs(est - ref) <= width + 1e-9, (est, ref, width, clamped, q)
