@@ -206,6 +206,14 @@ def main(argv: list[str] | None = None) -> int:
     rr.add_argument("--full-rebuild", action="store_true",
                     help="re-aggregate from the current snapshot (required "
                     "after the source history was rewritten)")
+    rr.add_argument("--show", type=int, default=0, metavar="N",
+                    help="after refreshing, print N finalized rollup rows "
+                    "(HLL sketches as estimates; histogram measures as "
+                    "quantile estimates via --quantiles)")
+    rr.add_argument("--quantiles", default=None, metavar="Q1,Q2,...",
+                    help="with --show: project every histogram measure to "
+                    "these quantiles (r9 mergeable quantile sketch), e.g. "
+                    "0.5,0.95")
 
     va = sub.add_parser(
         "validate",
@@ -538,6 +546,21 @@ def main(argv: list[str] | None = None) -> int:
             full_rebuild=args.full_rebuild,
         )
         print(f"rollup at version {v} (reflects the source's latest commit)")
+        if args.show:
+            from .operators.rollup import finalize_rollup, histogram_quantiles
+            from .table import VersionedTable
+
+            out = finalize_rollup(
+                VersionedTable(spark, args.rollup).read(), measures
+            )
+            if args.quantiles:
+                qs = [float(x) for x in args.quantiles.split(",") if x.strip()]
+                for name, (fn, col) in measures.items():
+                    if fn == "histogram":
+                        out = histogram_quantiles(out, name, col, qs)
+                out = out.drop(*[n for n, (fn, _c) in measures.items()
+                                 if fn == "histogram"])
+            out.show(args.show, truncate=False)
         return 0
     if args.cmd == "validate":
         import json as _json

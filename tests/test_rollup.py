@@ -424,3 +424,30 @@ def test_histogram_measure_mergeable_and_quantile_bound(spark, tmp_path):
 def _aggregate_hist(df, meas):
     from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
     return _aggregate(df, ["event_type"], meas)
+
+
+def test_refresh_rollup_show_quantiles_cli(spark, tmp_path, capsys):
+    """r9: --show/--quantiles project the mergeable histogram measure to
+    quantile estimates on the CLI read path."""
+    import json
+
+    from etl_airflow_adventureworks_spark.cli import main
+
+    ev, slices = _events_slices(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(slices[0])
+    spec = {
+        "dims": ["event_type"],
+        "measures": {"n": ["count", None],
+                     "hv": ["histogram", ["value", 0.0, 120.0, 32]]},
+    }
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    assert main(["refresh-rollup", "--source", str(tmp_path / "src"),
+                 "--rollup", str(tmp_path / "roll"), "--spec", spec_path,
+                 "--show", "10", "--quantiles", "0.5,0.95"]) == 0
+    msg = capsys.readouterr().out
+    assert "rollup at version 1" in msg
+    assert "hv_p50" in msg and "hv_p95" in msg
+    assert "hv " not in msg  # the raw bin-count array is dropped from --show
