@@ -146,6 +146,12 @@ def transition_matrix(
 #: the declared funnel path — the canonical view→click→purchase flow
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
+#: the declared overall conversion window ("completed the whole flow
+#: within 3 days") — discriminating on the test corpus: the median
+#: unbounded completion takes ~88 h, so roughly half the completers
+#: drop a step under this bound
+TOTAL_WINDOW_SECONDS = 72 * 3600
+
 
 @query(
     "ext_event_analytics_suite",
@@ -178,17 +184,40 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
       FROM events e JOIN f2 ON e.user_id = f2.user_id
       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f2.t_2
       GROUP BY e.user_id
+    ),
+    -- overall-window funnel (within_total_seconds = 259200): the SAME
+    -- greedy rule, every step additionally gated to land within 72 h of
+    -- t_1 (t_1 itself is unchanged — the window is anchored there)
+    f2t AS (
+      SELECT e.user_id, f1.t_1, min(epoch_us(e.ts)) AS t_2t
+      FROM events e JOIN f1 ON e.user_id = f1.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= f1.t_1
+        AND epoch_us(e.ts) <= f1.t_1 + 259200000000
+      GROUP BY e.user_id, f1.t_1
+    ),
+    f3t AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_3t
+      FROM events e JOIN f2t ON e.user_id = f2t.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f2t.t_2t
+        AND epoch_us(e.ts) <= f2t.t_1 + 259200000000
+      GROUP BY e.user_id
     )
     SELECT p.user_id, p.n_view, p.n_click, p.n_purchase, p.n_signup,
            p.n_error, p.purchase_value, f1.t_1, f2.t_2, f3.t_3,
            CAST(CASE WHEN f1.t_1 IS NOT NULL THEN 1 ELSE 0 END
               + CASE WHEN f2.t_2 IS NOT NULL THEN 1 ELSE 0 END
               + CASE WHEN f3.t_3 IS NOT NULL THEN 1 ELSE 0 END
-              AS BIGINT) AS steps_completed
+              AS BIGINT) AS steps_completed,
+           CAST(CASE WHEN f1.t_1 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN f2t.t_2t IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN f3t.t_3t IS NOT NULL THEN 1 ELSE 0 END
+              AS BIGINT) AS steps_completed_total
     FROM p
     LEFT JOIN f1 ON p.user_id = f1.user_id
     LEFT JOIN f2 ON p.user_id = f2.user_id
     LEFT JOIN f3 ON p.user_id = f3.user_id
+    LEFT JOIN f2t ON p.user_id = f2t.user_id
+    LEFT JOIN f3t ON p.user_id = f3t.user_id
     """,
 )
 def ext_event_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,10 +229,18 @@ def ext_event_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       library twin ``sessionize.ext_event_funnel_pivot``), and
     - the ORDERED funnel view→click→purchase (``ordered_funnel``:
       greedy first-occurrence step times t_1..t_3 as epoch micros and
-      steps_completed), previously pytest-only.
+      steps_completed), previously pytest-only, and
+    - since r10 (VERDICT r9 #3) the OVERALL-WINDOW funnel:
+      ``steps_completed_total`` re-runs the same steps with
+      ``within_total_seconds=TOTAL_WINDOW_SECONDS`` (72 h anchored at
+      t_1) — the greedy rule is mirrored hop-for-hop in the oracle's
+      f2t/f3t CTEs (each hop takes the EARLIEST qualifying event, so a
+      per-hop pick can foreclose a completion a later candidate would
+      have allowed; that is the documented commercial-funnel semantics,
+      see the module docstring).
 
     The driver's oracle hashes the values of ALL columns, so a drift in
-    either absorbed column-set breaks this row (fold-strictness rule).
+    any absorbed column-set breaks this row (fold-strictness rule).
     Plan: the pivot is one shuffle; each funnel hop is one filtered
     map-side-combined aggregate + a summary-sized join; the final joins
     are per-user summaries joined on the same key. No event array is
@@ -220,6 +257,22 @@ def ext_event_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_3",
         F.col("steps_completed").cast("long").alias("steps_completed"),
     )
-    return pivot.join(fun, "user_id", "left").withColumn(
-        "steps_completed", F.coalesce("steps_completed", F.lit(0).cast("long"))
+    tot = ordered_funnel(
+        ev, "user_id", "ts", "event_type", FUNNEL_STEPS,
+        within_total_seconds=TOTAL_WINDOW_SECONDS,
+    ).select(
+        "user_id",
+        F.col("steps_completed").cast("long").alias("steps_completed_total"),
+    )
+    return (
+        pivot.join(fun, "user_id", "left")
+        .join(tot, "user_id", "left")
+        .withColumn(
+            "steps_completed",
+            F.coalesce("steps_completed", F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "steps_completed_total",
+            F.coalesce("steps_completed_total", F.lit(0).cast("long")),
+        )
     )

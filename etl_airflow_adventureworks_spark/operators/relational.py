@@ -326,6 +326,19 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 2
     UNION ALL
+    SELECT 'rhist', CAST(g.i AS VARCHAR), CAST(COALESCE(c.n, 0) AS DOUBLE),
+           NULL, NULL, NULL, NULL
+    FROM range(0, 10) g(i)
+    LEFT JOIN (
+      SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 50000.0 THEN 0
+                  WHEN CAST(o_totalprice AS DOUBLE) >= 450000.0 THEN 9
+                  ELSE CAST(floor((CAST(o_totalprice AS DOUBLE) - 50000.0)
+                                  / 50000.0) AS INT) + 1 END AS i,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY 1
+    ) c ON g.i = c.i
+    UNION ALL
     SELECT 'profile', col, CAST(n_rows AS DOUBLE), CAST(n_null AS DOUBLE),
            CAST(n_distinct AS DOUBLE), min_val, max_val
     FROM (
@@ -359,7 +372,16 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which stays in the library, equality-tested against this absorber's
     'profile' rows in `tests/test_relational_suites.py`). The 100 TB path
     for the percentile half is percentile_approx (one-pass sketch); this
-    exact form is the audit twin."""
+    exact form is the audit twin.
+
+    Since r10 (VERDICT r9 #4) the suite also carries the 'rhist' section:
+    the incremental-rollup HISTOGRAM measure's bin counts
+    (`operators.rollup._histogram_agg` — the same mergeable equi-width
+    state `refresh_rollup` maintains), over a declared [50k, 450k) range
+    in 8 bins + underflow(0)/overflow(9), exploded to one row per bin so
+    DuckDB's explicit floor-bucket SQL hashes the exact integer counts —
+    the driver gate for the r9 histogram measure (its quantile projection
+    stays property-tested in tests/test_rollup.py)."""
     orders = load_table(spark, sf_dir, "orders")
     nulls3 = [
         F.lit(None).cast("double").alias("v3"),
@@ -393,6 +415,19 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             *nulls3,
         )
     )
+    from .rollup import _histogram_agg
+
+    rhist = (
+        orders.agg(_histogram_agg(("o_totalprice", 50000.0, 450000.0, 8)).alias("h"))
+        .select(F.posexplode("h").alias("i", "n"))
+        .select(
+            F.lit("rhist").alias("stat"),
+            F.col("i").cast("string").alias("k"),
+            F.col("n").cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+            *nulls3,
+        )
+    )
     profile = _profile_frame(orders).select(
         F.lit("profile").alias("stat"),
         F.col("col").alias("k"),
@@ -402,7 +437,7 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_val").alias("v4"),
         F.col("max_val").alias("v5"),
     )
-    return hist.unionByName(pct).unionByName(profile)
+    return hist.unionByName(pct).unionByName(rhist).unionByName(profile)
 
 
 def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

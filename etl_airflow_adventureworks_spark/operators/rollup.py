@@ -46,12 +46,20 @@ self-describing, idempotent when already current, and crash-safe: a
 refresh that dies before its commit leaves the old token, and the
 retry recomputes the same delta.
 
-If the source history was rewritten in the window with a rowset
-change (overwrite / matched upsert / delete), `changes` fails loud;
-pass ``full_rebuild=True`` to re-aggregate from the current snapshot
-(same result, full-scan cost). A pure COMPACTION (`optimize`) is
-rowset-preserving and the feed skips it since r9, so continuous
-refresh survives periodic OPTIMIZE with no rebuild
+Rewrites in the window (r10): upsert / delete_where / apply_cdc now
+RECORD their row-level deltas (``VersionedTable.row_changes``,
+Delta-CDF-style ``_change_type`` rows), and the refresh consumes them
+incrementally — retractions subtract from count/sum, decrement the
+histogram's integer bins, and drop groups whose row count reaches
+zero — still reading only delta/change files. min/max and the HLL
+sketch cannot retract (an extremum's history and a sketch cannot
+un-see a value): a rewrite window touching those measures falls back
+to a full rebuild with a loud RuntimeWarning. An UNRECORDED rewrite
+(plain overwrite, schema-drift upsert, pre-r10 history) still fails
+loud; pass ``full_rebuild=True`` to re-aggregate from the current
+snapshot (same result, full-scan cost). A pure COMPACTION
+(`optimize`) is rowset-preserving and the feed skips it since r9, so
+continuous refresh survives periodic OPTIMIZE with no rebuild
 (tests/test_rollup.py::test_refresh_survives_optimize_reading_only_the_delta).
 
 No reference counterpart (the reference recomputes KPIs from scratch
@@ -111,11 +119,15 @@ def _histogram_spec(col) -> tuple[str, float, float, int]:
     return expr, lo, hi, nbins
 
 
-def _histogram_agg(col) -> "F.Column":
+def _histogram_agg(col, sign: "F.Column | None" = None) -> "F.Column":
     """Per-delta histogram state: array of nbins+2 counts (index 0 =
     underflow, 1..nbins = range bins, nbins+1 = overflow; NULLs are not
     counted). One array of filtered count aggregates — nbins+2 codegen'd
-    sums, no shuffle beyond the rollup's own groupBy."""
+    sums, no shuffle beyond the rollup's own groupBy. ``sign`` (±1,
+    r10) weights each row's contribution — the retraction form the
+    row-level change feed consumes (bins DECREMENT for
+    preimage/delete rows; integer addition stays commutative, so the
+    bit-identity-with-from-scratch guarantee survives retraction)."""
     expr, lo, hi, nbins = _histogram_spec(col)
     width = (hi - lo) / nbins
     x = F.expr(expr).cast("double")
@@ -125,12 +137,13 @@ def _histogram_agg(col) -> "F.Column":
         .when(x >= hi, F.lit(nbins + 1))
         .otherwise(F.floor((x - F.lit(lo)) / F.lit(width)).cast("int") + 1)
     )
+    inc = F.lit(1) if sign is None else sign
     # when/otherwise (not a bare equality cast): a NULL bucket must count
     # as 0, and a group of only-NULL values must yield a zero array, not
     # NULL entries that would poison the zip_with merge
     return F.array(
         *[
-            F.sum(F.when(bucket == i, F.lit(1)).otherwise(F.lit(0))).cast("long")
+            F.sum(F.when(bucket == i, inc).otherwise(F.lit(0))).cast("long")
             for i in range(nbins + 2)
         ]
     )
@@ -222,6 +235,57 @@ def _aggregate(df: DataFrame, dims: list[str], measures: dict) -> DataFrame:
     return df.groupBy(*[F.expr(d) for d in dims]).agg(*aggs)
 
 
+#: measures whose contribution can be SUBTRACTED back out (commutative
+#: group structure) — what the row-level change feed's retractions need.
+#: min/max lose the evicted extremum's history; an HLL sketch cannot
+#: un-see a value. Both fall back to full_rebuild (loud) on a rewrite.
+_RETRACTABLE = {"count", "sum", "histogram"}
+
+
+def _signed_aggregate(
+    delta: DataFrame, dims: list[str], measures: dict
+) -> DataFrame:
+    """Partial aggregate over a ROW-LEVEL change-feed delta
+    (``row_changes``): insert/update_postimage rows contribute +1, the
+    retractions (update_preimage/delete) contribute −1, so merging the
+    partial into the current rollup with the ordinary SUM merge yields
+    exactly the post-rewrite aggregate — count and sum subtract, the
+    histogram's integer bins decrement. Same delta-sized shuffle as the
+    insert-only path; the sign is one codegen'd CASE."""
+    from ..table import CHANGE_TYPE_COL
+
+    sign = (
+        F.when(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+    )
+    aggs = []
+    for name, (fn, col) in measures.items():
+        if fn == "count":
+            agg = F.sum(sign).cast("long")
+        elif fn == "sum":
+            x = F.expr(col)
+            agg = F.sum(F.when(sign > 0, x).otherwise(-x))
+        elif fn == "histogram":
+            agg = _histogram_agg(col, sign=sign)
+        else:  # pragma: no cover — guarded by the caller's _RETRACTABLE gate
+            raise ValueError(f"measure {name}: {fn} cannot consume retractions")
+        aggs.append(agg.alias(name))
+    return delta.groupBy(*[F.expr(d) for d in dims]).agg(*aggs)
+
+
+def _visible_bytes(vt: VersionedTable) -> int:
+    """Total bytes of the table's CURRENT visible files — manifest-only
+    metadata (one namenode stat per file, never a data read), used for
+    the small-source rebuild advisory."""
+    man = vt.manifest()
+    total = 0
+    for f in man["files"]:
+        total += vt._fs.getFileStatus(vt._HPath(f"{vt.path}/{f}")).getLen()
+    return total
+
+
 def _merge(parts: DataFrame, dim_names: list[str], measures: dict) -> DataFrame:
     aggs = [
         (
@@ -245,6 +309,14 @@ def _reflected_version(rollup: VersionedTable) -> int | None:
     return int(token[len("rollup-of:v"):])
 
 
+#: below this source size the r9 measurement says a full rebuild is
+#: typically FASTER than the incremental merge (fixed per-refresh costs
+#: dominate: 0.93× at sf1/1M rows, 1.63× at sf10 — SCALING.md "Round-9
+#: incremental-vs-rebuild"); refresh_rollup emits an advisory warning
+#: when incrementally refreshing a source smaller than this
+REBUILD_ADVISORY_BYTES = 64 * 1024 * 1024
+
+
 def refresh_rollup(
     spark: SparkSession,
     source_path: str,
@@ -252,6 +324,7 @@ def refresh_rollup(
     dims: list[str],
     measures: dict[str, tuple[str, str | None]],
     full_rebuild: bool = False,
+    rebuild_advisory_bytes: int = REBUILD_ADVISORY_BYTES,
 ) -> int:
     """Bring the rollup at ``rollup_path`` up to the source's latest
     version and return the rollup version committed (or current).
@@ -266,6 +339,29 @@ def refresh_rollup(
     plus the current rollup. Refreshing an already-current rollup is a
     no-op returning the existing version.
 
+    Rewrites in the window (r10, VERDICT r9 #1): if every commit since
+    the reflected version either appended or RECORDED row-level change
+    rows (upsert / delete_where / apply_cdc — ``row_changes``), and
+    every measure is retractable (count / sum / histogram) with at
+    least one ``count`` measure present (it detects emptied groups),
+    the refresh stays incremental: retractions subtract, histogram
+    bins decrement, groups whose row count reaches zero are dropped —
+    still reading only the delta. Non-retractable measures (min / max /
+    approx_distinct: an extremum's history and an HLL sketch cannot
+    un-see a value) fall back to a full rebuild with a loud warning;
+    an UNRECORDED rewrite (plain overwrite, pre-r10 history) still
+    fails loud — pass ``full_rebuild=True``. NULL-sum caveat: a sum
+    over a nullable expression reads 0 (not NULL) for a group whose
+    last non-null value was retracted; rebuild if that distinction
+    matters.
+
+    Small sources (r10, VERDICT r9 #6): when the source's visible bytes
+    are under ``rebuild_advisory_bytes`` (default 64 MiB ≈ the measured
+    ~1M-row crossover where rebuild beat refresh 0.93× at sf1), the
+    incremental path emits a ``RuntimeWarning`` advising
+    ``full_rebuild=True`` — the refresh still runs (callers own the
+    policy), but the measured cost model is now at the call site.
+
     Concurrent refreshers (r9): the rollup commit passes ``retry=False``
     — a rollup state is derived from the rollup snapshot it read, so the
     table layer's blind OCC re-publish could overwrite a CONCURRENT
@@ -274,7 +370,9 @@ def refresh_rollup(
     version, no-ops if the winner already brought the rollup to (or
     past) this source version, else re-merges from the new state.
     """
-    from ..table import _MAX_COMMIT_ATTEMPTS, CommitConflict
+    import warnings
+
+    from ..table import _MAX_COMMIT_ATTEMPTS, CHANGE_TYPE_COL, CHANGE_VERSION_COL, CommitConflict
 
     for name, (fn, _col) in measures.items():
         if fn not in _FNS:
@@ -299,20 +397,83 @@ def refresh_rollup(
                 # already current — a concurrent refresher may even have
                 # reflected a NEWER source version; never step backward
                 return roll.manifest()["version"]
-            if reflected is None or full_rebuild:
+            rebuild = reflected is None or full_rebuild
+            retractions = False
+            if not rebuild:
+                # manifest-only probe: did any commit in the window record
+                # row-level change rows (i.e. a rewrite)?
+                retractions = any(
+                    m.get("changes") for m in src._walk_range(reflected, v_src)
+                )
+                if retractions:
+                    bad = sorted(
+                        name
+                        for name, (fn, _c) in measures.items()
+                        if fn not in _RETRACTABLE
+                    )
+                    has_count = any(
+                        fn == "count" for fn, _c in measures.values()
+                    )
+                    if bad or not has_count:
+                        why = (
+                            f"non-retractable measure(s) {bad}"
+                            if bad
+                            else "no count measure to detect emptied groups"
+                        )
+                        warnings.warn(
+                            f"refresh_rollup: source v{reflected}->v{v_src} "
+                            f"contains a rewrite but {why} — falling back to "
+                            "a full rebuild (exact, full-scan cost)",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
+                        rebuild = True
+            if rebuild:
                 state = _aggregate(src.read(), dims, measures)
                 return roll.commit(
                     state, mode="overwrite", idempotency_token=token,
                     retry=False,
                 )
-            delta = src.changes(reflected, v_src)  # fails loud across rewrites
-            partial = _aggregate(delta, dims, measures)
+            if _visible_bytes(src) < rebuild_advisory_bytes:
+                warnings.warn(
+                    "refresh_rollup: source is smaller than "
+                    f"{rebuild_advisory_bytes >> 20} MiB — below the measured "
+                    "~1M-row crossover a full rebuild is typically faster "
+                    "than the incremental merge (SCALING.md, r9: 0.93x at "
+                    "sf1); consider full_rebuild=True for small sources",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            delta = src.row_changes(reflected, v_src)  # fails loud across
+            # UNRECORDED rewrites; recorded ones arrive as tagged rows
+            if retractions:
+                partial = _signed_aggregate(delta, dims, measures)
+            else:
+                partial = _aggregate(
+                    delta.drop(CHANGE_TYPE_COL, CHANGE_VERSION_COL),
+                    dims,
+                    measures,
+                )
             dim_names = partial.columns[: len(dims)]
             current = roll.read()
             merged = _merge(
                 current.unionByName(partial), dim_names, measures
             ).localCheckpoint(eager=True)  # don't derive the new files from a
             # plan that still reads the rollup version being replaced
+            if retractions:
+                count_col = next(
+                    name
+                    for name, (fn, _c) in measures.items()
+                    if fn == "count"
+                )
+                if merged.filter(F.col(count_col) < 0).take(1):
+                    raise RuntimeError(
+                        "refresh_rollup: merged row count went negative — "
+                        "the change feed retracted rows the rollup never "
+                        "saw (was the rollup bootstrapped from a different "
+                        "source version?); full_rebuild=True recovers"
+                    )
+                merged = merged.filter(F.col(count_col) > 0)
             return roll.commit(
                 merged, mode="overwrite", idempotency_token=token, retry=False
             )

