@@ -87,12 +87,32 @@ def neardup_index_entries(docs: DataFrame) -> DataFrame:
 
 
 def build_neardup_index(
-    spark: SparkSession, docs: DataFrame, index_path: str
+    spark: SparkSession, docs: DataFrame, index_path: str,
+    base_path: str | None = None,
 ) -> int:
     """Build (or rebuild) the persisted dedup index from the current
-    corpus — one atomic `VersionedTable` commit; returns the version."""
+    corpus — one atomic `VersionedTable` commit; returns the version.
+
+    ``base_path`` (r10, VERDICT r9 #8): when ``docs`` is the CURRENT
+    snapshot of a corpus maintained as a ``VersionedTable`` (i.e.
+    ``docs = VersionedTable(spark, base_path).read()``), pass its path —
+    the build records (path, version) in the index commit so
+    ``neardup_index_staleness`` can later classify corpus movement from
+    manifests alone: an OPTIMIZE leaves the signatures valid, appends
+    are the normal incremental-ingest flow, but an UPSERT/DELETE that
+    changes a document's text makes its stored shingle set / signature
+    silently wrong — that case is loudly rejected instead of decaying
+    recall in the dark."""
+    base = None
+    if base_path is not None:
+        base_man = VersionedTable(spark, base_path).manifest()
+        if base_man is None:
+            raise FileNotFoundError(f"no committed corpus at {base_path}")
+        base = {"path": base_path, "version": base_man["version"]}
     return VersionedTable(spark, index_path).commit(
-        neardup_index_entries(docs), mode="overwrite"
+        neardup_index_entries(docs),
+        mode="overwrite",
+        op_info={"op": "neardup_index_build", "base": base} if base else None,
     )
 
 
@@ -101,15 +121,77 @@ def append_to_neardup_index(
     docs: DataFrame,
     index_path: str,
     idempotency_token: str | None = None,
+    base_path: str | None = None,
 ) -> int:
     """Append an accepted batch's entries to the index as a new version.
     Pass the batch id as ``idempotency_token`` for exactly-once semantics
     under retries (a replayed commit is a no-op returning the existing
-    version — same contract as the streaming upsert sink)."""
+    version — same contract as the streaming upsert sink). ``base_path``
+    re-records the corpus table's CURRENT version (the caller's
+    assertion that this batch brings the index in sync with it), so
+    ``neardup_index_staleness`` measures from the latest sync point,
+    not the original build."""
+    base = None
+    if base_path is not None:
+        base_man = VersionedTable(spark, base_path).manifest()
+        if base_man is None:
+            raise FileNotFoundError(f"no committed corpus at {base_path}")
+        base = {"path": base_path, "version": base_man["version"]}
     return VersionedTable(spark, index_path).commit(
         neardup_index_entries(docs), mode="append",
         idempotency_token=idempotency_token,
+        op_info={"op": "neardup_index_append", "base": base} if base else None,
     )
+
+
+def neardup_index_staleness(
+    spark: SparkSession, index_path: str, allow_rewritten: bool = False
+) -> dict:
+    """Manifest-only staleness of a versioned-base dedup index (r10,
+    VERDICT r9 #8): find the most recent base sync point recorded in
+    the index's manifests (build, or a base-stamped append) and
+    classify the corpus's movement since
+    (``VersionedTable.rowset_change_kind``):
+
+    - ``'unchanged'`` — nothing moved (OPTIMIZE included: signatures
+      are content-derived, a compaction changes no document);
+    - ``'appended'`` — new documents the index has not ingested: run
+      the incremental flow (`minhash_neardup_incremental` +
+      `append_to_neardup_index`) over `changes()` to catch up;
+    - ``'rewritten'`` — some already-indexed document's row was
+      replaced or removed: its stored shingle set / signature is WRONG
+      (false accepts / misses, silently) — RAISES unless
+      ``allow_rewritten=True``; rebuild with ``build_neardup_index``.
+
+    No data read — one manifest walk on each table."""
+    idx = VersionedTable(spark, index_path)
+    base = None
+    for v in reversed(idx.versions()):
+        base = (idx.manifest(v).get("op") or {}).get("base")
+        if base:
+            break
+    if not base:
+        raise ValueError(
+            f"dedup index at {index_path} was not built with base_path= — "
+            "no versioned corpus to walk"
+        )
+    vt = VersionedTable(spark, base["path"])
+    kind = vt.rowset_change_kind(base["version"])
+    out = {
+        "kind": kind,
+        "base_path": base["path"],
+        "synced_at_base_version": base["version"],
+        "current_base_version": vt.manifest()["version"],
+    }
+    if kind == "rewritten" and not allow_rewritten:
+        raise ValueError(
+            f"dedup index at {index_path} is INVALID: corpus "
+            f"{base['path']} was rewritten (v{base['version']} -> "
+            f"v{out['current_base_version']}) — stored shingle sets / "
+            "signatures no longer match the documents; rebuild with "
+            "build_neardup_index before gating ingest on it"
+        )
+    return out
 
 
 def _bands(entries: DataFrame) -> DataFrame:

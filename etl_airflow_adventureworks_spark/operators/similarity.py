@@ -377,6 +377,7 @@ def build_ivf_index(
     pq_m: int | None = None,
     pq_k: int = 16,
     pq_residual: bool = True,
+    base_path: str | None = None,
 ) -> int:
     """Build + PERSIST the IVF index as a serving artifact (no per-query
     k-means refit): the centroid table commits through ``VersionedTable``'s
@@ -414,12 +415,32 @@ def build_ivf_index(
     codes it in the same codegen path; the serialized quantizer records
     ``residual: true`` so the serve adds the exact q·c(cell) term back.
     Measured strictly better recall at the same (m, k, nprobe, refine)
-    — see RECALL.md; set False only to reproduce a pre-r9 raw build."""
+    — see RECALL.md; set False only to reproduce a pre-r9 raw build.
+
+    ``base_path`` (r10, VERDICT r9 #8) declares the ``VersionedTable``
+    that is the system of record for the collection ``sf_dir``'s
+    embeddings mirror (i.e. ``sf_dir`` holds that table's CURRENT
+    snapshot at build time — the caller's assertion). The build records
+    (path, version) in the centroid commit so
+    ``ivf_index_rowset_staleness`` can later classify base movement
+    from manifests alone: appends are gradual recall decay
+    (count-based ``ivf_index_staleness`` already covers that); an
+    UPSERT/DELETE rewrite of the base invalidates the cell assignment
+    outright (the layout's copied rows no longer match the rowset) and
+    is loudly rejected, now that OPTIMIZE/upsert of base tables are
+    routine maintenance. An OPTIMIZE is rowset-preserving and leaves
+    the index valid."""
     import json as _json
     import uuid
 
     from ..table import VersionedTable
 
+    base = None
+    if base_path is not None:
+        base_man = VersionedTable(spark, base_path).manifest()
+        if base_man is None:
+            raise FileNotFoundError(f"no committed base table at {base_path}")
+        base = {"path": base_path, "version": base_man["version"]}
     cents = fit_ivf_centroids(spark, sf_dir, k_cells=k_cells, seed=seed)
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
     layout_dir = f"layout-{uuid.uuid4().hex[:12]}"
@@ -456,7 +477,9 @@ def build_ivf_index(
         " built_from string, layout_dir string",
     )
     return VersionedTable(spark, f"{index_path}/centroids").commit(
-        cent_df, mode="overwrite"
+        cent_df,
+        mode="overwrite",
+        op_info={"op": "ivf_build", "base": base} if base else None,
     )
 
 
@@ -476,13 +499,17 @@ def load_ivf_index(
     if not rows:
         raise FileNotFoundError(f"empty IVF centroid table at {index_path}")
     head = rows[0].asDict()
+    v = vt.versions()[-1] if version is None else version
     meta = {
         "n_vectors_at_build": head["n_vectors_at_build"],
         "built_from": head["built_from"],
         # pre-r6 indexes wrote a single shared "layout" dir (the non-atomic
         # gap this column closed); fall back to it for those manifests
         "layout_dir": head.get("layout_dir") or "layout",
-        "version": vt.versions()[-1] if version is None else version,
+        "version": v,
+        # r10: the declared versioned base (None for plain-dir builds /
+        # pre-r10 indexes) — see build_ivf_index(base_path=...)
+        "base": (vt.manifest(v).get("op") or {}).get("base"),
     }
     return [list(r["centroid"]) for r in rows], meta
 
@@ -508,6 +535,63 @@ def ivf_index_staleness(
     now = load_table(spark, sf_dir, "embeddings").count()
     built = max(1, int(meta["n_vectors_at_build"]))
     return abs(now - built) / built
+
+
+def ivf_index_rowset_staleness(
+    spark: SparkSession,
+    index_path: str,
+    version: int | None = None,
+    meta: dict | None = None,
+    allow_rewritten: bool = False,
+) -> dict:
+    """Manifest-only staleness of a versioned-base IVF index (r10,
+    VERDICT r9 #8): walk the declared base table's history since the
+    build and classify (``VersionedTable.rowset_change_kind``):
+
+    - ``'unchanged'`` — no commits, or only rowset-preserving OPTIMIZEs:
+      the index is exactly as fresh as at build time (the layout holds
+      its own copy of the vectors, so a base compaction is invisible);
+    - ``'appended'`` — new vectors exist that the index has never seen:
+      recall decays gradually (quantify with ``ivf_index_staleness``'s
+      count-based growth; rebuild when it crosses your budget);
+    - ``'rewritten'`` — an upsert/delete/CDC/overwrite changed rows the
+      layout already copied: the cell assignment is INVALID (serving it
+      returns vectors that no longer exist and misses their
+      replacements), so this RAISES unless ``allow_rewritten=True``
+      (then the caller owns the decision — e.g. diffing before a
+      rebuild).
+
+    Requires the index to have been built with ``base_path`` — a
+    plain-dir build has no manifest history to walk (use the count
+    probe). No data is read: one manifest walk, zero scans."""
+    from ..table import VersionedTable
+
+    if meta is None:
+        _, meta = load_ivf_index(spark, index_path, version)
+    base = meta.get("base")
+    if not base:
+        raise ValueError(
+            f"IVF index at {index_path} (v{meta['version']}) was not built "
+            "with base_path= — no versioned base to walk; use "
+            "ivf_index_staleness for the count-based growth probe"
+        )
+    vt = VersionedTable(spark, base["path"])
+    kind = vt.rowset_change_kind(base["version"])
+    out = {
+        "kind": kind,
+        "base_path": base["path"],
+        "built_at_base_version": base["version"],
+        "current_base_version": vt.manifest()["version"],
+    }
+    if kind == "rewritten" and not allow_rewritten:
+        raise ValueError(
+            f"IVF index at {index_path} is INVALID: base table "
+            f"{base['path']} was rewritten (v{base['version']} -> "
+            f"v{out['current_base_version']}) — rows the layout copied no "
+            "longer exist; rebuild the index (build_ivf_index) before "
+            "serving"
+        )
+    return out
 
 
 def ann_ivf_topk_from_index(

@@ -273,3 +273,65 @@ def test_ivf_rebuild_keeps_pinned_version_layout_consistent(spark, tmp_path):
     assert load_ivf_index(spark, idx)[1]["layout_dir"] == m2["layout_dir"]
     names = set(os.listdir(idx))
     assert m2["layout_dir"] in names and m1["layout_dir"] not in names
+
+
+def test_ivf_index_rowset_staleness_across_base_maintenance(spark, tmp_path):
+    """r10 (VERDICT r9 #8): an IVF index built against a declared
+    versioned base survives the base's OPTIMIZE (rowset-preserving —
+    the layout holds its own copy), classifies appends as gradual
+    staleness, and LOUDLY rejects serving after an upsert rewrote rows
+    the layout already copied."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.sources import load_table
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        ann_ivf_topk_from_index,
+        build_ivf_index,
+        ivf_index_rowset_staleness,
+        load_ivf_index,
+    )
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cpath, idx = str(tmp_path / "emb_table"), str(tmp_path / "ivf_index")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(emb)                                               # v1
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=8, base_path=cpath)
+    _, meta = load_ivf_index(spark, idx)
+    assert meta["base"] == {"path": cpath, "version": 1}
+    assert ivf_index_rowset_staleness(spark, idx, meta=meta)["kind"] == "unchanged"
+
+    before = sorted(
+        map(tuple, ann_ivf_topk_from_index(spark, idx, nprobe=3).collect())
+    )
+    cvt.optimize(num_files=1)                                     # v2: compaction
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
+    after = sorted(
+        map(tuple, ann_ivf_topk_from_index(spark, idx, nprobe=3).collect())
+    )
+    assert after == before  # serving untouched by base compaction
+
+    # new vectors the index has never seen: gradual decay, not invalid
+    cvt.commit(
+        emb.limit(5).withColumn("vec_id", F.col("vec_id") + 100000),
+        mode="append",
+    )                                                             # v3
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "appended"
+
+    # an upsert rewrites copied rows -> the cell assignment is invalid
+    cvt.upsert(
+        emb.limit(1).withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(0.0))")
+        ),
+        key="vec_id",
+    )                                                             # v4
+    with pytest.raises(ValueError, match="rebuild the index"):
+        ivf_index_rowset_staleness(spark, idx)
+    st = ivf_index_rowset_staleness(spark, idx, allow_rewritten=True)
+    assert st["kind"] == "rewritten" and st["current_base_version"] == 4
+
+    # plain-dir builds keep the count-based probe; no base to walk
+    plain = str(tmp_path / "plain")
+    build_ivf_index(spark, SF_SMOKE, plain, k_cells=4)
+    with pytest.raises(ValueError, match="not built with base_path"):
+        ivf_index_rowset_staleness(spark, plain)

