@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="enable product quantization: subspace count "
                     "(codes ride the layout; codebooks version-coupled)")
     bi.add_argument("--pq-k", type=int, default=16, help="codes per subspace")
+    bi.add_argument("--base", default=None,
+                    help="VersionedTable path that is the system of record "
+                    "for this collection — recorded so index-staleness can "
+                    "classify base rewrites from manifests alone")
 
     qi = sub.add_parser(
         "query-index",
@@ -112,6 +116,9 @@ def main(argv: list[str] | None = None) -> int:
     bd.add_argument("--docs", required=True,
                     help="corpus parquet with doc_id, text")
     bd.add_argument("--index", required=True, help="index root path")
+    bd.add_argument("--base", default=None,
+                    help="corpus VersionedTable path (when --docs is its "
+                    "current snapshot) — recorded for index-staleness")
 
     dc = sub.add_parser(
         "dedup-check",
@@ -188,6 +195,36 @@ def main(argv: list[str] | None = None) -> int:
                     "physically removes the pre-delete files")
     dl.add_argument("--token", default=None,
                     help="idempotency token (replay-safe job reruns)")
+
+    tc = sub.add_parser(
+        "table-changes",
+        help="row-level change feed (Delta-CDF shape, r10): appends "
+        "surface as inserts, upsert/delete/CDC commits serve their "
+        "recorded _change_type rows, optimize contributes nothing; a "
+        "plain overwrite in the range fails loud",
+    )
+    tc.add_argument("--path", required=True)
+    tc.add_argument("--since", type=int, required=True,
+                    help="exclusive lower version bound")
+    tc.add_argument("--to", type=int, default=None,
+                    help="inclusive upper bound (default: latest)")
+    tc.add_argument("--limit", type=int, default=20,
+                    help="rows to print (with per-type counts)")
+    tc.add_argument("--out", default=None,
+                    help="write the full delta as parquet instead")
+
+    ist = sub.add_parser(
+        "index-staleness",
+        help="manifest-only staleness of a versioned-base index (IVF or "
+        "dedup) vs its recorded base table: unchanged / appended, and a "
+        "LOUD nonzero exit when the base was rewritten (upsert/delete) "
+        "— rebuild before serving",
+    )
+    ist.add_argument("--index", required=True)
+    ist.add_argument("--kind", choices=["ivf", "dedup"], required=True)
+    ist.add_argument("--allow-rewritten", action="store_true",
+                     help="report instead of erroring on a rewritten base "
+                     "(exit code still 1)")
 
     rr = sub.add_parser(
         "refresh-rollup",
@@ -400,6 +437,7 @@ def main(argv: list[str] | None = None) -> int:
         v = build_ivf_index(
             spark, args.sf_dir, args.index, k_cells=args.k_cells,
             seed=args.seed, pq_m=args.pq_m, pq_k=args.pq_k,
+            base_path=args.base,
         )
         print(f"committed IVF index version {v} at {args.index}"
               + (f" (PQ m={args.pq_m} k={args.pq_k})" if args.pq_m else ""))
@@ -435,7 +473,8 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.dedup_incremental import build_neardup_index
 
         docs = spark.read.parquet(args.docs)
-        v = build_neardup_index(spark, docs, args.index)
+        v = build_neardup_index(spark, docs, args.index,
+                                base_path=args.base)
         print(f"committed dedup index version {v} at {args.index}"
               f" ({docs.count()} documents)")
         return 0
@@ -533,6 +572,51 @@ def main(argv: list[str] | None = None) -> int:
             n = t.vacuum(retain_last=1)
             print(f"erased {n} pre-delete file(s) (history vacuumed)")
         return 0
+    if args.cmd == "table-changes":
+        from .table import CHANGE_TYPE_COL, VersionedTable
+
+        rc = VersionedTable(spark, args.path).row_changes(args.since, args.to)
+        if args.out:
+            rc.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"{n} change row(s) -> {args.out}")
+            return 0
+        from pyspark.sql import functions as F
+
+        counts = {
+            r[CHANGE_TYPE_COL]: r["n"]
+            for r in rc.groupBy(CHANGE_TYPE_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }  # bounded: at most 4 change types
+        print(
+            "changes ({}, {}]: ".format(args.since, args.to or "latest")
+            + ", ".join(f"{k}={counts[k]}" for k in sorted(counts))
+            if counts
+            else f"changes ({args.since}, {args.to or 'latest'}]: none"
+        )
+        rc.show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "index-staleness":
+        if args.kind == "ivf":
+            from .operators.similarity import ivf_index_rowset_staleness as _st
+        else:
+            from .operators.dedup_incremental import (
+                neardup_index_staleness as _st,
+            )
+        try:
+            st = _st(spark, args.index, allow_rewritten=args.allow_rewritten)
+        except ValueError as e:
+            print(e)
+            return 1
+        sync_key = next(k for k in st if k.endswith("_base_version")
+                        and not k.startswith("current"))
+        print(
+            f"{args.kind} index {args.index}: base {st['base_path']} is "
+            f"{st['kind'].upper()} since v{st[sync_key]} "
+            f"(now v{st['current_base_version']})"
+        )
+        return 1 if st["kind"] == "rewritten" else 0
     if args.cmd == "refresh-rollup":
         import json as _json
 

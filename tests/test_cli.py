@@ -416,3 +416,52 @@ def test_funnel_subcommand(spark, tmp_path, capsys):
     assert len(ns2) == 3 and ns2[0] == free[0]  # step 1 unaffected
     assert all(b <= a for a, b in zip(free, ns2))
     assert ns2[2] < free[2]  # the 2h total really bites on this corpus
+
+
+def test_table_changes_and_index_staleness_subcommands(spark, tmp_path, capsys):
+    """r10: `table-changes` tails the row-level (Delta-CDF) feed across
+    an upsert; `index-staleness` classifies a versioned-base dedup index
+    and exits nonzero once the corpus is rewritten."""
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"))                # v1
+    t.upsert(spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, v string"), key="k")       # v2
+
+    assert main(["table-changes", "--path", path, "--since", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "insert=1" in out and "update_preimage=1" in out \
+        and "update_postimage=1" in out
+
+    out_pq = str(tmp_path / "delta")
+    assert main(["table-changes", "--path", path, "--since", "1",
+                 "--out", out_pq]) == 0
+    assert "3 change row(s)" in capsys.readouterr().out
+    assert spark.read.parquet(out_pq).count() == 3
+
+    # dedup index vs its corpus: unchanged -> rewritten (exit 1)
+    corpus = str(tmp_path / "corpus")
+    cvt = VersionedTable(spark, corpus)
+    cvt.commit(spark.createDataFrame(
+        [(i, f"some text body number {i} for shingling purposes here")
+         for i in range(8)],
+        "doc_id long, text string"))
+    docs_pq = str(tmp_path / "docs_pq")
+    cvt.read().write.parquet(docs_pq)
+    idx = str(tmp_path / "idx")
+    assert main(["build-dedup-index", "--docs", docs_pq, "--index", idx,
+                 "--base", corpus]) == 0
+    capsys.readouterr()
+    assert main(["index-staleness", "--index", idx, "--kind", "dedup"]) == 0
+    assert "UNCHANGED" in capsys.readouterr().out
+    cvt.upsert(spark.createDataFrame(
+        [(3, "entirely rewritten document text")],
+        "doc_id long, text string"), key="doc_id")
+    assert main(["index-staleness", "--index", idx, "--kind", "dedup"]) == 1
+    assert "rebuild" in capsys.readouterr().out
+    assert main(["index-staleness", "--index", idx, "--kind", "dedup",
+                 "--allow-rewritten"]) == 1
+    assert "REWRITTEN" in capsys.readouterr().out
