@@ -650,3 +650,64 @@ def test_rollup_composes_with_streaming_cdc(spark, tmp_path):
     # token reflects the latest source version reached incrementally
     assert VersionedTable(spark, rpath).manifest()["token"] == \
         f"rollup-of:v{t.manifest()['version']}"
+
+
+def test_refresh_random_maintenance_sequence(spark, tmp_path):
+    """r10 soak: a seeded random interleaving of appends, upserts
+    (mutations + inserts), keyed deletes and OPTIMIZEs, with a refresh
+    after EVERY commit — the rollup must equal the from-scratch
+    aggregate at each step (the invariant, not one lucky path)."""
+    import random
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    rng = random.Random(42)
+    dims = ["pmod(k, 7) AS bucket"]
+    measures = {
+        "n": ("count", None),
+        "sv": ("sum", "v"),
+        "h": ("histogram", ("v", 0.0, 50.0, 10)),
+    }
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    live = {k: float(k % 11) for k in range(300)}
+    t.commit(spark.createDataFrame(
+        sorted(live.items()), "k long, v double"))
+    next_k = 1000
+
+    def do_refresh():
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            refresh_rollup(spark, tpath, rpath, dims, measures)
+        got = VersionedTable(spark, rpath).read()
+        assert _snap(got) == _snap(_aggregate(t.read(), dims, measures))
+
+    do_refresh()
+    for step in range(6):
+        op = rng.choice(["append", "upsert", "delete", "optimize"])
+        if op == "append":
+            rows = {next_k + i: float(rng.randrange(60)) for i in range(25)}
+            next_k += 25
+            live.update(rows)
+            t.commit(spark.createDataFrame(
+                sorted(rows.items()), "k long, v double"), mode="append")
+        elif op == "upsert":
+            muts = {k: float(rng.randrange(60))
+                    for k in rng.sample(sorted(live), 20)}
+            news = {next_k + i: float(rng.randrange(60)) for i in range(10)}
+            next_k += 10
+            live.update(muts); live.update(news)
+            t.upsert(spark.createDataFrame(
+                sorted({**muts, **news}.items()), "k long, v double"),
+                key="k")
+        elif op == "delete":
+            doomed = rng.sample(sorted(live), 15)
+            for k in doomed:
+                live.pop(k)
+            t.delete_where(f"k IN ({','.join(map(str, doomed))})")
+        else:
+            t.optimize(num_files=2)
+        do_refresh()
+        # the table layer agrees with the python mirror at every step
+        assert {(r["k"], r["v"]) for r in t.read().collect()} == set(live.items())
