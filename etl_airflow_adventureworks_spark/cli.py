@@ -213,6 +213,18 @@ def main(argv: list[str] | None = None) -> int:
     tc.add_argument("--out", default=None,
                     help="write the full delta as parquet instead")
 
+    sd = sub.add_parser(
+        "sync-dedup-index",
+        help="bring a versioned-base dedup index level with its corpus by "
+        "consuming the corpus's row-level change feed — one atomic CDC "
+        "apply on the index, cost proportional to changed docs (the "
+        "incremental alternative to rebuilding after corpus upserts/"
+        "deletes)",
+    )
+    sd.add_argument("--index", required=True)
+    sd.add_argument("--token", default=None,
+                    help="idempotency token (replay-safe job reruns)")
+
     ist = sub.add_parser(
         "index-staleness",
         help="manifest-only staleness of a versioned-base index (IVF or "
@@ -596,6 +608,14 @@ def main(argv: list[str] | None = None) -> int:
             else f"changes ({args.since}, {args.to or 'latest'}]: none"
         )
         rc.show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "sync-dedup-index":
+        from .operators.dedup_incremental import sync_neardup_index
+
+        v = sync_neardup_index(spark, args.index,
+                               idempotency_token=args.token)
+        print(f"dedup index at {args.index} synced to its corpus "
+              f"(index version {v})")
         return 0
     if args.cmd == "index-staleness":
         if args.kind == "ivf":

@@ -548,12 +548,17 @@ class VersionedTable:
         key: str,
         op_col: str = "op",
         idempotency_token: str | None = None,
+        op_extra: dict | None = None,
     ) -> int:
         """CDC apply with bounded OCC retry (r9) — recomputes against
         the new snapshot on a concurrent-writer conflict. See
-        ``_apply_cdc_once`` for the batch contract and cost shape."""
+        ``_apply_cdc_once`` for the batch contract and cost shape.
+        ``op_extra`` merges extra keys into the manifest's ``op`` entry
+        (e.g. a derived index recording its new base sync point)."""
         return self._occ_retry(
-            lambda: self._apply_cdc_once(batch, key, op_col, idempotency_token)
+            lambda: self._apply_cdc_once(
+                batch, key, op_col, idempotency_token, op_extra
+            )
         )
 
     def _apply_cdc_once(
@@ -562,6 +567,7 @@ class VersionedTable:
         key: str,
         op_col: str = "op",
         idempotency_token: str | None = None,
+        op_extra: dict | None = None,
     ) -> int:
         """Apply a CDC batch — rows carrying ``op_col`` ∈ {'upsert',
         'delete'} plus the table's columns — as ONE atomic version (the
@@ -697,6 +703,7 @@ class VersionedTable:
                 "rows_matched": sum(touched.values()),
                 "files_rewritten": len(touched),
                 "files_carried": len(carried),
+                **(op_extra or {}),
             },
         }
         if change_files:

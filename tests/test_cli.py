@@ -465,3 +465,39 @@ def test_table_changes_and_index_staleness_subcommands(spark, tmp_path, capsys):
     assert main(["index-staleness", "--index", idx, "--kind", "dedup",
                  "--allow-rewritten"]) == 1
     assert "REWRITTEN" in capsys.readouterr().out
+
+
+def test_sync_dedup_index_subcommand(spark, tmp_path, capsys):
+    """r10: sync-dedup-index = one CDC apply driven by the corpus's
+    row-level change feed; staleness goes rewritten -> unchanged."""
+    from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+        build_neardup_index,
+        neardup_index_entries,
+    )
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    cvt = VersionedTable(spark, corpus)
+    cvt.commit(spark.createDataFrame(
+        [(i, f"document body {i} with enough words to shingle cleanly")
+         for i in range(6)],
+        "doc_id long, text string"))
+    build_neardup_index(spark, cvt.read(), idx, base_path=corpus)
+    cvt.upsert(spark.createDataFrame(
+        [(2, "replacement text entirely different from before")],
+        "doc_id long, text string"), key="doc_id")
+    cvt.delete_where("doc_id = 4")
+    assert main(["index-staleness", "--index", idx, "--kind", "dedup"]) == 1
+    capsys.readouterr()
+    assert main(["sync-dedup-index", "--index", idx,
+                 "--token", "job:42"]) == 0
+    assert "synced to its corpus" in capsys.readouterr().out
+    assert main(["index-staleness", "--index", idx, "--kind", "dedup"]) == 0
+
+    def snap(df):
+        return {(r["doc_id"], tuple(sorted(r["hh"])), tuple(r["sig"]))
+                for r in df.collect()}
+
+    assert snap(VersionedTable(spark, idx).read()) == snap(
+        neardup_index_entries(cvt.read()))

@@ -210,3 +210,62 @@ def test_index_staleness_across_optimize_append_upsert(
     build_neardup_index(spark, corpus_df, plain)
     with pytest.raises(ValueError, match="not built with base_path"):
         neardup_index_staleness(spark, plain)
+
+
+def test_sync_neardup_index_from_corpus_change_feed(
+    spark, tmp_path, corpus_and_batches
+):
+    """r10: after mixed corpus maintenance (append + upsert mutating an
+    indexed doc + keyed delete + OPTIMIZE), ONE `sync_neardup_index`
+    consumes the corpus's row-level change feed and leaves the index
+    ROW-IDENTICAL to a from-scratch rebuild — staleness returns to
+    'unchanged' and the incremental checker agrees with the full-corpus
+    operator again (including NOT pairing against the deleted doc)."""
+    from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+        neardup_index_staleness,
+        sync_neardup_index,
+    )
+
+    corpus_df, b1, b2, corpus_rows, b1_rows, b2_rows = corpus_and_batches
+    cpath, ipath = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(corpus_df)                                          # v1
+    build_neardup_index(spark, cvt.read(), ipath, base_path=cpath)
+
+    cvt.commit(b1, mode="append")                                  # v2
+    cvt.upsert(
+        spark.createDataFrame(
+            [(7, "entirely new text for doc seven after the upsert")],
+            "doc_id long, text string"),
+        key="doc_id",
+    )                                                              # v3
+    cvt.delete_where("doc_id = 9")                                 # v4
+    cvt.optimize(num_files=1)                                      # v5
+    with pytest.raises(ValueError, match="rebuild with build_neardup_index"):
+        neardup_index_staleness(spark, ipath)
+
+    v = sync_neardup_index(spark, ipath, idempotency_token="sync:1")
+    assert neardup_index_staleness(spark, ipath)["kind"] == "unchanged"
+
+    def snap(df):
+        return {
+            (r["doc_id"], tuple(sorted(r["hh"])), tuple(r["sig"]))
+            for r in df.collect()
+        }
+
+    idx = VersionedTable(spark, ipath)
+    assert snap(idx.read()) == snap(neardup_index_entries(cvt.read()))
+    # re-sync while level: version-stable no-op
+    assert sync_neardup_index(spark, ipath) == v
+
+    # the incremental checker agrees with the full-corpus op on a new
+    # batch — b2[0] duplicates the DELETED doc 9, so that pair must be
+    # gone; b2[1] duplicates b1's 104, which the sync ingested
+    got = _pairs(minhash_neardup_incremental(spark, b2, ipath))
+    cur_rows = [(r["doc_id"], r["text"]) for r in cvt.read().collect()]
+    want = _full_pairs_touching(
+        spark, cur_rows + b2_rows, {r[0] for r in b2_rows}
+    )
+    assert got == want
+    assert not any(9 in (a, b) for a, b, _ in got)
+    assert any({a, b} == {104, 201} for a, b, _ in got)
