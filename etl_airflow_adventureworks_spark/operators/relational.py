@@ -328,7 +328,7 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'rhist', CAST(g.i AS VARCHAR), CAST(COALESCE(c.n, 0) AS DOUBLE),
            NULL, NULL, NULL, NULL
-    FROM range(0, 10) g(i)
+    FROM generate_series(0, 9) g(i)
     LEFT JOIN (
       SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 50000.0 THEN 0
                   WHEN CAST(o_totalprice AS DOUBLE) >= 450000.0 THEN 9
