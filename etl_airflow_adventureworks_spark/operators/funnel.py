@@ -109,6 +109,71 @@ def ordered_funnel(
     return cur.withColumn("steps_completed", done.cast("int"))
 
 
+def dual_window_funnel(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_total_seconds: int,
+) -> DataFrame:
+    """The UNBOUNDED funnel and its overall-window variant in ONE chain
+    (r10): each hop joins the step-type events to the accumulated
+    per-key summary ONCE and takes BOTH greedy minima as conditional
+    aggregates in the same map-side-combined groupBy —
+
+        t_i  = min(us)  where us >= t_{i-1}                (unbounded)
+        tt_i = min(us)  where us >= tt_{i-1}
+                          and us <= t_1 + total             (windowed)
+
+    so the two column sets cost one filtered scan + join + aggregate
+    per step instead of two whole chains (`ext_event_analytics_suite`
+    uses this; equality with two standalone `ordered_funnel` runs is
+    pinned in tests/test_funnel.py). Step 1 is shared: no window can
+    constrain it, so tt_1 == t_1 and the total window anchors there.
+    A NULL gate input (stalled prior step) makes the WHEN null and the
+    MIN ignore it — identical to the standalone left-join semantics.
+    Output: t_1..t_k, tt_2..tt_k (tt_1 omitted — it IS t_1),
+    steps_completed, steps_completed_total."""
+    if len(steps) < 2:
+        raise ValueError("dual_window_funnel needs at least two steps")
+    ev = events.select(
+        F.col(key_col),
+        F.col(type_col),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+    )
+    cur = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min("__us").alias("t_1"))
+    )
+    total_us = within_total_seconds * 1_000_000
+    for i, s in enumerate(steps[1:], start=2):
+        prev, prev_t = f"t_{i - 1}", ("t_1" if i == 2 else f"tt_{i - 1}")
+        cand = ev.filter(F.col(type_col) == s).join(cur, key_col)
+        gate = F.col("__us") >= F.col(prev)
+        gate_t = (
+            (F.col("__us") >= F.col(prev_t))
+            & (F.col("__us") <= F.col("t_1") + total_us)
+        )
+        matched = cand.groupBy(key_col).agg(
+            F.min(F.when(gate, F.col("__us"))).alias(f"t_{i}"),
+            F.min(F.when(gate_t, F.col("__us"))).alias(f"tt_{i}"),
+        )
+        cur = cur.join(matched, key_col, "left")
+    done = F.lit(0)
+    done_t = F.lit(1)  # a key in `cur` completed step 1 by construction
+    for i in range(len(steps)):
+        done = done + F.when(F.col(f"t_{i + 1}").isNotNull(), 1).otherwise(0)
+        if i > 0:
+            done_t = done_t + F.when(
+                F.col(f"tt_{i + 1}").isNotNull(), 1
+            ).otherwise(0)
+    return cur.withColumn("steps_completed", done.cast("int")).withColumn(
+        "steps_completed_total", done_t.cast("int")
+    )
+
+
 def funnel_counts(funnel: DataFrame, n_steps: int) -> DataFrame:
     """The funnel chart: how many keys reached step i (1-indexed),
     derived from `ordered_funnel`'s output in one summary aggregate."""
@@ -231,13 +296,17 @@ def ext_event_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       greedy first-occurrence step times t_1..t_3 as epoch micros and
       steps_completed), previously pytest-only, and
     - since r10 (VERDICT r9 #3) the OVERALL-WINDOW funnel:
-      ``steps_completed_total`` re-runs the same steps with
+      ``steps_completed_total`` = the same steps under
       ``within_total_seconds=TOTAL_WINDOW_SECONDS`` (72 h anchored at
-      t_1) — the greedy rule is mirrored hop-for-hop in the oracle's
-      f2t/f3t CTEs (each hop takes the EARLIEST qualifying event, so a
-      per-hop pick can foreclose a completion a later candidate would
-      have allowed; that is the documented commercial-funnel semantics,
-      see the module docstring).
+      t_1) — computed in the SAME chain as the unbounded funnel via
+      ``dual_window_funnel`` (both greedy minima as conditional
+      aggregates per hop, so the extra column set costs no extra scans
+      or joins; equality with two standalone ``ordered_funnel`` runs is
+      test-pinned). The greedy rule is mirrored hop-for-hop in the
+      oracle's f2t/f3t CTEs (each hop takes the EARLIEST qualifying
+      event, so a per-hop pick can foreclose a completion a later
+      candidate would have allowed; that is the documented
+      commercial-funnel semantics, see the module docstring).
 
     The driver's oracle hashes the values of ALL columns, so a drift in
     any absorbed column-set breaks this row (fold-strictness rule).
@@ -249,24 +318,21 @@ def ext_event_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     pivot = event_funnel_pivot_frame(ev)
-    fun = ordered_funnel(ev, "user_id", "ts", "event_type", FUNNEL_STEPS)
-    fun = fun.select(
+    fun = dual_window_funnel(
+        ev, "user_id", "ts", "event_type", FUNNEL_STEPS,
+        within_total_seconds=TOTAL_WINDOW_SECONDS,
+    ).select(
         "user_id",
         "t_1",
         "t_2",
         "t_3",
         F.col("steps_completed").cast("long").alias("steps_completed"),
-    )
-    tot = ordered_funnel(
-        ev, "user_id", "ts", "event_type", FUNNEL_STEPS,
-        within_total_seconds=TOTAL_WINDOW_SECONDS,
-    ).select(
-        "user_id",
-        F.col("steps_completed").cast("long").alias("steps_completed_total"),
+        F.col("steps_completed_total").cast("long").alias(
+            "steps_completed_total"
+        ),
     )
     return (
         pivot.join(fun, "user_id", "left")
-        .join(tot, "user_id", "left")
         .withColumn(
             "steps_completed",
             F.coalesce("steps_completed", F.lit(0).cast("long")),

@@ -263,3 +263,40 @@ def test_suite_total_window_column_discriminates_and_matches_twin(spark):
         assert 0 < full_total < full
     finally:
         suite.unpersist()
+
+
+def test_dual_window_funnel_equals_two_standalone_runs(spark):
+    """r10: the single-chain dual funnel's column sets equal the two
+    standalone `ordered_funnel` runs exactly (unbounded t_i and
+    steps_completed; windowed tt_i and steps_completed_total)."""
+    from etl_airflow_adventureworks_spark.operators.funnel import (
+        dual_window_funnel,
+    )
+
+    T = 24 * 3600
+    ev = load_table(spark, SF_SMOKE, "events")
+    dual = dual_window_funnel(ev, "user_id", "ts", "event_type", STEPS, T)
+    un = ordered_funnel(ev, "user_id", "ts", "event_type", STEPS)
+    tw = ordered_funnel(ev, "user_id", "ts", "event_type", STEPS,
+                        within_total_seconds=T)
+    got_un = {
+        (r["user_id"], r["t_1"], r["t_2"], r["t_3"], r["steps_completed"])
+        for r in dual.collect()
+    }
+    want_un = {
+        (r["user_id"], r["t_1"], r["t_2"], r["t_3"], r["steps_completed"])
+        for r in un.collect()
+    }
+    assert got_un == want_un and len(got_un) > 0
+    got_tw = {
+        (r["user_id"], r["t_1"], r["tt_2"], r["tt_3"],
+         r["steps_completed_total"])
+        for r in dual.collect()
+    }
+    want_tw = {
+        (r["user_id"], r["t_1"], r["t_2"], r["t_3"], r["steps_completed"])
+        for r in tw.collect()
+    }
+    assert got_tw == want_tw
+    with pytest.raises(ValueError, match="at least two steps"):
+        dual_window_funnel(ev, "user_id", "ts", "event_type", ["view"], T)
