@@ -711,3 +711,31 @@ def test_refresh_random_maintenance_sequence(spark, tmp_path):
         do_refresh()
         # the table layer agrees with the python mirror at every step
         assert {(r["k"], r["v"]) for r in t.read().collect()} == set(live.items())
+
+
+def test_retraction_refresh_fails_loud_on_foreign_rollup_state(spark, tmp_path):
+    """r10 invariant: if the change feed retracts rows the rollup state
+    never contained (state forged/bootstrapped against a different
+    snapshot), the merged row count goes negative and the refresh
+    RAISES instead of committing impossible aggregates."""
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    dims = ["event_type"]
+    measures = {"n": ("count", None), "sv": ("sum", "value")}
+    ev, slices = _events_slices(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(slices[0])                                          # v1
+    # forge a rollup claiming to reflect v1 but holding EMPTY state
+    roll = VersionedTable(spark, str(tmp_path / "roll"))
+    empty_state = _aggregate(slices[0].limit(0), dims, measures)
+    roll.commit(empty_state, idempotency_token="rollup-of:v1")
+    # a rewrite that retracts v1 rows the forged state never saw
+    src.delete_where("event_id % 2 = 0")                           # v2
+    with pytest.raises(RuntimeError, match="negative"):
+        refresh_rollup(spark, str(tmp_path / "src"), str(tmp_path / "roll"),
+                       dims, measures)
+    # full_rebuild recovers
+    refresh_rollup(spark, str(tmp_path / "src"), str(tmp_path / "roll"),
+                   dims, measures, full_rebuild=True)
+    assert _snap(VersionedTable(spark, str(tmp_path / "roll")).read()) == \
+        _snap(_aggregate(src.read(), dims, measures))

@@ -940,3 +940,26 @@ def test_vacuum_fails_readers_loud_never_partial(spark, tmp_path):
     assert remaining == []
     # the retained version still reads exactly
     assert sorted(map(tuple, t.read().collect())) == [(9, "z")]
+
+
+def test_row_changes_across_additive_schema_evolution(spark, tmp_path):
+    """r10: change files written before an additive evolution surface
+    NULL for the added column (read under the range-end schema), same
+    as data files do."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))                     # v1
+    t.upsert(_df(spark, [(2, "B")]), key="k")                      # v2 + changes
+    wider = _df(spark, [(3, "c")]).withColumn("score", F.lit(0.5))
+    t.commit(wider, mode="append")                                 # v3 evolves
+    rc = t.row_changes(1)
+    got = {
+        (r["k"], r["v"], r["score"], r["_change_type"])
+        for r in rc.collect()
+    }
+    assert got == {
+        (2, "b", None, "update_preimage"),   # pre-evolution change file
+        (2, "B", None, "update_postimage"),
+        (3, "c", 0.5, "insert"),             # post-evolution append
+    }
