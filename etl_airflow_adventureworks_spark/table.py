@@ -9,8 +9,11 @@ implements the smallest honest version of the same idea with nothing but
 parquet files and one JSON manifest per commit:
 
     <root>/
-      data/c<version>-<uuid>/part-*.parquet   immutable, never rewritten
-      _manifests/v<00000042>.json             the committed file list
+      data/c<version>-<uuid>/part-*.parquet     immutable, never rewritten
+      _manifests/v<00000042>.json               the committed file list
+      _changes/c<version>-<uuid>/part-*.parquet row-level change rows a
+                                                rewrite commit recorded
+                                                (r10 — see row_changes)
 
 Readers resolve ``max(version)`` and scan exactly the files that manifest
 lists — a half-written data directory is invisible until its manifest
