@@ -161,7 +161,18 @@ def neardup_index_staleness(
     - ``'rewritten'`` — some already-indexed document's row was
       replaced or removed: its stored shingle set / signature is WRONG
       (false accepts / misses, silently) — RAISES unless
-      ``allow_rewritten=True``; rebuild with ``build_neardup_index``.
+      ``allow_rewritten=True``; rebuild with ``build_neardup_index``
+      or sync incrementally with ``sync_neardup_index``.
+
+    Conservative by design: the streaming ingest gate
+    (`streaming/ingest.py`) appends to index AND corpus per epoch but
+    does not move the sync stamp (stamping the corpus version it
+    EXPECTS would mis-point under a concurrent foreign writer — a
+    skipped rewrite is worse than a false 'appended'), so gate-managed
+    pairs read 'appended' even when level; `sync_neardup_index` across
+    such a window is safe — its CDC apply upserts by doc_id, so
+    already-ingested docs are idempotently re-written, never
+    duplicated.
 
     No data read — one manifest walk on each table."""
     idx = VersionedTable(spark, index_path)

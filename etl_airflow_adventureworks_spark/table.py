@@ -1271,6 +1271,60 @@ def stream_cdc_to_versioned(
     )
 
 
+def stream_cdc_with_rollups(
+    cdc: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key: str,
+    rollups: list[dict],
+    op_col: str = "op",
+) -> "object":
+    """Continuous aggregates over a CDC-replicated table (r10): each
+    micro-batch lands through ``apply_cdc`` (exactly-once via the epoch
+    token) and then every rollup spec —
+    ``{"path": ..., "dims": [...], "measures": {...}}`` — is refreshed
+    from the table's row-level change feed, retractions included.
+
+    Crash-safety composes from the two idempotent layers: a replayed
+    epoch's ``apply_cdc`` is a detected no-op, and ``refresh_rollup``
+    is self-describing via its ``rollup-of:v<N>`` token (already-current
+    refreshes no-op; a refresh that died before its commit recomputes
+    the same delta on replay). The rollup lags the table by at most one
+    failed refresh, never diverges. Specs with non-retractable measures
+    (min/max/HLL) will warn + full-rebuild per epoch under updates —
+    use retractable measure sets (count/sum/histogram + a count) for
+    CDC sources. Returns the started StreamingQuery."""
+    import warnings
+
+    from .operators.rollup import refresh_rollup
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        VersionedTable(spark, table_path).apply_cdc(
+            batch_df, key=key, op_col=op_col,
+            idempotency_token=f"epoch:{epoch_id}",
+        )
+        for spec in rollups:
+            with warnings.catch_warnings():
+                # the small-source advisory is a batch-caller hint; a
+                # continuous pipeline owns its refresh policy already
+                warnings.simplefilter("ignore", RuntimeWarning)
+                refresh_rollup(
+                    spark, table_path, spec["path"],
+                    spec["dims"], spec["measures"],
+                )
+
+    return (
+        cdc.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(merge)
+        .start()
+    )
+
+
 def stream_upsert_to_versioned(
     events: DataFrame, table_path: str, checkpoint: str
 ) -> "object":

@@ -739,3 +739,62 @@ def test_retraction_refresh_fails_loud_on_foreign_rollup_state(spark, tmp_path):
                    dims, measures, full_rebuild=True)
     assert _snap(VersionedTable(spark, str(tmp_path / "roll")).read()) == \
         _snap(_aggregate(src.read(), dims, measures))
+
+
+def test_stream_cdc_with_rollups_continuous_and_restart_exact(spark, tmp_path):
+    """r10: the packaged continuous-aggregate pipeline — CDC stream ->
+    apply_cdc -> per-epoch retraction-consuming refresh — equals the
+    from-scratch aggregate after every drain, and a checkpoint restart
+    applies only the new epoch (both layers idempotent)."""
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+    from etl_airflow_adventureworks_spark.table import stream_cdc_with_rollups
+
+    dims = ["pmod(k, 5) AS bucket"]
+    measures = {
+        "n": ("count", None),
+        "sv": ("sum", "v"),
+        "h": ("histogram", ("v", 0.0, 10.0, 5)),
+    }
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    t.commit(spark.range(500).selectExpr(
+        "id AS k", "CAST(id % 7 AS DOUBLE) AS v"))
+
+    src, ckpt = str(tmp_path / "cdc_src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("upsert", 10, 99.0), ("delete", 20, None), ("upsert", 900, 1.0)],
+        "op string, k long, v double",
+    ).coalesce(1).write.parquet(f"{src}/f0")
+
+    def start():
+        return stream_cdc_with_rollups(
+            spark.readStream.schema("op string, k long, v double")
+            .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"),
+            tpath, ckpt, key="k",
+            rollups=[{"path": rpath, "dims": dims, "measures": measures}],
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    roll = VersionedTable(spark, rpath)
+    assert _snap(roll.read()) == _snap(_aggregate(t.read(), dims, measures))
+    assert roll.manifest()["token"] == f"rollup-of:v{t.manifest()['version']}"
+
+    # restart from the checkpoint with one NEW epoch: only it applies
+    spark.createDataFrame(
+        [("upsert", 10, -5.0), ("delete", 900, None)],
+        "op string, k long, v double",
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    n_vers = len(t.versions())
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert len(t.versions()) == n_vers + 1  # exactly one new epoch landed
+    assert _snap(roll.read()) == _snap(_aggregate(t.read(), dims, measures))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[10] == -5.0 and 900 not in got and 20 not in got
