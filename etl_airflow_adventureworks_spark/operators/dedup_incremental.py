@@ -233,8 +233,19 @@ def sync_neardup_index(
     corpus rewrite (plain overwrite) still fails loud in `row_changes` —
     rebuild with `build_neardup_index`. A window with nothing relevant
     (e.g. only OPTIMIZE) is a no-op returning the current index version.
-    Returns the index version after the sync. Cost: ∝ changed docs,
-    never corpus size — batch-shaped, exactly like ingest."""
+    Returns the index version after the sync.
+
+    Cost shape (measured r10, SCALING.md "Dedup-index sync"): the
+    change-feed read and entry recompute are ∝ changed docs, but the
+    CDC apply rewrites every index file a changed key lands in —
+    hash-scattered keys touch all files, so the scaling term is an
+    index rewrite (IO, no re-shingling). At 50k docs a full rebuild is
+    still FASTER (0.51×) because re-shingling is cheap there; prefer
+    rebuild for small corpora and sync where re-shingling the corpus
+    dominates an index rewrite (large corpora / long documents) or the
+    window's keys are range-local on a clustered index. Either way the
+    result is row-identical to a rebuild (asserted in tests and by the
+    measurement tool)."""
     from pyspark.sql import Window
 
     from ..table import CHANGE_TYPE_COL, CHANGE_VERSION_COL
