@@ -587,11 +587,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "table-changes":
         from .table import CHANGE_TYPE_COL, VersionedTable
 
-        rc = VersionedTable(spark, args.path).row_changes(args.since, args.to)
+        # pin the delta once — the counts and the tail (or the count
+        # after --out) must not re-scan the change files per consumer
+        rc = (
+            VersionedTable(spark, args.path)
+            .row_changes(args.since, args.to)
+            .localCheckpoint(eager=True)
+        )
         if args.out:
             rc.write.mode("overwrite").parquet(args.out)
-            n = spark.read.parquet(args.out).count()
-            print(f"{n} change row(s) -> {args.out}")
+            print(f"{rc.count()} change row(s) -> {args.out}")
             return 0
         from pyspark.sql import functions as F
 

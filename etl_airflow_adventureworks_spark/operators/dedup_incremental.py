@@ -89,6 +89,7 @@ def neardup_index_entries(docs: DataFrame) -> DataFrame:
 def build_neardup_index(
     spark: SparkSession, docs: DataFrame, index_path: str,
     base_path: str | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Build (or rebuild) the persisted dedup index from the current
     corpus — one atomic `VersionedTable` commit; returns the version.
@@ -102,13 +103,18 @@ def build_neardup_index(
     are the normal incremental-ingest flow, but an UPSERT/DELETE that
     changes a document's text makes its stored shingle set / signature
     silently wrong — that case is loudly rejected instead of decaying
-    recall in the dark."""
-    base = None
-    if base_path is not None:
-        base_man = VersionedTable(spark, base_path).manifest()
-        if base_man is None:
-            raise FileNotFoundError(f"no committed corpus at {base_path}")
-        base = {"path": base_path, "version": base_man["version"]}
+    recall in the dark. Pass ``base_version`` (the version ``docs`` was
+    read at) when concurrent corpus writers are possible — resolving
+    the current version here would stamp over (and silently skip) a
+    rewrite landing between your read and this build (see
+    ``table.resolve_base_stamp``)."""
+    from ..table import resolve_base_stamp
+
+    base = (
+        resolve_base_stamp(spark, base_path, base_version)
+        if base_path is not None
+        else None
+    )
     return VersionedTable(spark, index_path).commit(
         neardup_index_entries(docs),
         mode="overwrite",
@@ -122,21 +128,25 @@ def append_to_neardup_index(
     index_path: str,
     idempotency_token: str | None = None,
     base_path: str | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Append an accepted batch's entries to the index as a new version.
     Pass the batch id as ``idempotency_token`` for exactly-once semantics
     under retries (a replayed commit is a no-op returning the existing
     version — same contract as the streaming upsert sink). ``base_path``
-    re-records the corpus table's CURRENT version (the caller's
-    assertion that this batch brings the index in sync with it), so
-    ``neardup_index_staleness`` measures from the latest sync point,
-    not the original build."""
-    base = None
-    if base_path is not None:
-        base_man = VersionedTable(spark, base_path).manifest()
-        if base_man is None:
-            raise FileNotFoundError(f"no committed corpus at {base_path}")
-        base = {"path": base_path, "version": base_man["version"]}
+    re-records the corpus sync point so ``neardup_index_staleness``
+    measures from it, not the original build. Pass ``base_version`` —
+    the corpus version this batch brings the index level with — when
+    concurrent writers are possible: resolving the current version at
+    call time is a TOCTOU that would stamp over (and silently skip) a
+    racing rewrite (``table.resolve_base_stamp``)."""
+    from ..table import resolve_base_stamp
+
+    base = (
+        resolve_base_stamp(spark, base_path, base_version)
+        if base_path is not None
+        else None
+    )
     return VersionedTable(spark, index_path).commit(
         neardup_index_entries(docs), mode="append",
         idempotency_token=idempotency_token,
@@ -175,12 +185,10 @@ def neardup_index_staleness(
     duplicated.
 
     No data read — one manifest walk on each table."""
+    from ..table import latest_base_stamp
+
     idx = VersionedTable(spark, index_path)
-    base = None
-    for v in reversed(idx.versions()):
-        base = (idx.manifest(v).get("op") or {}).get("base")
-        if base:
-            break
+    base = latest_base_stamp(idx)
     if not base:
         raise ValueError(
             f"dedup index at {index_path} was not built with base_path= — "
@@ -248,14 +256,10 @@ def sync_neardup_index(
     measurement tool)."""
     from pyspark.sql import Window
 
-    from ..table import CHANGE_TYPE_COL, CHANGE_VERSION_COL
+    from ..table import CHANGE_TYPE_COL, CHANGE_VERSION_COL, latest_base_stamp
 
     idx = VersionedTable(spark, index_path)
-    base = None
-    for v in reversed(idx.versions()):
-        base = (idx.manifest(v).get("op") or {}).get("base")
-        if base:
-            break
+    base = latest_base_stamp(idx)
     if not base:
         raise ValueError(
             f"dedup index at {index_path} was not built with base_path= — "

@@ -137,6 +137,15 @@ def dual_window_funnel(
     steps_completed, steps_completed_total."""
     if len(steps) < 2:
         raise ValueError("dual_window_funnel needs at least two steps")
+    outputs = (
+        "steps_completed",
+        "steps_completed_total",
+        *(f"t_{i + 1}" for i in range(len(steps))),
+        *(f"tt_{i + 2}" for i in range(len(steps) - 1)),
+    )
+    for c in outputs:  # same loud contract as ordered_funnel
+        if c in events.columns:
+            raise ValueError(f"column {c!r} collides with a funnel output")
     ev = events.select(
         F.col(key_col),
         F.col(type_col),

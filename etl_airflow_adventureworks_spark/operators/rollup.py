@@ -275,14 +275,19 @@ def _signed_aggregate(
     return delta.groupBy(*[F.expr(d) for d in dims]).agg(*aggs)
 
 
-def _visible_bytes(vt: VersionedTable) -> int:
-    """Total bytes of the table's CURRENT visible files — manifest-only
-    metadata (one namenode stat per file, never a data read), used for
-    the small-source rebuild advisory."""
+def _visible_bytes(vt: VersionedTable, stop_at: int) -> int:
+    """Bytes of the table's CURRENT visible files, stopping as soon as
+    ``stop_at`` is reached — manifest-only metadata (one filesystem stat
+    per file, never a data read). The advisory only needs to know which
+    SIDE of the threshold the source is on, so a large table (the case
+    where the advisory is moot) pays at most a handful of stats instead
+    of one per file per refresh tick."""
     man = vt.manifest()
     total = 0
     for f in man["files"]:
         total += vt._fs.getFileStatus(vt._HPath(f"{vt.path}/{f}")).getLen()
+        if total >= stop_at:
+            break
     return total
 
 
@@ -434,7 +439,11 @@ def refresh_rollup(
                     state, mode="overwrite", idempotency_token=token,
                     retry=False,
                 )
-            if _visible_bytes(src) < rebuild_advisory_bytes:
+            if (
+                rebuild_advisory_bytes > 0
+                and _visible_bytes(src, rebuild_advisory_bytes)
+                < rebuild_advisory_bytes
+            ):
                 warnings.warn(
                     "refresh_rollup: source is smaller than "
                     f"{rebuild_advisory_bytes >> 20} MiB — below the measured "

@@ -378,6 +378,7 @@ def build_ivf_index(
     pq_k: int = 16,
     pq_residual: bool = True,
     base_path: str | None = None,
+    base_version: int | None = None,
 ) -> int:
     """Build + PERSIST the IVF index as a serving artifact (no per-query
     k-means refit): the centroid table commits through ``VersionedTable``'s
@@ -433,14 +434,13 @@ def build_ivf_index(
     import json as _json
     import uuid
 
-    from ..table import VersionedTable
+    from ..table import VersionedTable, resolve_base_stamp
 
-    base = None
-    if base_path is not None:
-        base_man = VersionedTable(spark, base_path).manifest()
-        if base_man is None:
-            raise FileNotFoundError(f"no committed base table at {base_path}")
-        base = {"path": base_path, "version": base_man["version"]}
+    base = (
+        resolve_base_stamp(spark, base_path, base_version)
+        if base_path is not None
+        else None
+    )
     cents = fit_ivf_centroids(spark, sf_dir, k_cells=k_cells, seed=seed)
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
     layout_dir = f"layout-{uuid.uuid4().hex[:12]}"

@@ -130,10 +130,11 @@ class VersionedTable:
 
     # ------------------------------------------------------------- write
 
-    def _write_data_files(self, df: DataFrame, version: int) -> list[str]:
-        """Materialize ``df`` under an immutable per-commit directory and
-        return the table-relative parquet file paths."""
-        sub = f"{_DATA_DIR}/c{version:08d}-{uuid.uuid4().hex[:12]}"
+    def _write_files(self, df: DataFrame, version: int, top: str) -> list[str]:
+        """Materialize ``df`` under an immutable per-commit directory of
+        ``top`` (``data`` or ``_changes``) and return the table-relative
+        parquet file paths."""
+        sub = f"{top}/c{version:08d}-{uuid.uuid4().hex[:12]}"
         df.write.mode("error").parquet(f"{self.path}/{sub}")
         files = []
         for st in self._fs.listStatus(self._HPath(f"{self.path}/{sub}")):
@@ -142,21 +143,17 @@ class VersionedTable:
                 files.append(f"{sub}/{name}")
         return sorted(files)
 
+    def _write_data_files(self, df: DataFrame, version: int) -> list[str]:
+        return self._write_files(df, version, _DATA_DIR)
+
     def _write_change_files(self, changes_df: DataFrame, version: int) -> list[str]:
         """Materialize a rewrite commit's row-level change rows (table
         columns + ``_change_type``) under an immutable per-commit
-        directory in ``_changes/`` and return the table-relative paths.
-        Change files are metadata for ``row_changes`` — never part of the
-        visible rowset — and a failed attempt's files are unreferenced
-        orphans ``vacuum`` sweeps, same as data files."""
-        sub = f"{_CHANGES_DIR}/c{version:08d}-{uuid.uuid4().hex[:12]}"
-        changes_df.write.mode("error").parquet(f"{self.path}/{sub}")
-        files = []
-        for st in self._fs.listStatus(self._HPath(f"{self.path}/{sub}")):
-            name = st.getPath().getName()
-            if name.endswith(".parquet"):
-                files.append(f"{sub}/{name}")
-        return sorted(files)
+        directory in ``_changes/``. Change files are metadata for
+        ``row_changes`` — never part of the visible rowset — and a failed
+        attempt's files are unreferenced orphans ``vacuum`` sweeps, same
+        as data files."""
+        return self._write_files(changes_df, version, _CHANGES_DIR)
 
     @staticmethod
     def _check_additive(latest: dict, schema) -> None:
@@ -1238,6 +1235,42 @@ class VersionedTable:
         return deleted
 
 
+def resolve_base_stamp(
+    spark: SparkSession, base_path: str, base_version: int | None = None
+) -> dict:
+    """The ``{"path", "version"}`` stamp a derived artifact (ANN index,
+    dedup index) records so staleness is classifiable from manifests
+    alone. ``base_version`` pins the version the caller's snapshot
+    actually reflects; leaving it None resolves the CURRENT version,
+    which is only safe when no concurrent writer can land between the
+    caller's read and this resolve (a concurrent rewrite in that gap
+    would be stamped over and silently skipped by the staleness walk —
+    capture ``VersionedTable.manifest()['version']`` BEFORE reading the
+    snapshot and pass it when writers may race)."""
+    vt = VersionedTable(spark, base_path)
+    man = vt.manifest()
+    if man is None:
+        raise FileNotFoundError(f"no committed base table at {base_path}")
+    if base_version is not None:
+        if base_version not in vt.versions():
+            raise ValueError(
+                f"base_version {base_version} not in {base_path}"
+            )
+        return {"path": base_path, "version": base_version}
+    return {"path": base_path, "version": man["version"]}
+
+
+def latest_base_stamp(vt: VersionedTable) -> dict | None:
+    """The most recent base stamp recorded in ``vt``'s manifests (a
+    build, or a base-stamped append/CDC apply), or None — the shared
+    lookup the staleness probes and sync walk use."""
+    for v in reversed(vt.versions()):
+        base = (vt.manifest(v).get("op") or {}).get("base")
+        if base:
+            return base
+    return None
+
+
 def stream_cdc_to_versioned(
     cdc: DataFrame, table_path: str, checkpoint: str, key: str,
     op_col: str = "op",
@@ -1309,9 +1342,16 @@ def stream_cdc_with_rollups(
         )
         for spec in rollups:
             with warnings.catch_warnings():
-                # the small-source advisory is a batch-caller hint; a
-                # continuous pipeline owns its refresh policy already
-                warnings.simplefilter("ignore", RuntimeWarning)
+                # silence ONLY the small-source advisory (a batch-caller
+                # hint; a continuous pipeline owns its refresh policy) —
+                # the non-retractable-measure fallback warning must stay
+                # loud, since per-epoch full rebuilds are exactly the
+                # degradation this pipeline exists to avoid
+                warnings.filterwarnings(
+                    "ignore",
+                    message=".*full rebuild is typically faster.*",
+                    category=RuntimeWarning,
+                )
                 refresh_rollup(
                     spark, table_path, spec["path"],
                     spec["dims"], spec["measures"],
