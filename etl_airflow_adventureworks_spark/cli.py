@@ -469,6 +469,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"index staleness vs {args.sf_dir}: {staleness:.1%}"
               + (" — refit advised" if staleness > 0.25 else ""))
+        if index[1].get("base"):
+            # versioned-base builds (r10) also get the rowset probe: a
+            # rewritten base makes the cell assignment INVALID — refuse
+            # to serve rather than silently return dropped vectors
+            from .operators.similarity import ivf_index_rowset_staleness
+
+            try:
+                st = ivf_index_rowset_staleness(
+                    spark, args.index, meta=index[1]
+                )
+            except ValueError as e:
+                print(e)
+                return 1
+            print(f"base {st['base_path']}: {st['kind']} since "
+                  f"v{st['built_at_base_version']} "
+                  f"(now v{st['current_base_version']})")
         if args.pq:
             from .operators.pq import ann_ivf_pq_topk_from_index
 

@@ -501,3 +501,33 @@ def test_sync_dedup_index_subcommand(spark, tmp_path, capsys):
 
     assert snap(VersionedTable(spark, idx).read()) == snap(
         neardup_index_entries(cvt.read()))
+
+
+def test_query_index_refuses_rewritten_base(spark, tmp_path, capsys):
+    """r10: query-index on a versioned-base IVF build reports the rowset
+    probe and REFUSES to serve (exit 1) once the base was rewritten."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.sources import load_table
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    sf = "/root/testdata/sf0.001"
+    corpus = str(tmp_path / "emb")
+    cvt = VersionedTable(spark, corpus)
+    cvt.commit(load_table(spark, sf, "embeddings"))
+    idx = str(tmp_path / "ivf")
+    assert main(["build-index", "--sf-dir", sf, "--index", idx,
+                 "--k-cells", "4", "--base", corpus]) == 0
+    capsys.readouterr()
+    assert main(["query-index", "--sf-dir", sf, "--index", idx,
+                 "--nprobe", "2", "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "unchanged since v1" in out
+    cvt.upsert(
+        load_table(spark, sf, "embeddings").limit(1)
+        .withColumn("embedding", F.expr("transform(embedding, x -> float(0.0))")),
+        key="vec_id",
+    )
+    assert main(["query-index", "--sf-dir", sf, "--index", idx,
+                 "--nprobe", "2", "--limit", "3"]) == 1
+    assert "rebuild the index" in capsys.readouterr().out
