@@ -963,3 +963,34 @@ def test_row_changes_across_additive_schema_evolution(spark, tmp_path):
         (2, "B", None, "update_postimage"),
         (3, "c", 0.5, "insert"),             # post-evolution append
     }
+
+
+def test_resolve_base_stamp_pins_and_validates(spark, tmp_path):
+    """r10 review fix: derived-artifact builders can pin the exact base
+    version their snapshot reflects (TOCTOU-safe under concurrent
+    writers); unknown versions and absent tables fail loud."""
+    from etl_airflow_adventureworks_spark.table import (
+        latest_base_stamp,
+        resolve_base_stamp,
+    )
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.commit(_df(spark, [(1, "a")]))                               # v1
+    t.commit(_df(spark, [(2, "b")]), mode="append")                # v2
+    assert resolve_base_stamp(spark, path) == {"path": path, "version": 2}
+    assert resolve_base_stamp(spark, path, 1) == {"path": path, "version": 1}
+    with pytest.raises(ValueError, match="base_version 9 not in"):
+        resolve_base_stamp(spark, path, 9)
+    with pytest.raises(FileNotFoundError, match="no committed base"):
+        resolve_base_stamp(spark, str(tmp_path / "nope"))
+    # the stamp lookup finds the newest recorded base across commits
+    idx = VersionedTable(spark, str(tmp_path / "idx"))
+    idx.commit(_df(spark, [(1, "x")]),
+               op_info={"op": "build", "base": {"path": path, "version": 1}})
+    idx.commit(_df(spark, [(2, "y")]), mode="append")  # no stamp
+    assert latest_base_stamp(idx) == {"path": path, "version": 1}
+    idx.commit(_df(spark, [(3, "z")]), mode="append",
+               op_info={"op": "append", "base": {"path": path, "version": 2}})
+    assert latest_base_stamp(idx) == {"path": path, "version": 2}
+    assert latest_base_stamp(VersionedTable(spark, str(tmp_path / "t2"))) is None
