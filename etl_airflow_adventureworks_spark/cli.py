@@ -213,6 +213,19 @@ def main(argv: list[str] | None = None) -> int:
     tc.add_argument("--out", default=None,
                     help="write the full delta as parquet instead")
 
+    rt = sub.add_parser(
+        "replicate-table",
+        help="maintain a downstream mirror of a keyed VersionedTable at "
+        "delta cost: row-level change feed -> per-key final state -> one "
+        "atomic CDC apply on the replica (bootstraps on first run; "
+        "no-op when current; --full-copy re-seeds across unrecorded "
+        "rewrites or schema evolution)",
+    )
+    rt.add_argument("--src", required=True)
+    rt.add_argument("--dst", required=True)
+    rt.add_argument("--key", required=True)
+    rt.add_argument("--full-copy", action="store_true")
+
     sd = sub.add_parser(
         "sync-dedup-index",
         help="bring a versioned-base dedup index level with its corpus by "
@@ -629,6 +642,14 @@ def main(argv: list[str] | None = None) -> int:
             else f"changes ({args.since}, {args.to or 'latest'}]: none"
         )
         rc.show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "replicate-table":
+        from .table import VersionedTable, replicate_table
+
+        v = replicate_table(spark, args.src, args.dst, key=args.key,
+                            full_copy=args.full_copy)
+        tok = VersionedTable(spark, args.dst).manifest()["token"]
+        print(f"replica at {args.dst} is version {v} ({tok})")
         return 0
     if args.cmd == "sync-dedup-index":
         from .operators.dedup_incremental import sync_neardup_index

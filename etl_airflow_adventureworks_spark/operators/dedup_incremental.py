@@ -254,9 +254,7 @@ def sync_neardup_index(
     window's keys are range-local on a clustered index. Either way the
     result is row-identical to a rebuild (asserted in tests and by the
     measurement tool)."""
-    from pyspark.sql import Window
-
-    from ..table import CHANGE_TYPE_COL, CHANGE_VERSION_COL, latest_base_stamp
+    from ..table import collapse_row_changes, latest_base_stamp
 
     idx = VersionedTable(spark, index_path)
     base = latest_base_stamp(idx)
@@ -269,29 +267,15 @@ def sync_neardup_index(
     v_now = corpus.manifest()["version"]
     if v_now <= base["version"]:
         return idx.manifest()["version"]  # already level
-    delta = corpus.row_changes(base["version"], v_now)
-    # final state per doc: highest commit wins; postimage outranks its
-    # own commit's preimage (delete is alone in its commit for a key)
-    rank = (
-        F.when(
-            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
-            F.lit(2),
-        )
-        .when(F.col(CHANGE_TYPE_COL) == "delete", F.lit(1))
-        .otherwise(F.lit(0))  # update_preimage: never a final state
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc(CHANGE_VERSION_COL), F.desc("__rank")
-    )
-    final = (
-        delta.select("doc_id", "text", CHANGE_TYPE_COL, CHANGE_VERSION_COL)
-        .withColumn("__rank", rank)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1 AND __rank > 0")
-        .localCheckpoint(eager=True)  # batch-sized; reused twice below
-    )
-    live = final.filter(F.col("__rank") == 2).select("doc_id", "text")
-    dead = final.filter(F.col("__rank") == 1).select("doc_id")
+    # final state per doc across the window — the shared last-commit-wins
+    # collapse (`table.collapse_row_changes`, also the replication path)
+    final = collapse_row_changes(
+        corpus.row_changes(base["version"], v_now)
+        .select("doc_id", "text", "_change_type", "_commit_version"),
+        "doc_id",
+    ).localCheckpoint(eager=True)  # batch-sized; reused twice below
+    live = final.filter(F.col("op") == "upsert").select("doc_id", "text")
+    dead = final.filter(F.col("op") == "delete").select("doc_id")
     cdc = neardup_index_entries(live).withColumn("op", F.lit("upsert"))
     cdc = cdc.unionByName(
         dead.select(

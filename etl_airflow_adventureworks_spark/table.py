@@ -1235,6 +1235,105 @@ class VersionedTable:
         return deleted
 
 
+def collapse_row_changes(delta: DataFrame, key: str) -> DataFrame:
+    """Collapse a ``row_changes`` window to each key's FINAL state: one
+    row per key carrying the table columns plus ``op`` ∈ {'upsert',
+    'delete'} — exactly the ``apply_cdc`` batch shape. The last commit
+    touching a key wins; within a commit the postimage outranks its own
+    preimage (``apply_cdc``'s one-op-per-key contract guarantees no
+    other tie). Preimages alone never describe a final state. Assumes a
+    KEYED table (one row per key — the same contract apply_cdc
+    enforces). The rank/row_number is changed-keys-sized, never
+    table-sized."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rank = (
+        F.when(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
+            F.lit(2),
+        )
+        .when(F.col(CHANGE_TYPE_COL) == "delete", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.desc(CHANGE_VERSION_COL), F.desc("__rank")
+    )
+    cols = [c for c in delta.columns
+            if c not in (CHANGE_TYPE_COL, CHANGE_VERSION_COL)]
+    return (
+        delta.withColumn("__rank", rank)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1 AND __rank > 0")
+        .select(
+            *cols,
+            F.when(F.col("__rank") == 2, F.lit("upsert"))
+            .otherwise(F.lit("delete"))
+            .alias("op"),
+        )
+    )
+
+
+def replicate_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    key: str,
+    full_copy: bool = False,
+) -> int:
+    """Maintain a downstream MIRROR of a keyed VersionedTable at delta
+    cost (r10 — the replication primitive the row-level change feed
+    makes possible): read the source's ``row_changes`` since the version
+    the replica reflects, collapse to each key's final state, and land
+    it as ONE atomic ``apply_cdc`` batch on the replica. First call
+    bootstraps from the full source snapshot; an already-current replica
+    is a version-stable no-op. The reflected source version rides in the
+    replica's commit token (``replica-of:v<N>``) — self-describing,
+    idempotent, crash-safe, exactly like ``refresh_rollup``'s.
+
+    An UNRECORDED source rewrite (plain overwrite / pre-r10 history)
+    fails loud in ``row_changes``, and an additive source schema
+    evolution in the window surfaces as ``apply_cdc``'s loud payload
+    mismatch (the replica still carries the old schema) — pass
+    ``full_copy=True`` in either case to re-seed from the current
+    snapshot (same result, full-scan cost). Refuses to clobber a table
+    it did not create. Returns the replica version.
+
+    Scale shape: the source is never rescanned (delta/change files
+    only); the replica rewrite is its own copy-on-write touched-file
+    merge; the collapse window is changed-keys-sized."""
+    src = VersionedTable(spark, src_path)
+    dst = VersionedTable(spark, dst_path)
+    src_latest = src.manifest()
+    if src_latest is None:
+        raise FileNotFoundError(f"no committed source at {src_path}")
+    v_src = src_latest["version"]
+    token = f"replica-of:v{v_src}"
+    dst_man = dst.manifest()
+    reflected = None
+    if dst_man is not None:
+        t = dst_man.get("token") or ""
+        if not t.startswith("replica-of:v"):
+            raise ValueError(
+                f"{dst_path} is not a replica table (token {t!r}); "
+                "replicate_table only maintains tables it created"
+            )
+        reflected = int(t[len("replica-of:v"):])
+        if reflected >= v_src:
+            return dst_man["version"]
+    if reflected is None or full_copy:
+        return dst.commit(src.read(), mode="overwrite",
+                          idempotency_token=token)
+    batch = collapse_row_changes(src.row_changes(reflected, v_src), key)
+    if not batch.take(1):
+        # e.g. only rowset-preserving OPTIMIZEs in the window: advance
+        # the reflected version with a metadata-only append (no files)
+        return dst.commit(
+            dst.read().limit(0), mode="append", idempotency_token=token
+        )
+    return dst.apply_cdc(batch, key=key, idempotency_token=token)
+
+
 def resolve_base_stamp(
     spark: SparkSession, base_path: str, base_version: int | None = None
 ) -> dict:

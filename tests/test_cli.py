@@ -531,3 +531,23 @@ def test_query_index_refuses_rewritten_base(spark, tmp_path, capsys):
     assert main(["query-index", "--sf-dir", sf, "--index", idx,
                  "--nprobe", "2", "--limit", "3"]) == 1
     assert "rebuild the index" in capsys.readouterr().out
+
+
+def test_replicate_table_subcommand(spark, tmp_path, capsys):
+    """r10: replicate-table = the delta-cost mirror CLI."""
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    src_p, dst_p = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = VersionedTable(spark, src_p)
+    src.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    assert main(["replicate-table", "--src", src_p, "--dst", dst_p,
+                 "--key", "k"]) == 0
+    assert "replica-of:v1" in capsys.readouterr().out
+    src.upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+               key="k")
+    src.delete_where("k = 1")
+    assert main(["replicate-table", "--src", src_p, "--dst", dst_p,
+                 "--key", "k"]) == 0
+    assert "replica-of:v3" in capsys.readouterr().out
+    assert sorted(map(tuple, VersionedTable(spark, dst_p).read().collect())) \
+        == [(2, "B"), (3, "c")]

@@ -994,3 +994,61 @@ def test_resolve_base_stamp_pins_and_validates(spark, tmp_path):
                op_info={"op": "append", "base": {"path": path, "version": 2}})
     assert latest_base_stamp(idx) == {"path": path, "version": 2}
     assert latest_base_stamp(VersionedTable(spark, str(tmp_path / "t2"))) is None
+
+
+def test_replicate_table_mirrors_at_delta_cost(spark, tmp_path):
+    """r10: replicate_table bootstraps, then tracks mixed maintenance
+    (append + upsert + delete + optimize) through the row-level feed —
+    replica rowset EXACTLY equals the source after each sync, tokens
+    self-describe, no-ops are version-stable, and foreign tables are
+    refused."""
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    src_p, dst_p = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = VersionedTable(spark, src_p)
+    dst = VersionedTable(spark, dst_p)
+
+    def rows(t):
+        return sorted(map(tuple, t.read().collect()))
+
+    src.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))         # v1
+    v = replicate_table(spark, src_p, dst_p, key="k")              # bootstrap
+    assert rows(dst) == rows(src)
+    assert dst.manifest()["token"] == "replica-of:v1"
+    assert replicate_table(spark, src_p, dst_p, key="k") == v      # no-op
+
+    src.commit(_df(spark, [(4, "d")]), mode="append")              # v2
+    src.upsert(_df(spark, [(2, "B"), (5, "e")]), key="k")          # v3
+    src.delete_where("k = 1")                                      # v4
+    replicate_table(spark, src_p, dst_p, key="k")
+    assert rows(dst) == rows(src) == [(2, "B"), (3, "c"), (4, "d"), (5, "e")]
+    assert dst.manifest()["token"] == "replica-of:v4"
+
+    # an optimize-only window advances the token without data movement
+    src.optimize(num_files=1)                                      # v5
+    replicate_table(spark, src_p, dst_p, key="k")
+    assert dst.manifest()["token"] == "replica-of:v5"
+    assert rows(dst) == rows(src)
+
+    # in-window insert-then-delete resolves to nothing; update-then-
+    # update resolves to the last
+    src.commit(_df(spark, [(9, "x")]), mode="append")              # v6
+    src.delete_where("k = 9")                                      # v7
+    src.upsert(_df(spark, [(2, "B2")]), key="k")                   # v8
+    src.upsert(_df(spark, [(2, "B3")]), key="k")                   # v9
+    replicate_table(spark, src_p, dst_p, key="k")
+    assert rows(dst) == rows(src)
+    assert dict(rows(dst))[2] == "B3" and 9 not in dict(rows(dst))
+
+    # unrecorded rewrite: loud, then full_copy recovers
+    src.commit(_df(spark, [(7, "z")]))                             # overwrite
+    with pytest.raises(ValueError, match="without recording change rows"):
+        replicate_table(spark, src_p, dst_p, key="k")
+    replicate_table(spark, src_p, dst_p, key="k", full_copy=True)
+    assert rows(dst) == rows(src) == [(7, "z")]
+
+    # refuses to clobber a table it did not create
+    other = VersionedTable(spark, str(tmp_path / "other"))
+    other.commit(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="not a replica table"):
+        replicate_table(spark, src_p, str(tmp_path / "other"), key="k")
