@@ -1052,3 +1052,41 @@ def test_replicate_table_mirrors_at_delta_cost(spark, tmp_path):
     other.commit(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="not a replica table"):
         replicate_table(spark, src_p, str(tmp_path / "other"), key="k")
+
+
+def test_replicate_table_schema_evolution_fails_loud_then_full_copy(
+    spark, tmp_path
+):
+    """r10: an additive source evolution inside the replication window
+    surfaces as apply_cdc's loud payload mismatch (the replica still has
+    the old schema) — never a silent column drop; --full-copy re-seeds
+    with the evolved schema."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    src_p, dst_p = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = VersionedTable(spark, src_p)
+    src.commit(_df(spark, [(1, "a"), (2, "b")]))                   # v1
+    replicate_table(spark, src_p, dst_p, key="k")
+    wider = _df(spark, [(3, "c")]).withColumn("score", F.lit(0.5))
+    src.commit(wider, mode="append")                               # v2 evolves
+    src.upsert(
+        _df(spark, [(2, "B")]).withColumn("score", F.lit(1.5)), key="k"
+    )                                                              # v3
+    with pytest.raises(ValueError, match="match the table schema"):
+        replicate_table(spark, src_p, dst_p, key="k")
+    replicate_table(spark, src_p, dst_p, key="k", full_copy=True)
+    got = sorted(
+        map(tuple, VersionedTable(spark, dst_p).read().collect())
+    )
+    assert got == sorted(map(tuple, src.read().collect()))
+    assert VersionedTable(spark, dst_p).manifest()["token"] == "replica-of:v3"
+    # incremental service resumes on the evolved schema
+    src.upsert(
+        _df(spark, [(4, "d")]).withColumn("score", F.lit(2.5)), key="k"
+    )                                                              # v4
+    replicate_table(spark, src_p, dst_p, key="k")
+    assert sorted(
+        map(tuple, VersionedTable(spark, dst_p).read().collect())
+    ) == sorted(map(tuple, src.read().collect()))
