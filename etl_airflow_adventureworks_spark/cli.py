@@ -578,10 +578,12 @@ def main(argv: list[str] | None = None) -> int:
             ) if stats else []
             schema_cols = len(_json.loads(man["schema"]).get("fields", []))
             op = man.get("op")
+            n_changes = len(man.get("changes") or [])
             print(
                 f"v{v}: {len(files)} file(s), {schema_cols} column(s), "
                 f"token={man.get('token')!r}, stats={covered}/{len(files)}"
                 + (f" on {cols}" if cols else "")
+                + (f", change-files={n_changes}" if n_changes else "")
                 + (f", op={op}" if op else "")
             )
         return 0

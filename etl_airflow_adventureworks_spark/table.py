@@ -1178,11 +1178,14 @@ class VersionedTable:
             retry=False,  # snapshot-dependent: recompute via _occ_retry
         )
 
-    def vacuum(self, retain_last: int = 1) -> int:
+    def vacuum(self, retain_last: int = 1, dry_run: bool = False) -> int:
         """Drop data files referenced by no retained manifest (and
         change-row files, tmp manifest debris, emptied commit dirs).
         Keeps the newest ``retain_last`` versions time-travelable; older
-        manifests are removed. Returns the number of files deleted.
+        manifests are removed. Returns the number of files deleted —
+        with ``dry_run=True`` nothing is touched and the return value is
+        the count the real vacuum WOULD delete (the pre-flight an
+        operator runs before an irreversible retention change).
 
         Retention contract (the flip side of time travel): a reader
         holding an UNRESOLVED plan over an older version — or asking
@@ -1219,11 +1222,15 @@ class VersionedTable:
                 if rel not in referenced:
                     doomed.append(p)
             for p in doomed:
-                self._fs.delete(p, False)
                 deleted += 1
+                if dry_run:
+                    continue
+                self._fs.delete(p, False)
                 parent = p.getParent()
                 if self._fs.exists(parent) and not self._fs.listStatus(parent):
                     self._fs.delete(parent, False)
+        if dry_run:
+            return deleted
         for v in vs:
             if v not in keep_vs:
                 self._fs.delete(self._manifest_path(v), False)

@@ -1090,3 +1090,19 @@ def test_replicate_table_schema_evolution_fails_loud_then_full_copy(
     assert sorted(
         map(tuple, VersionedTable(spark, dst_p).read().collect())
     ) == sorted(map(tuple, src.read().collect()))
+
+
+def test_vacuum_dry_run_counts_without_touching(spark, tmp_path):
+    """r10: dry_run previews exactly what the real vacuum would delete
+    while leaving every file and manifest intact."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))                     # v1
+    t.upsert(_df(spark, [(2, "B")]), key="k")                      # v2 + changes
+    t.commit(_df(spark, [(9, "z")]))                               # v3
+    would = t.vacuum(retain_last=1, dry_run=True)
+    assert would > 0
+    assert t.versions() == [1, 2, 3]                 # nothing removed
+    assert sorted(map(tuple, t.read(1).collect())) == [(1, "a"), (2, "b")]
+    did = t.vacuum(retain_last=1)
+    assert did == would
+    assert t.versions() == [3]
