@@ -213,6 +213,18 @@ def main(argv: list[str] | None = None) -> int:
     tc.add_argument("--out", default=None,
                     help="write the full delta as parquet instead")
 
+    vt = sub.add_parser(
+        "vacuum-table",
+        help="drop files no retained manifest references (data + change "
+        "files + tmp debris); --dry-run previews the count without "
+        "touching anything; older versions stop being time-travelable "
+        "(loud-fail retention contract, see table.vacuum)",
+    )
+    vt.add_argument("--path", required=True)
+    vt.add_argument("--retain", type=int, default=1,
+                    help="newest versions to keep readable (default 1)")
+    vt.add_argument("--dry-run", action="store_true")
+
     rt = sub.add_parser(
         "replicate-table",
         help="maintain a downstream mirror of a keyed VersionedTable at "
@@ -644,6 +656,18 @@ def main(argv: list[str] | None = None) -> int:
             else f"changes ({args.since}, {args.to or 'latest'}]: none"
         )
         rc.show(args.limit, truncate=False)
+        return 0
+    if args.cmd == "vacuum-table":
+        from .table import VersionedTable
+
+        n = VersionedTable(spark, args.path).vacuum(
+            retain_last=args.retain, dry_run=args.dry_run
+        )
+        print(
+            (f"would delete {n} file(s)" if args.dry_run
+             else f"deleted {n} file(s)")
+            + f" (retaining the newest {args.retain} version(s))"
+        )
         return 0
     if args.cmd == "replicate-table":
         from .table import VersionedTable, replicate_table

@@ -551,3 +551,19 @@ def test_replicate_table_subcommand(spark, tmp_path, capsys):
     assert "replica-of:v3" in capsys.readouterr().out
     assert sorted(map(tuple, VersionedTable(spark, dst_p).read().collect())) \
         == [(2, "B"), (3, "c")]
+
+
+def test_vacuum_table_subcommand(spark, tmp_path, capsys):
+    """r10: vacuum-table with --dry-run preview then the real sweep."""
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert main(["vacuum-table", "--path", path, "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "would delete" in out and t.versions() == [1, 2]
+    assert main(["vacuum-table", "--path", path]) == 0
+    assert "deleted" in capsys.readouterr().out
+    assert t.versions() == [2]
