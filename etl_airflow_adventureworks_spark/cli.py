@@ -90,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="VersionedTable path that is the system of record "
                     "for this collection — recorded so index-staleness can "
                     "classify base rewrites from manifests alone")
+    bi.add_argument("--base-version", type=int, default=None,
+                    help="pin the base version the snapshot reflects (r11, "
+                    "ADVICE r10): without it the CURRENT version is stamped "
+                    "at call time, which silently skips a rewrite racing "
+                    "between the snapshot read and this build")
 
     qi = sub.add_parser(
         "query-index",
@@ -119,6 +124,11 @@ def main(argv: list[str] | None = None) -> int:
     bd.add_argument("--base", default=None,
                     help="corpus VersionedTable path (when --docs is its "
                     "current snapshot) — recorded for index-staleness")
+    bd.add_argument("--base-version", type=int, default=None,
+                    help="pin the corpus version the snapshot reflects "
+                    "(r11, ADVICE r10): without it the CURRENT version is "
+                    "stamped at call time, which silently skips a rewrite "
+                    "racing between the snapshot read and this build")
 
     dc = sub.add_parser(
         "dedup-check",
@@ -474,7 +484,7 @@ def main(argv: list[str] | None = None) -> int:
         v = build_ivf_index(
             spark, args.sf_dir, args.index, k_cells=args.k_cells,
             seed=args.seed, pq_m=args.pq_m, pq_k=args.pq_k,
-            base_path=args.base,
+            base_path=args.base, base_version=args.base_version,
         )
         print(f"committed IVF index version {v} at {args.index}"
               + (f" (PQ m={args.pq_m} k={args.pq_k})" if args.pq_m else ""))
@@ -527,7 +537,8 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.docs)
         v = build_neardup_index(spark, docs, args.index,
-                                base_path=args.base)
+                                base_path=args.base,
+                                base_version=args.base_version)
         print(f"committed dedup index version {v} at {args.index}"
               f" ({docs.count()} documents)")
         return 0

@@ -94,7 +94,32 @@ _FNS = {
     # (integer counts, commutative addition), unlike percentile_approx,
     # whose internal state Spark does not expose for merging.
     "histogram": (None, None),  # handled structurally below
+    # INTERNAL (r11, VERDICT r10 #1): per-sum non-null value counter —
+    # count of non-null source values, retractable with the same merge
+    # algebra as count. Every user `sum` measure gets a hidden
+    # `__nn_<name>` companion so a group whose last non-null value was
+    # retracted reads NULL (SQL SUM semantics), not 0 — closing the one
+    # place the incremental aggregate could differ from from-scratch.
+    "_nncount": (lambda c: F.count(F.expr(c)), F.sum),
 }
+
+#: hidden companion-column prefix (dropped by `finalize_rollup`; user
+#: measure names may not collide with it)
+_NN_PREFIX = "__nn_"
+
+
+def _expand_measures(measures: dict) -> dict:
+    """The INTERNAL measure dict a refresh actually maintains: the user's
+    measures plus, for each ``sum``, a hidden ``__nn_<name>`` non-null
+    counter (``_nncount``). The counter subtracts/merges exactly like
+    count, and the post-merge projection emits NULL for the sum when it
+    reaches zero — so the stored rollup is bit-equal to a from-scratch
+    aggregate even after the group's last non-null value is retracted."""
+    internal = dict(measures)
+    for name, (fn, col) in measures.items():
+        if fn == "sum":
+            internal[f"{_NN_PREFIX}{name}"] = ("_nncount", col)
+    return internal
 
 
 def _histogram_spec(col) -> tuple[str, float, float, int]:
@@ -163,7 +188,9 @@ def _histogram_merge(name: str, col) -> "F.Column":
 
 def finalize_rollup(df: DataFrame, measures: dict) -> DataFrame:
     """Project read-time values from a rollup's mergeable state: every
-    ``approx_distinct`` sketch column becomes its point estimate (long);
+    ``approx_distinct`` sketch column becomes its point estimate (long),
+    and the hidden ``__nn_*`` non-null counters (sum-NULL bookkeeping —
+    already folded into the stored sums at refresh time) are dropped;
     all other measures are already final (``histogram`` states stay as
     bin-count arrays — project quantiles with ``histogram_quantiles``).
     Keep the STORED rollup in sketch form — estimating is lossy and
@@ -172,7 +199,7 @@ def finalize_rollup(df: DataFrame, measures: dict) -> DataFrame:
     for name, (fn, _col) in measures.items():
         if fn == "approx_distinct":
             out = out.withColumn(name, F.hll_sketch_estimate(F.col(name)))
-    return out
+    return out.drop(*[c for c in out.columns if c.startswith(_NN_PREFIX)])
 
 
 def histogram_quantiles(
@@ -239,7 +266,7 @@ def _aggregate(df: DataFrame, dims: list[str], measures: dict) -> DataFrame:
 #: group structure) — what the row-level change feed's retractions need.
 #: min/max lose the evicted extremum's history; an HLL sketch cannot
 #: un-see a value. Both fall back to full_rebuild (loud) on a rewrite.
-_RETRACTABLE = {"count", "sum", "histogram"}
+_RETRACTABLE = {"count", "sum", "histogram", "_nncount"}
 
 
 def _signed_aggregate(
@@ -267,6 +294,11 @@ def _signed_aggregate(
         elif fn == "sum":
             x = F.expr(col)
             agg = F.sum(F.when(sign > 0, x).otherwise(-x))
+        elif fn == "_nncount":
+            # non-null counter retracts like count, gated on the value
+            agg = F.sum(
+                F.when(F.expr(col).isNotNull(), sign).otherwise(F.lit(0))
+            ).cast("long")
         elif fn == "histogram":
             agg = _histogram_agg(col, sign=sign)
         else:  # pragma: no cover — guarded by the caller's _RETRACTABLE gate
@@ -355,10 +387,17 @@ def refresh_rollup(
     approx_distinct: an extremum's history and an HLL sketch cannot
     un-see a value) fall back to a full rebuild with a loud warning;
     an UNRECORDED rewrite (plain overwrite, pre-r10 history) still
-    fails loud — pass ``full_rebuild=True``. NULL-sum caveat: a sum
-    over a nullable expression reads 0 (not NULL) for a group whose
-    last non-null value was retracted; rebuild if that distinction
-    matters.
+    fails loud — pass ``full_rebuild=True``.
+
+    NULL-sum exactness (r11, VERDICT r10 #1): each ``sum`` measure
+    carries a hidden ``__nn_<name>`` counter of non-null source values
+    (retractable, count's algebra); when it reaches zero the stored sum
+    is projected to NULL, so a group whose last non-null value was
+    retracted reads NULL exactly like SQL SUM / a from-scratch rebuild
+    — the former 0-vs-NULL caveat is closed. The hidden columns live in
+    the stored rollup (``finalize_rollup`` drops them at read time); a
+    pre-r11 rollup lacking them is migrated by a one-time loud-warned
+    rebuild on its next refresh.
 
     Small sources (r10, VERDICT r9 #6): when the source's visible bytes
     are under ``rebuild_advisory_bytes`` (default 64 MiB ≈ the measured
@@ -379,13 +418,22 @@ def refresh_rollup(
 
     from ..table import _MAX_COMMIT_ATTEMPTS, CHANGE_TYPE_COL, CHANGE_VERSION_COL, CommitConflict
 
+    public_fns = sorted(f for f in _FNS if not f.startswith("_"))
     for name, (fn, _col) in measures.items():
-        if fn not in _FNS:
-            raise ValueError(f"measure {name}: fn must be one of {sorted(_FNS)}")
+        if name.startswith("__"):
+            raise ValueError(
+                f"measure {name}: the __ prefix is reserved for internal "
+                "companion columns (e.g. the per-sum non-null counters)"
+            )
+        if fn not in _FNS or fn.startswith("_"):
+            raise ValueError(f"measure {name}: fn must be one of {public_fns}")
         if fn == "approx_distinct" and not _col:
             raise ValueError(f"measure {name}: approx_distinct needs a column")
         if fn == "histogram":
             _histogram_spec(_col)  # fail loud before any commit
+    # the measure set actually maintained: + hidden per-sum non-null
+    # counters (r11 — NULL-sum exactness under retraction)
+    internal = _expand_measures(measures)
     src = VersionedTable(spark, source_path)
     roll = VersionedTable(spark, rollup_path)
     src_latest = src.manifest()
@@ -404,6 +452,17 @@ def refresh_rollup(
                 return roll.manifest()["version"]
             rebuild = reflected is None or full_rebuild
             retractions = False
+            if not rebuild:
+                current = roll.read()
+                if any(c not in current.columns for c in internal):
+                    warnings.warn(
+                        "refresh_rollup: stored rollup predates the hidden "
+                        "per-sum non-null counters (r11) — rebuilding once "
+                        "to migrate the schema (exact, full-scan cost)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    rebuild = True
             if not rebuild:
                 # manifest-only probe: did any commit in the window record
                 # row-level change rows (i.e. a rewrite)?
@@ -434,7 +493,7 @@ def refresh_rollup(
                         )
                         rebuild = True
             if rebuild:
-                state = _aggregate(src.read(), dims, measures)
+                state = _aggregate(src.read(), dims, internal)
                 return roll.commit(
                     state, mode="overwrite", idempotency_token=token,
                     retry=False,
@@ -456,19 +515,28 @@ def refresh_rollup(
             delta = src.row_changes(reflected, v_src)  # fails loud across
             # UNRECORDED rewrites; recorded ones arrive as tagged rows
             if retractions:
-                partial = _signed_aggregate(delta, dims, measures)
+                partial = _signed_aggregate(delta, dims, internal)
             else:
                 partial = _aggregate(
                     delta.drop(CHANGE_TYPE_COL, CHANGE_VERSION_COL),
                     dims,
-                    measures,
+                    internal,
                 )
             dim_names = partial.columns[: len(dims)]
-            current = roll.read()
-            merged = _merge(
-                current.unionByName(partial), dim_names, measures
-            ).localCheckpoint(eager=True)  # don't derive the new files from a
-            # plan that still reads the rollup version being replaced
+            merged = _merge(current.unionByName(partial), dim_names, internal)
+            # NULL-sum exactness (r11): a sum whose non-null counter hit
+            # zero reads NULL — bit-equal to a from-scratch SQL SUM over
+            # the surviving (all-NULL or empty) group
+            for name, (fn, _c) in measures.items():
+                if fn == "sum":
+                    nn = F.col(f"{_NN_PREFIX}{name}")
+                    merged = merged.withColumn(
+                        name,
+                        F.when(nn == 0, F.lit(None)).otherwise(F.col(name)),
+                    )
+            merged = merged.localCheckpoint(eager=True)  # don't derive the
+            # new files from a plan that still reads the rollup version
+            # being replaced
             if retractions:
                 count_col = next(
                     name

@@ -1329,7 +1329,11 @@ def replicate_table(
         if reflected >= v_src:
             return dst_man["version"]
     if reflected is None or full_copy:
-        return dst.commit(src.read(), mode="overwrite",
+        # pin the snapshot to the stamped version: a concurrent source
+        # commit between the manifest() above and this read would
+        # otherwise yield a replica newer than its replica-of token
+        # (r11, ADVICE r10)
+        return dst.commit(src.read(v_src), mode="overwrite",
                           idempotency_token=token)
     batch = collapse_row_changes(src.row_changes(reflected, v_src), key)
     if not batch.take(1):

@@ -30,7 +30,10 @@ def _events_slices(spark, n=3):
 def _snap(df):
     """Set snapshot; doubles rounded to 9 dp — incremental double-SUM is
     exact up to reassociation (see the operator docstring), and the test
-    data's float values sum well inside 9 dp."""
+    data's float values sum well inside 9 dp. The stored rollup's hidden
+    ``__nn_*`` non-null counters (r11) are bookkeeping, not results —
+    dropped before comparing against plain aggregates."""
+    df = df.drop(*[c for c in df.columns if c.startswith("__nn_")])
     rows = df.collect()
     out = set()
     for r in rows:
@@ -569,6 +572,103 @@ def test_non_retractable_measures_fall_back_loud(spark, tmp_path):
     assert _snap(got) == _snap(exact)
 
 
+def test_fully_retracted_nullable_sum_reads_null(spark, tmp_path):
+    """r11 (VERDICT r10 #1): a sum over a nullable expression reads NULL
+    (not 0) once the group's last non-null value is retracted — bit-equal
+    to the from-scratch aggregate (the hidden __nn_ counter hitting zero
+    projects the stored sum to NULL) — and resurrects when a later commit
+    brings a non-null value back. Closes the rollup layer's last
+    incremental-vs-rebuild semantic gap."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    dims = ["g"]
+    measures = {"n": ("count", None), "sv": ("sum", "v")}
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    # group 1: one non-null + one NULL value; group 2: control
+    t.commit(spark.createDataFrame(
+        [(1, 1, 5.0), (2, 1, None), (3, 2, 7.0)],
+        "k long, g long, v double"))
+    refresh_rollup(spark, tpath, rpath, dims, measures)
+
+    # retract group 1's only non-null value: the NULL row keeps the group
+    # alive (count 1) but its sum must now read NULL, not 0
+    t.delete_where("k = 1")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # size advisory
+        refresh_rollup(spark, tpath, rpath, dims, measures)
+    roll = VersionedTable(spark, rpath).read()
+    row = roll.filter("g = 1").first()
+    assert row["n"] == 1 and row["sv"] is None
+    assert _snap(roll) == _snap(_aggregate(t.read(), dims, measures))
+
+    # NULL->NULL update: retracting a NULL contributes nothing; stays NULL
+    t.upsert(
+        spark.createDataFrame([(2, 1, None)], "k long, g long, v double"),
+        key="k",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, tpath, rpath, dims, measures)
+    assert VersionedTable(spark, rpath).read().filter("g = 1").first()["sv"] is None
+
+    # resurrection: a later non-null value flips the sum back from NULL
+    t.commit(
+        spark.createDataFrame([(4, 1, 3.0)], "k long, g long, v double"),
+        mode="append",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, tpath, rpath, dims, measures)
+    roll = VersionedTable(spark, rpath).read()
+    assert roll.filter("g = 1").first()["sv"] == 3.0
+    assert _snap(roll) == _snap(_aggregate(t.read(), dims, measures))
+
+
+def test_pre_r11_rollup_without_counters_migrates_via_loud_rebuild(
+    spark, tmp_path
+):
+    """A stored rollup lacking the hidden __nn_ columns (pre-r11 state)
+    cannot merge incrementally — its next refresh warns and rebuilds once,
+    after which the schema carries the counters and service resumes
+    incrementally."""
+    import warnings
+
+    dims = ["g"]
+    measures = {"n": ("count", None), "sv": ("sum", "v")}
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    t.commit(spark.createDataFrame([(1, 1, 5.0), (2, 2, 6.0)],
+                                   "k long, g long, v double"))
+    refresh_rollup(spark, tpath, rpath, dims, measures)
+    roll_vt = VersionedTable(spark, rpath)
+    # simulate the pre-r11 layout: same state minus the hidden counters,
+    # re-committed under the same rollup-of token
+    tok = roll_vt.manifest()["token"]
+    legacy = roll_vt.read().drop("__nn_sv").localCheckpoint(eager=True)
+    roll_vt.commit(legacy, mode="overwrite", idempotency_token="tmp")
+    roll_vt.commit(legacy, mode="overwrite", idempotency_token=tok)
+    assert "__nn_sv" not in roll_vt.read().columns
+
+    t.commit(spark.createDataFrame([(3, 1, 1.0)], "k long, g long, v double"),
+             mode="append")
+    with pytest.warns(RuntimeWarning, match="predates the hidden"):
+        refresh_rollup(spark, tpath, rpath, dims, measures)
+    got = VersionedTable(spark, rpath).read()
+    assert "__nn_sv" in got.columns
+    assert got.filter("g = 1").first()["sv"] == 6.0
+    # and the next refresh is incremental again (no migration warning)
+    t.commit(spark.createDataFrame([(4, 2, 2.0)], "k long, g long, v double"),
+             mode="append")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        refresh_rollup(spark, tpath, rpath, dims, measures,
+                       rebuild_advisory_bytes=0)
+    assert VersionedTable(spark, rpath).read().filter("g = 2").first()["sv"] == 8.0
+
+
 def test_small_source_rebuild_advisory(spark, tmp_path):
     """r10 (VERDICT r9 #6): incremental refresh of a source below the
     measured rebuild-beats-refresh crossover emits the advisory; a
@@ -718,7 +818,10 @@ def test_retraction_refresh_fails_loud_on_foreign_rollup_state(spark, tmp_path):
     never contained (state forged/bootstrapped against a different
     snapshot), the merged row count goes negative and the refresh
     RAISES instead of committing impossible aggregates."""
-    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _aggregate,
+        _expand_measures,
+    )
 
     dims = ["event_type"]
     measures = {"n": ("count", None), "sv": ("sum", "value")}
@@ -726,8 +829,11 @@ def test_retraction_refresh_fails_loud_on_foreign_rollup_state(spark, tmp_path):
     src = VersionedTable(spark, str(tmp_path / "src"))
     src.commit(slices[0])                                          # v1
     # forge a rollup claiming to reflect v1 but holding EMPTY state
+    # (current schema, hidden counters included — the guard under test
+    # is the negative count, not the r11 schema migration)
     roll = VersionedTable(spark, str(tmp_path / "roll"))
-    empty_state = _aggregate(slices[0].limit(0), dims, measures)
+    empty_state = _aggregate(slices[0].limit(0), dims,
+                             _expand_measures(measures))
     roll.commit(empty_state, idempotency_token="rollup-of:v1")
     # a rewrite that retracts v1 rows the forged state never saw
     src.delete_where("event_id % 2 = 0")                           # v2
