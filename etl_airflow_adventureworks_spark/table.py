@@ -1299,12 +1299,17 @@ def replicate_table(
     idempotent, crash-safe, exactly like ``refresh_rollup``'s.
 
     An UNRECORDED source rewrite (plain overwrite / pre-r10 history)
-    fails loud in ``row_changes``, and an additive source schema
-    evolution in the window surfaces as ``apply_cdc``'s loud payload
-    mismatch (the replica still carries the old schema) — pass
-    ``full_copy=True`` in either case to re-seed from the current
-    snapshot (same result, full-scan cost). Refuses to clobber a table
-    it did not create. Returns the replica version.
+    fails loud in ``row_changes`` — pass ``full_copy=True`` to re-seed
+    from the current snapshot (same result, full-scan cost). An ADDITIVE
+    source schema evolution in the window (r11, VERDICT r10 #4) stays
+    incremental: the replica's schema is widened FIRST by a zero-row
+    append (its untouched history then surfaces NULL for the added
+    columns, exactly like the source's own pre-evolution files), and the
+    collapsed batch — which ``row_changes`` already reads under the
+    window-end schema — applies as usual. A NON-additive evolution
+    (dropped column / type change) fails loud here; the only recorded
+    path that can produce one is an unrecorded rewrite anyway. Refuses
+    to clobber a table it did not create. Returns the replica version.
 
     Scale shape: the source is never rescanned (delta/change files
     only); the replica rewrite is its own copy-on-write touched-file
@@ -1325,7 +1330,9 @@ def replicate_table(
                 f"{dst_path} is not a replica table (token {t!r}); "
                 "replicate_table only maintains tables it created"
             )
-        reflected = int(t[len("replica-of:v"):])
+        # the token may carry a "+schema-v<N>" suffix (the widening
+        # append below) — the reflected version is the leading integer
+        reflected = int(t[len("replica-of:v"):].split("+", 1)[0])
         if reflected >= v_src:
             return dst_man["version"]
     if reflected is None or full_copy:
@@ -1335,6 +1342,39 @@ def replicate_table(
         # (r11, ADVICE r10)
         return dst.commit(src.read(v_src), mode="overwrite",
                           idempotency_token=token)
+    from pyspark.sql import types as T
+
+    want = {
+        f.name: f.dataType.simpleString()
+        for f in T.StructType.fromJson(json.loads(src_latest["schema"]))
+    }
+    have = {
+        f.name: f.dataType.simpleString()
+        for f in T.StructType.fromJson(json.loads(dst_man["schema"]))
+    }
+    if have != want:
+        missing = sorted(n for n in have if n not in want)
+        changed = sorted(n for n, ty in have.items()
+                         if n in want and want[n] != ty)
+        if missing or changed:
+            raise ValueError(
+                f"replicate_table: source schema evolved non-additively "
+                f"since v{reflected} (dropped {missing}, retyped {changed})"
+                " — the replica's history cannot be widened in place; "
+                "full_copy=True re-seeds from the current snapshot"
+            )
+        # additive evolution (r11): widen the replica schema with a
+        # metadata-only empty append BEFORE applying the batch; the
+        # unique token suffix keeps the commit from being skipped as a
+        # replay of the previous sync while still parsing to the same
+        # reflected version (crash between the two commits replays
+        # cleanly: same window, same evolve token, idempotent CDC apply)
+        dst.commit(
+            spark.createDataFrame([], T.StructType.fromJson(
+                json.loads(src_latest["schema"]))),
+            mode="append",
+            idempotency_token=f"replica-of:v{reflected}+schema-v{v_src}",
+        )
     batch = collapse_row_changes(src.row_changes(reflected, v_src), key)
     if not batch.take(1):
         # e.g. only rowset-preserving OPTIMIZEs in the window: advance

@@ -1054,13 +1054,15 @@ def test_replicate_table_mirrors_at_delta_cost(spark, tmp_path):
         replicate_table(spark, src_p, str(tmp_path / "other"), key="k")
 
 
-def test_replicate_table_schema_evolution_fails_loud_then_full_copy(
+def test_replicate_table_stays_incremental_across_additive_evolution(
     spark, tmp_path
 ):
-    """r10: an additive source evolution inside the replication window
-    surfaces as apply_cdc's loud payload mismatch (the replica still has
-    the old schema) — never a silent column drop; --full-copy re-seeds
-    with the evolved schema."""
+    """r11 (VERDICT r10 #4): an additive source evolution inside the
+    replication window no longer forces full_copy — the replica schema
+    is widened first by a metadata-only empty append (NULL-filled
+    history, exactly like the source's own pre-evolution files) and the
+    collapsed batch applies incrementally, equal to the source snapshot.
+    A NON-additive evolution still fails loud with full_copy advice."""
     from pyspark.sql import functions as F
 
     from etl_airflow_adventureworks_spark.table import replicate_table
@@ -1074,22 +1076,50 @@ def test_replicate_table_schema_evolution_fails_loud_then_full_copy(
     src.upsert(
         _df(spark, [(2, "B")]).withColumn("score", F.lit(1.5)), key="k"
     )                                                              # v3
-    with pytest.raises(ValueError, match="match the table schema"):
-        replicate_table(spark, src_p, dst_p, key="k")
-    replicate_table(spark, src_p, dst_p, key="k", full_copy=True)
-    got = sorted(
-        map(tuple, VersionedTable(spark, dst_p).read().collect())
+    # row (1, "a") was never in the window, so it surfaces NULL-filled
+    dst = VersionedTable(spark, dst_p)
+    replicate_table(spark, src_p, dst_p, key="k")
+    assert sorted(map(tuple, dst.read().collect())) == sorted(
+        map(tuple, src.read().collect())
     )
-    assert got == sorted(map(tuple, src.read().collect()))
-    assert VersionedTable(spark, dst_p).manifest()["token"] == "replica-of:v3"
-    # incremental service resumes on the evolved schema
+    assert dst.manifest()["token"] == "replica-of:v3"
+    assert dst.read().filter("k = 1").first()["score"] is None
+    # the widening step itself moved no rows: the schema-evolve append
+    # carries every previous file verbatim plus at most a footer-only
+    # (zero-row) part file — same shape as the optimize-only token bump
+    evolve = next(
+        dst.manifest(v) for v in dst.versions()
+        if (dst.manifest(v).get("token") or "").endswith("+schema-v3")
+    )
+    prev = dst.manifest(evolve["version"] - 1)
+    assert set(prev["files"]) <= set(evolve["files"])
+    extra = [f for f in evolve["files"] if f not in prev["files"]]
+    if extra:
+        assert spark.read.parquet(
+            *[f"{dst_p}/{f}" for f in extra]
+        ).count() == 0
+    # service continues on the evolved schema
     src.upsert(
         _df(spark, [(4, "d")]).withColumn("score", F.lit(2.5)), key="k"
     )                                                              # v4
     replicate_table(spark, src_p, dst_p, key="k")
+    assert sorted(map(tuple, dst.read().collect())) == sorted(
+        map(tuple, src.read().collect())
+    )
+    assert dst.manifest()["token"] == "replica-of:v4"
+
+    # non-additive evolution (dropped column): loud, names the drop
+    src2_p, dst2_p = str(tmp_path / "src2"), str(tmp_path / "dst2")
+    src2 = VersionedTable(spark, src2_p)
+    src2.commit(_df(spark, [(1, "a")]).withColumn("score", F.lit(1.0)))
+    replicate_table(spark, src2_p, dst2_p, key="k")
+    src2.commit(_df(spark, [(2, "b")]))  # overwrite drops 'score'
+    with pytest.raises(ValueError, match="non-additively.*score"):
+        replicate_table(spark, src2_p, dst2_p, key="k")
+    replicate_table(spark, src2_p, dst2_p, key="k", full_copy=True)
     assert sorted(
-        map(tuple, VersionedTable(spark, dst_p).read().collect())
-    ) == sorted(map(tuple, src.read().collect()))
+        map(tuple, VersionedTable(spark, dst2_p).read().collect())
+    ) == [(2, "b")]
 
 
 def test_vacuum_dry_run_counts_without_touching(spark, tmp_path):
