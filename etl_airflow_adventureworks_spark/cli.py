@@ -260,6 +260,19 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--token", default=None,
                     help="idempotency token (replay-safe job reruns)")
 
+    si = sub.add_parser(
+        "sync-index",
+        help="bring a versioned-base IVF index level with its base table "
+        "by consuming the base's row-level change feed (r11): changed "
+        "vectors re-assign to their existing cells (PQ codes re-encode "
+        "with the stored codebooks), deletes retract, one atomic CDC "
+        "apply on the VersionedTable layout — the incremental "
+        "alternative to rebuilding after base upserts/deletes",
+    )
+    si.add_argument("--index", required=True)
+    si.add_argument("--token", default=None,
+                    help="idempotency token (replay-safe job reruns)")
+
     ist = sub.add_parser(
         "index-staleness",
         help="manifest-only staleness of a versioned-base index (IVF or "
@@ -695,6 +708,13 @@ def main(argv: list[str] | None = None) -> int:
                                idempotency_token=args.token)
         print(f"dedup index at {args.index} synced to its corpus "
               f"(index version {v})")
+        return 0
+    if args.cmd == "sync-index":
+        from .operators.similarity import sync_ivf_index
+
+        v = sync_ivf_index(spark, args.index, idempotency_token=args.token)
+        print(f"IVF index at {args.index} synced to its base "
+              f"(centroid version {v})")
         return 0
     if args.cmd == "index-staleness":
         if args.kind == "ivf":

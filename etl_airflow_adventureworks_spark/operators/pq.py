@@ -213,9 +213,19 @@ def ann_ivf_pq_topk_from_index(
     nb = [np.asarray(b, dtype=np.float64) for b in books]
     dsub = nb[0].shape[1]
     layout = f"{index_path}/{meta['layout_dir']}"
-    coll = spark.read.parquet(layout).selectExpr(
-        "vec_id", "cell", "codes", f"{to_double_array('embedding')} AS v"
-    ).selectExpr("vec_id", "cell", "codes", "v", f"{norm('v')} AS nrm")
+    if meta.get("layout_kind") == "vt":
+        # r11 repairable layout: per-cell read_where stats pruning in
+        # place of directory pruning (see similarity._vt_layout_frames)
+        from .similarity import _vt_layout_frames
+
+        coll, coll_probe = _vt_layout_frames(spark, layout, with_codes=True)
+    else:
+        coll = spark.read.parquet(layout).selectExpr(
+            "vec_id", "cell", "codes", f"{to_double_array('embedding')} AS v"
+        ).selectExpr("vec_id", "cell", "codes", "v", f"{norm('v')} AS nrm")
+
+        def coll_probe(cells):
+            return coll.filter(F.col("cell").isin(cells))  # dir pruning
 
     cents_np = np.asarray(cents, dtype=np.float64)
     q_rows = (
@@ -247,7 +257,7 @@ def ann_ivf_pq_topk_from_index(
         F.desc("pq_ip"), F.asc("neighbor_id")
     )
     cand = (
-        coll.filter(F.col("cell").isin(probed_cells))  # directory pruning
+        coll_probe(probed_cells)
         .select("vec_id", "cell", "codes")
         .join(
             F.broadcast(q.select("query_id", "qcell", "qc_ip", "tables")),
@@ -271,8 +281,8 @@ def ann_ivf_pq_topk_from_index(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     # survivors live in probed cells by construction — the exact-fetch
-    # scan keeps the same directory pruning as the candidate scan
-    fetch = coll.filter(F.col("cell").isin(probed_cells)).select(
+    # scan keeps the same pruning as the candidate scan
+    fetch = coll_probe(probed_cells).select(
         F.col("vec_id").alias("neighbor_id"), "v", "nrm"
     )
     return (

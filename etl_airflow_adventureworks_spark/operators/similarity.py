@@ -305,9 +305,14 @@ def _ivf_topk(
     e: DataFrame,
     centroids: list[list[float]],
     nprobe: int,
+    prune=None,
 ) -> DataFrame:
     """Shared IVF probe core over a prepared collection
-    (vec_id, v, nrm, cell)."""
+    (vec_id, v, nrm, cell). ``prune`` (r11): callable mapping the probed
+    cell list to a pre-pruned collection frame — the VersionedTable
+    layout passes a per-cell ``read_where`` union here so stats pruning
+    replaces the dir layout's partition pruning; default is a literal
+    IN-list filter on ``e``."""
     import numpy as np
 
     cents = np.asarray(centroids, dtype=np.float64)
@@ -327,10 +332,15 @@ def _ivf_topk(
         probes, "query_id long, qv array<double>, qnrm double, qcell long"
     )
     probed_cells = sorted({p[3] for p in probes})
+    coll = (
+        prune(probed_cells)
+        if prune is not None
+        else e.filter(F.col("cell").isin(probed_cells))  # literal → pruning
+    )
     cos_r = F.round(F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        e.filter(F.col("cell").isin(probed_cells))  # literal → partition pruning
+        coll
         .join(
             F.broadcast(q),
             (F.col("qcell") == F.col("cell")) & (F.col("query_id") != F.col("vec_id")),
@@ -428,9 +438,15 @@ def build_ivf_index(
     (count-based ``ivf_index_staleness`` already covers that); an
     UPSERT/DELETE rewrite of the base invalidates the cell assignment
     outright (the layout's copied rows no longer match the rowset) and
-    is loudly rejected, now that OPTIMIZE/upsert of base tables are
-    routine maintenance. An OPTIMIZE is rowset-preserving and leaves
-    the index valid."""
+    was loudly rejected in r10. Since r11 a versioned-base build
+    additionally writes its layout as a ``VersionedTable`` (rows
+    clustered by (cell, vec_id) with per-file min/max stats — cell
+    pruning moves from directory pruning to stats pruning, same files
+    touched) so ``sync_ivf_index`` can REPAIR the index from the base's
+    row-level change feed as one atomic copy-on-write CDC apply instead
+    of a full rebuild; plain builds keep the immutable
+    ``partitionBy(cell)`` directory layout. An OPTIMIZE of the base is
+    rowset-preserving and leaves the index valid either way."""
     import json as _json
     import uuid
 
@@ -462,9 +478,17 @@ def build_ivf_index(
             }
         else:
             extra = {"codes": pq_code_expr(to_double_array("embedding"), books)}
-    write_embeddings_ivf_layout(
-        spark, sf_dir, f"{index_path}/{layout_dir}", cents, extra_cols=extra
-    )
+    layout_kind = "vt" if base is not None else "dir"
+    if layout_kind == "vt":
+        _write_ivf_layout_vt(
+            spark, sf_dir, f"{index_path}/{layout_dir}", cents,
+            extra_cols=extra, k_cells=k_cells,
+        )
+    else:
+        write_embeddings_ivf_layout(
+            spark, sf_dir, f"{index_path}/{layout_dir}", cents,
+            extra_cols=extra,
+        )
     if books is not None:
         _write_fs_text(
             spark,
@@ -476,10 +500,50 @@ def build_ivf_index(
         "cell int, centroid array<double>, n_vectors_at_build long,"
         " built_from string, layout_dir string",
     )
+    op_info = {"op": "ivf_build", "layout_kind": layout_kind}
+    if base:
+        op_info["base"] = base
     return VersionedTable(spark, f"{index_path}/centroids").commit(
         cent_df,
         mode="overwrite",
-        op_info={"op": "ivf_build", "base": base} if base else None,
+        op_info=op_info,
+    )
+
+
+def _write_ivf_layout_vt(
+    spark: SparkSession,
+    sf_dir: str,
+    layout_path: str,
+    centroids: list[list[float]],
+    extra_cols: dict[str, str] | None = None,
+    k_cells: int | None = None,
+) -> int:
+    """The repairable layout variant (r11): same columns as
+    ``write_embeddings_ivf_layout`` (vec_id, embedding, cell[, codes])
+    but committed as a ``VersionedTable`` clustered by (cell, vec_id)
+    with per-file min/max stats on both — a probe's per-cell
+    ``read_where`` prunes to the cell's files (stats pruning in place
+    of directory pruning), and ``sync_ivf_index``'s CDC apply rewrites
+    only the files whose (vec_id) range admits the changed vectors."""
+    from pyspark.sql import functions as F
+
+    from ..table import VersionedTable
+
+    df = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell",
+        F.expr(ivf_cell_expr(to_double_array("embedding"), centroids)).cast(
+            "int"
+        ),
+    )
+    for name, expr in (extra_cols or {}).items():
+        df = df.withColumn(name, F.expr(expr))
+    df = df.drop(*[n for n in (extra_cols or {}) if n.startswith("__")])
+    parts = [k_cells] if k_cells else []
+    clustered = df.repartitionByRange(*parts, "cell", "vec_id").sortWithinPartitions(
+        "cell", "vec_id"
+    )
+    return VersionedTable(spark, layout_path).commit(
+        clustered, mode="overwrite", stats_cols=["cell", "vec_id"]
     )
 
 
@@ -500,6 +564,7 @@ def load_ivf_index(
         raise FileNotFoundError(f"empty IVF centroid table at {index_path}")
     head = rows[0].asDict()
     v = vt.versions()[-1] if version is None else version
+    op = vt.manifest(v).get("op") or {}
     meta = {
         "n_vectors_at_build": head["n_vectors_at_build"],
         "built_from": head["built_from"],
@@ -509,7 +574,10 @@ def load_ivf_index(
         "version": v,
         # r10: the declared versioned base (None for plain-dir builds /
         # pre-r10 indexes) — see build_ivf_index(base_path=...)
-        "base": (vt.manifest(v).get("op") or {}).get("base"),
+        "base": op.get("base"),
+        # r11: "vt" = repairable VersionedTable layout (versioned-base
+        # builds); "dir" = immutable partitionBy(cell) directory
+        "layout_kind": op.get("layout_kind") or "dir",
     }
     return [list(r["centroid"]) for r in rows], meta
 
@@ -612,10 +680,187 @@ def ann_ivf_topk_from_index(
     ``load_ivf_index`` call — the serve CLI reads the manifest once and
     shares it between the staleness probe and the query, and this is the
     ONE place layout paths are resolved from meta (callers must not
-    rebuild ``<index>/<layout_dir>`` by hand)."""
+    rebuild ``<index>/<layout_dir>`` by hand).
+
+    Layout kinds (r11): a ``dir`` layout serves via directory pruning
+    (unchanged); a ``vt`` layout (versioned-base builds — see
+    ``build_ivf_index``/``sync_ivf_index``) serves via a per-probed-cell
+    ``read_where`` union, so the per-file (cell) stats prune the scan to
+    the same files the directory layout would touch. A vt layout always
+    serves its LATEST internal state — sync never changes the quantizer,
+    so pinning ``version`` selects the quantizer + layout dir, and every
+    centroid version since that build shares the same cells."""
     cents, meta = preloaded or load_ivf_index(spark, index_path, version)
-    return ann_ivf_topk_over_layout(
-        spark, f"{index_path}/{meta['layout_dir']}", cents, nprobe
+    layout = f"{index_path}/{meta['layout_dir']}"
+    if meta.get("layout_kind") == "vt":
+        e, prune = _vt_layout_frames(spark, layout)
+        return _ivf_topk(spark, e, cents, nprobe, prune=prune)
+    return ann_ivf_topk_over_layout(spark, layout, cents, nprobe)
+
+
+def _vt_layout_frames(
+    spark: SparkSession, layout_path: str, with_codes: bool = False
+):
+    """(full collection frame, per-cell prune callable) over a
+    VersionedTable IVF layout — the shared read path of the vt serve
+    branches. The prune callable unions one stats-pruned ``read_where``
+    per probed cell (nprobe scans, each touching only the files whose
+    recorded cell range admits that cell)."""
+    from functools import reduce
+
+    from ..table import VersionedTable
+
+    vt = VersionedTable(spark, layout_path)
+    cols = ["vec_id", "cell"] + (["codes"] if with_codes else [])
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.selectExpr(
+            *cols, f"{to_double_array('embedding')} AS v"
+        ).selectExpr(*cols, "v", f"{norm('v')} AS nrm")
+
+    def prune(cells: list[int]) -> DataFrame:
+        parts = [vt.read_where({"cell": (c, c)}) for c in cells]
+        return prep(reduce(DataFrame.unionByName, parts))
+
+    return prep(vt.read()), prune
+
+
+def sync_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    idempotency_token: str | None = None,
+) -> int:
+    """Bring a versioned-base IVF index level with its base table by
+    consuming the base's ROW-LEVEL change feed (r11, VERDICT r10 #2 —
+    the mirror of ``dedup_incremental.sync_neardup_index``, completing
+    the detect→repair symmetry for the ANN family):
+
+    1. read ``row_changes(built_at, current)`` from the base (delta /
+       change files only — the collection is never rescanned);
+    2. collapse to each vec_id's FINAL state across the window
+       (``table.collapse_row_changes``);
+    3. re-assign live vectors to their nearest EXISTING cells (the
+       quantizer is not refit — same centroids, same ``ivf_cell_expr``;
+       PQ builds re-encode codes with the stored codebooks, residual or
+       raw exactly as built) and emit deletes for dropped vec_ids;
+    4. land as ONE atomic copy-on-write CDC apply on the
+       ``VersionedTable`` layout (touched-file rewrite — the (cell,
+       vec_id)-clustered build makes a range-local window prune), then
+       re-stamp the base sync point with a metadata-only centroid
+       re-commit.
+
+    Requires an r11 versioned-base build (``base_path=`` → "vt" layout);
+    a plain directory layout cannot be patched atomically — rebuild
+    with ``build_ivf_index``. An UNRECORDED base rewrite (plain
+    overwrite) still fails loud in ``row_changes``. A window with no
+    row changes (e.g. only OPTIMIZE) just re-stamps. Returns the
+    centroid-table version after the sync.
+
+    After a sync, ``ivf_index_rowset_staleness`` reads 'unchanged' and
+    the served top-k is row-identical to a from-scratch rebuild at
+    covering nprobe (asserted in tests/test_ivf_sync.py). Quantizer
+    drift is the remaining (gradual) staleness: sync repairs
+    CORRECTNESS, not centroid fit — watch the count-based
+    ``ivf_index_staleness`` for refit timing, as with appends."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from ..table import (
+        CHANGE_TYPE_COL,
+        CHANGE_VERSION_COL,
+        VersionedTable,
+        collapse_row_changes,
+    )
+
+    cents, meta = load_ivf_index(spark, index_path)
+    base = meta.get("base")
+    if not base:
+        raise ValueError(
+            f"IVF index at {index_path} was not built with base_path= — "
+            "sync_ivf_index needs the recorded base sync point"
+        )
+    if meta.get("layout_kind") != "vt":
+        raise ValueError(
+            f"IVF index at {index_path} has an immutable directory layout "
+            "(pre-r11 build) — it cannot be patched atomically; rebuild "
+            "with build_ivf_index(base_path=...) to get the repairable "
+            "VersionedTable layout"
+        )
+    cvt_cent = VersionedTable(spark, f"{index_path}/centroids")
+    corpus = VersionedTable(spark, base["path"])
+    v_now = corpus.manifest()["version"]
+    if v_now <= base["version"]:
+        return meta["version"]  # already level
+    layout = VersionedTable(spark, f"{index_path}/{meta['layout_dir']}")
+    lay_schema = T.StructType.fromJson(
+        _json.loads(layout.manifest()["schema"])
+    )
+    # the layout = the base's columns + the derived (cell[, codes]);
+    # sync recomputes the derived ones and carries the rest. A base that
+    # additively GREW a payload column since the build keeps serving
+    # (ANN only needs vec_id/embedding) but the layout won't pick the
+    # new column up until a rebuild.
+    derived = {"cell", "codes"}
+    base_cols = [f.name for f in lay_schema.fields if f.name not in derived]
+    delta = corpus.row_changes(base["version"], v_now)
+    if not {"vec_id", "embedding"} <= set(delta.columns) or not (
+        set(base_cols) <= set(delta.columns)
+    ):
+        raise ValueError(
+            f"base table {base['path']} lacks the layout's columns "
+            f"{sorted(set(base_cols) - set(delta.columns))} — "
+            "sync_ivf_index maintains embeddings-collection indexes"
+        )
+    final = collapse_row_changes(
+        delta.select(*base_cols, CHANGE_TYPE_COL, CHANGE_VERSION_COL),
+        "vec_id",
+    ).localCheckpoint(eager=True)  # window-sized; reused below
+    token = idempotency_token or f"ivf-sync:v{v_now}"
+    if final.take(1):
+        live = final.filter(F.col("op") == "upsert").select(*base_cols)
+        assigned = live.withColumn(
+            "cell",
+            F.expr(ivf_cell_expr(to_double_array("embedding"), cents)).cast(
+                "int"
+            ),
+        )
+        if "codes" in [f.name for f in lay_schema.fields]:
+            from .pq import load_pq_quantizer, pq_code_expr, residual_expr
+
+            books, residual = load_pq_quantizer(spark, index_path, meta)
+            src = (
+                residual_expr(to_double_array("embedding"), "cell", cents)
+                if residual
+                else to_double_array("embedding")
+            )
+            assigned = assigned.withColumn(
+                "codes", F.expr(pq_code_expr(src, books))
+            )
+        # delete rows carry NULL payloads typed from the layout schema
+        dead = final.filter(F.col("op") == "delete").select("vec_id")
+        nulls = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in lay_schema.fields
+            if f.name != "vec_id"
+        ]
+        cdc = assigned.withColumn("op", F.lit("upsert")).unionByName(
+            dead.select("vec_id", *nulls).withColumn("op", F.lit("delete"))
+        )
+        layout.apply_cdc(cdc, key="vec_id", idempotency_token=token)
+    # re-stamp the sync point (metadata-only: same centroid rows, new op
+    # entry) — a crash between the apply and this commit replays cleanly
+    # (same window; the layout apply's token makes it a no-op)
+    cent_df = cvt_cent.read().localCheckpoint(eager=True)
+    return cvt_cent.commit(
+        cent_df,
+        mode="overwrite",
+        idempotency_token=token,
+        op_info={
+            "op": "ivf_sync",
+            "layout_kind": "vt",
+            "base": {"path": base["path"], "version": v_now},
+        },
     )
 
 

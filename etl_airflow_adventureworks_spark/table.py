@@ -66,6 +66,13 @@ CHANGE_VERSION_COL = "_commit_version"
 #: the file list; upsert/delete/cdc recompute against the new snapshot)
 _MAX_COMMIT_ATTEMPTS = 5
 
+#: batches up to this many rows get EXACT stats-based file pruning in the
+#: cow merge / CDC apply (sorted key collect + per-file bisect — ≤ ~1 MB
+#: driver memory); larger batches fall back to [min, max] range overlap,
+#: which is coarse when a batch mixes far-apart key ranges but never
+#: wrong (the semi-join probe stays the source of truth either way)
+_PRUNE_KEYS_COLLECT_MAX = 100_000
+
 
 class CommitConflict(IOError):
     """Another writer published our target version first. Public ops
@@ -374,6 +381,57 @@ class VersionedTable:
             df = df.filter((F.col(c) >= lo) & (F.col(c) <= hi))
         return df
 
+    def _candidate_files(
+        self, files: list[str], old_stats: dict, key: str, batch: DataFrame
+    ) -> list[str]:
+        """The files a keyed rewrite (cow merge / CDC apply) must PROBE:
+        every file whose recorded per-file [min, max] on ``key`` may
+        contain a batch key (files without recorded stats are always
+        candidates — never wrongly skipped). Batches up to
+        ``_PRUNE_KEYS_COLLECT_MAX`` rows get EXACT candidacy (sorted key
+        collect + per-file bisect), so a window mixing far-apart key
+        ranges — e.g. low-range mutations plus high-range inserts —
+        still prunes to exactly the overlapped files; larger batches
+        fall back to whole-batch [min, max] overlap. On a key-clustered
+        table this is what turns a range-local maintenance window into
+        a touched-file probe instead of a table scan."""
+        from pyspark.sql import functions as F
+
+        if not any(key in (old_stats.get(f) or {}) for f in files):
+            return files
+        n = batch.count()
+        if n <= _PRUNE_KEYS_COLLECT_MAX:
+            import bisect
+
+            keys = sorted(
+                r[0] for r in batch.select(key).distinct().collect()
+                if r[0] is not None
+            )
+            if not keys:
+                return []  # no non-null keys: nothing can match any file
+            out = []
+            for f in files:
+                ent = old_stats.get(f) or {}
+                if key not in ent:
+                    out.append(f)
+                    continue
+                lo, hi = ent[key]
+                i = bisect.bisect_left(keys, lo)
+                if i < len(keys) and keys[i] <= hi:
+                    out.append(f)
+            return out
+        kmin, kmax = batch.agg(F.min(key), F.max(key)).first()
+        if kmin is None:
+            return []
+        return [
+            f
+            for f in files
+            if key not in (old_stats.get(f) or {})
+            or not (
+                old_stats[f][key][1] < kmin or old_stats[f][key][0] > kmax
+            )
+        ]
+
     def _occ_retry(self, attempt_fn) -> int:
         """Run a snapshot-dependent write with bounded OCC retries: on a
         rename conflict the snapshot changed under us, so the WHOLE
@@ -457,18 +515,9 @@ class VersionedTable:
         updates = updates.localCheckpoint(eager=True)
         files = latest["files"]
         old_stats = latest.get("stats") or {}
-        cand = files
-        if any(key in (old_stats.get(f) or {}) for f in files):
-            kmin, kmax = updates.agg(F.min(key), F.max(key)).first()
-            if kmin is not None:
-                cand = [
-                    f
-                    for f in files
-                    if key not in (old_stats.get(f) or {})
-                    or not (
-                        old_stats[f][key][1] < kmin or old_stats[f][key][0] > kmax
-                    )
-                ]
+        # see `_candidate_files`: exact per-file candidacy for bounded
+        # batches, [min, max] range overlap beyond the collect cap
+        cand = self._candidate_files(files, old_stats, key, updates)
         keys_df = updates.select(key).distinct()
         touched: dict[str, int] = {}
         if cand:
@@ -531,6 +580,7 @@ class VersionedTable:
                 "op": "upsert",
                 "rows_in_batch": updates.count(),
                 "rows_matched": sum(touched.values()),
+                "files_probed": len(cand),
                 "files_rewritten": len(touched),
                 "files_carried": len(carried),
             },
@@ -629,9 +679,14 @@ class VersionedTable:
                 "an upstream bug, not something to coerce silently"
             )
         files = latest["files"]
+        old_stats = latest.get("stats") or {}
+        # stats-pruned candidate set (r11): skip probing files whose
+        # recorded key stats exclude every batch key — see
+        # `_candidate_files` for the exact-vs-range pruning contract
+        cand = self._candidate_files(files, old_stats, key, batch)
         keys_df = batch.select(key)
         touched: dict[str, int] = {}
-        if files:
+        if cand:
 
             def rel(uri: str) -> str:
                 tail = uri.rsplit("/" + _DATA_DIR + "/", 1)[1]
@@ -639,7 +694,7 @@ class VersionedTable:
 
             hits = (
                 self.spark.read.schema(schema)
-                .parquet(*[f"{self.path}/{f}" for f in files])
+                .parquet(*[f"{self.path}/{f}" for f in cand])
                 .select(F.col(key), F.input_file_name().alias("f"))
                 .join(keys_df, key, "left_semi")
                 .groupBy("f")
@@ -682,7 +737,6 @@ class VersionedTable:
             )
             change_files = self._write_change_files(changes_df, version)
         new_files = self._write_data_files(new_data, version)
-        old_stats = latest.get("stats") or {}
         stats = {f: old_stats[f] for f in carried if f in old_stats}
         stat_cols = sorted({c for ent in old_stats.values() for c in ent})
         if stat_cols and new_files:
@@ -701,6 +755,7 @@ class VersionedTable:
                     F.col(op_col) == "delete"
                 ).count(),
                 "rows_matched": sum(touched.values()),
+                "files_probed": len(cand),
                 "files_rewritten": len(touched),
                 "files_carried": len(carried),
                 **(op_extra or {}),

@@ -503,6 +503,41 @@ def test_sync_dedup_index_subcommand(spark, tmp_path, capsys):
         neardup_index_entries(cvt.read()))
 
 
+def test_sync_index_subcommand(spark, tmp_path, capsys):
+    """r11: sync-index = the IVF mirror of sync-dedup-index — one CDC
+    apply on the VersionedTable layout driven by the base's row-level
+    change feed; staleness goes rewritten -> unchanged and query-index
+    serves again."""
+    from pyspark.sql import functions as F
+
+    SF_SMOKE = "/root/testdata/sf0.001"
+
+    from etl_airflow_adventureworks_spark.sources import load_table
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    base = str(tmp_path / "emb")
+    idx = str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, base)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    assert main(["build-index", "--sf-dir", SF_SMOKE, "--index", idx,
+                 "--k-cells", "4", "--base", base,
+                 "--base-version", "1"]) == 0
+    capsys.readouterr()
+    cvt.upsert(
+        cvt.read().limit(1).withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(0.5))")
+        ),
+        key="vec_id",
+    )
+    assert main(["index-staleness", "--index", idx, "--kind", "ivf"]) == 1
+    capsys.readouterr()
+    assert main(["sync-index", "--index", idx, "--token", "job:7"]) == 0
+    assert "synced to its base" in capsys.readouterr().out
+    assert main(["index-staleness", "--index", idx, "--kind", "ivf"]) == 0
+    assert main(["query-index", "--sf-dir", SF_SMOKE, "--index", idx,
+                 "--nprobe", "2", "--limit", "3"]) == 0
+
+
 def test_query_index_refuses_rewritten_base(spark, tmp_path, capsys):
     """r10: query-index on a versioned-base IVF build reports the rowset
     probe and REFUSES to serve (exit 1) once the base was rewritten."""

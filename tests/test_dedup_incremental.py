@@ -269,3 +269,47 @@ def test_sync_neardup_index_from_corpus_change_feed(
     assert got == want
     assert not any(9 in (a, b) for a, b, _ in got)
     assert any({a, b} == {104, 201} for a, b, _ in got)
+
+
+def test_clustered_index_range_local_sync_prunes_files(spark, tmp_path):
+    """r11 (VERDICT r10 #3): the index is written key-clustered (range-
+    partitioned + sorted by doc_id, per-file min/max stats), so a
+    range-local maintenance window's CDC apply probes AND rewrites only
+    the files whose key range admits the changed docs — the r10
+    whole-index-rewrite cost term becomes a touched-file term — while
+    the synced rowset stays identical to a rebuild."""
+    from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+        sync_neardup_index,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, _doc(rng)) for i in range(200)]
+    cpath, ipath = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(spark.createDataFrame(rows, "doc_id long, text string"))
+    build_neardup_index(spark, cvt.read(), ipath, base_path=cpath,
+                        num_files=8)
+    idx = VersionedTable(spark, ipath)
+    man = idx.manifest()
+    assert len(man["files"]) == 8
+    assert all("doc_id" in (man["stats"].get(f) or {}) for f in man["files"])
+
+    # range-local window: mutate docs 0..9 — one clustered key range
+    cvt.upsert(
+        spark.createDataFrame([(i, _doc(rng)) for i in range(10)],
+                              "doc_id long, text string"),
+        key="doc_id",
+    )
+    sync_neardup_index(spark, ipath, idempotency_token="sync:r11")
+    op = idx.manifest()["op"]
+    assert op["files_probed"] <= 2, op      # stats pruned the probe scan
+    assert op["files_rewritten"] <= 2, op   # cow rewrite ∝ touched range
+    assert op["files_carried"] >= 6, op
+
+    def snap(df):
+        return {
+            (r["doc_id"], tuple(sorted(r["hh"])), tuple(r["sig"]))
+            for r in df.collect()
+        }
+
+    assert snap(idx.read()) == snap(neardup_index_entries(cvt.read()))

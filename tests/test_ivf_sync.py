@@ -1,0 +1,203 @@
+"""Incremental IVF index repair (r11, VERDICT r10 #2): a versioned-base
+build writes a repairable VersionedTable layout, and `sync_ivf_index`
+consumes the base's row-level change feed — re-assigning changed vectors
+to their existing cells, retracting deleted ones — as ONE atomic CDC
+apply, after which staleness reads 'unchanged' and the served top-k is
+row-identical to brute force at covering nprobe (the quantizer-free
+comparison: at nprobe = k_cells every IVF serve IS the exact answer)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from etl_airflow_adventureworks_spark.functions.vectors import (
+    dot,
+    norm,
+    to_double_array,
+)
+from etl_airflow_adventureworks_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    ann_ivf_topk_from_index,
+    build_ivf_index,
+    ivf_index_rowset_staleness,
+    load_ivf_index,
+    sync_ivf_index,
+)
+from etl_airflow_adventureworks_spark.sources import load_table
+from etl_airflow_adventureworks_spark.table import VersionedTable
+
+K_CELLS = 8
+
+
+def _brute_topk(df):
+    """Exact cosine top-k over an embeddings frame — the oracle every
+    covering-nprobe serve must equal (same rounding and tie-break as the
+    serving path)."""
+    e = df.selectExpr(
+        "vec_id", f"{to_double_array('embedding')} AS v"
+    ).selectExpr("vec_id", "v", f"{norm('v')} AS nrm")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos_r = F.round(F.expr(dot("qv", "v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos_r.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _maintain(spark, cvt):
+    """Mixed base maintenance: mutate two indexed vectors (one of them a
+    QUERY vector), delete one, append five fresh ones, then compact."""
+    emb = cvt.read()
+    mutated = emb.filter("vec_id IN (1, 17)").withColumn(
+        "embedding", F.expr("transform(embedding, x -> float(-x + 0.25))")
+    )
+    cvt.upsert(mutated, key="vec_id")
+    cvt.delete_where("vec_id = 23")
+    appended = (
+        emb.filter("vec_id >= 30 AND vec_id < 35")
+        .withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+        .withColumn("embedding",
+                    F.expr("transform(embedding, x -> float(x * 0.5))"))
+    )
+    cvt.commit(appended, mode="append")
+    cvt.optimize(num_files=1)
+
+
+def test_vt_layout_build_serves_identically_and_prunes(spark, tmp_path):
+    """A versioned-base build's VersionedTable layout serves the same
+    rows as the brute-force answer at covering nprobe, and a small
+    nprobe's executed scans read fewer files than the layout holds
+    (stats pruning standing in for directory pruning)."""
+    from test_bucketing import scan_num_files
+
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=K_CELLS, base_path=cpath)
+    _, meta = load_ivf_index(spark, idx)
+    assert meta["layout_kind"] == "vt"
+    layout = VersionedTable(spark, f"{idx}/{meta['layout_dir']}")
+    man = layout.manifest()
+    assert man.get("stats") and all(
+        "cell" in (man["stats"].get(f) or {}) for f in man["files"]
+    )
+
+    got = ann_ivf_topk_from_index(spark, idx, nprobe=K_CELLS)
+    assert _rows(got) == _rows(_brute_topk(cvt.read()))
+
+    pruned = ann_ivf_topk_from_index(spark, idx, nprobe=2)
+    pruned.collect()
+    total = len(man["files"])
+    counts = scan_num_files(pruned)
+    assert counts and all(c < total for c in counts if c > 0), (
+        counts, total)
+
+
+def test_sync_ivf_index_repairs_across_base_maintenance(spark, tmp_path):
+    """upsert + delete + append + optimize on the base: staleness goes
+    'rewritten' (loud) -> ONE sync -> 'unchanged', the layout rowset
+    matches the base, and the served top-k equals brute force over the
+    CURRENT base at covering nprobe — including the mutated query
+    vector's new neighbors and the deleted vector's absence."""
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))          # v1
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=K_CELLS, base_path=cpath)
+
+    _maintain(spark, cvt)                                          # v2..v5
+    with pytest.raises(ValueError, match="rebuild the index"):
+        ivf_index_rowset_staleness(spark, idx)
+
+    v = sync_ivf_index(spark, idx, idempotency_token="sync:1")
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
+    # re-sync while level: version-stable no-op
+    assert sync_ivf_index(spark, idx) == v
+
+    _, meta = load_ivf_index(spark, idx)
+    layout = VersionedTable(spark, f"{idx}/{meta['layout_dir']}")
+    assert layout.read().count() == cvt.read().count()
+    assert layout.read().filter("vec_id = 23").count() == 0
+
+    got = ann_ivf_topk_from_index(spark, idx, nprobe=K_CELLS)
+    assert _rows(got) == _rows(_brute_topk(cvt.read()))
+
+    # continued maintenance keeps working incrementally
+    cvt.delete_where("vec_id = 17")                                # v6
+    sync_ivf_index(spark, idx)
+    got = ann_ivf_topk_from_index(spark, idx, nprobe=K_CELLS)
+    assert _rows(got) == _rows(_brute_topk(cvt.read()))
+
+
+def test_sync_ivf_pq_index_reencodes_with_stored_quantizer(spark, tmp_path):
+    """A PQ (IVFADC residual) build syncs too: changed vectors re-encode
+    with the STORED codebooks (no refit), and the PQ serve at covering
+    nprobe + covering refine still degenerates to the exact answer over
+    the post-maintenance base."""
+    from etl_airflow_adventureworks_spark.operators.pq import (
+        ann_ivf_pq_topk_from_index,
+    )
+
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=K_CELLS, pq_m=16,
+                    pq_k=64, base_path=cpath)
+    _maintain(spark, cvt)
+    sync_ivf_index(spark, idx)
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
+
+    _, meta = load_ivf_index(spark, idx)
+    layout = VersionedTable(spark, f"{idx}/{meta['layout_dir']}")
+    n = layout.read().count()
+    assert layout.read().filter("codes IS NULL").count() == 0
+    got = ann_ivf_pq_topk_from_index(
+        spark, idx, nprobe=K_CELLS, refine=(n // TOP_K) + 1
+    )
+    assert _rows(got) == _rows(_brute_topk(cvt.read()))
+
+
+def test_sync_refuses_plain_and_pre_r11_indexes(spark, tmp_path):
+    """No base stamp -> loud; a base-stamped index whose layout is the
+    immutable directory kind (pre-r11 build) -> loud with rebuild
+    advice, never a partial patch."""
+    plain = str(tmp_path / "plain")
+    build_ivf_index(spark, SF_SMOKE, plain, k_cells=4)
+    with pytest.raises(ValueError, match="not built with base_path"):
+        sync_ivf_index(spark, plain)
+
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=4, base_path=cpath)
+    # simulate a pre-r11 manifest: same centroid rows, op without the
+    # layout_kind marker (the r10 shape)
+    cvt_cent = VersionedTable(spark, f"{idx}/centroids")
+    cvt_cent.commit(
+        cvt_cent.read().localCheckpoint(eager=True),
+        mode="overwrite",
+        op_info={"op": "ivf_build",
+                 "base": {"path": cpath, "version": 1}},
+    )
+    cvt.upsert(cvt.read().limit(1), key="vec_id")
+    with pytest.raises(ValueError, match="immutable directory layout"):
+        sync_ivf_index(spark, idx)

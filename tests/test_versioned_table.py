@@ -635,6 +635,11 @@ def test_upsert_rewrites_only_touched_files(spark, tmp_path):
     assert man2["op"]["op"] == "upsert"
     assert man2["op"]["rows_in_batch"] == 15
     assert man2["op"]["rows_matched"] == 10
+    # r11 exact pruning: despite the batch mixing a low update range
+    # with far-away inserts (which defeats whole-batch [min,max] range
+    # overlap), the probe scanned ONLY the one file whose key range
+    # admits a batch key
+    assert man2["op"]["files_probed"] == 1
     assert man2["op"]["files_rewritten"] == 1
     assert man2["op"]["files_carried"] == 7
     assert len(set(man1["files"]) & set(man2["files"])) == 7
