@@ -869,12 +869,20 @@ def vacuum_ivf_index(
     index_path: str,
     retain_last: int = 1,
     min_age_sec: int = 3600,
+    vt_layout_retain_last: int = 1,
 ) -> int:
     """Sweep index storage: vacuum the centroid table to its newest
     ``retain_last`` versions, then delete every per-build layout directory
     no retained version references (layouts are immutable and multi-GB at
     scale — the retention knob IS the time-travel window). Returns the
     number of layout directories deleted.
+
+    Repairable layouts (r11): a retained ``VersionedTable`` layout
+    accumulates internal versions + change files as ``sync_ivf_index``
+    patches it — those are vacuumed to the newest
+    ``vt_layout_retain_last`` internal versions here (serving always
+    reads the layout's latest state, so 1 is safe; raise it only if you
+    time-travel the layout table directly).
 
     ``min_age_sec``: an unreferenced layout younger than this is SKIPPED —
     ``build_ivf_index`` writes its layout BEFORE committing the centroid
@@ -894,9 +902,16 @@ def vacuum_ivf_index(
     vt = VersionedTable(spark, f"{index_path}/centroids")
     vt.vacuum(retain_last=retain_last)
     referenced = set()
+    vt_layouts = set()
     for v in vt.versions():
         _, meta = load_ivf_index(spark, index_path, version=v)
         referenced.add(meta["layout_dir"])
+        if meta.get("layout_kind") == "vt":
+            vt_layouts.add(meta["layout_dir"])
+    for ld in vt_layouts:
+        VersionedTable(spark, f"{index_path}/{ld}").vacuum(
+            retain_last=vt_layout_retain_last
+        )
     jvm = spark._jvm
     HPath = jvm.org.apache.hadoop.fs.Path
     root = HPath(index_path)

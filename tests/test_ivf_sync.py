@@ -176,6 +176,32 @@ def test_sync_ivf_pq_index_reencodes_with_stored_quantizer(spark, tmp_path):
     assert _rows(got) == _rows(_brute_topk(cvt.read()))
 
 
+def test_vacuum_sweeps_synced_layout_versions(spark, tmp_path):
+    """r11: vacuum_ivf_index also vacuums a repairable layout's internal
+    versions (sync patches accumulate them) — after the sweep only the
+    newest layout state remains on disk and serving is unchanged."""
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        vacuum_ivf_index,
+    )
+
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=4, base_path=cpath)
+    for i in range(2):
+        cvt.delete_where(f"vec_id = {40 + i}")
+        sync_ivf_index(spark, idx)
+    _, meta = load_ivf_index(spark, idx)
+    layout = VersionedTable(spark, f"{idx}/{meta['layout_dir']}")
+    assert len(layout.versions()) == 3  # build + 2 sync patches
+    before = _rows(ann_ivf_topk_from_index(spark, idx, nprobe=4))
+
+    vacuum_ivf_index(spark, idx, retain_last=1, min_age_sec=0)
+    assert len(layout.versions()) == 1
+    assert _rows(ann_ivf_topk_from_index(spark, idx, nprobe=4)) == before
+    assert _rows(_brute_topk(cvt.read())) == before
+
+
 def test_sync_refuses_plain_and_pre_r11_indexes(spark, tmp_path):
     """No base stamp -> loud; a base-stamped index whose layout is the
     immutable directory kind (pre-r11 build) -> loud with rebuild
