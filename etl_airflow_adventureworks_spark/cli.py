@@ -272,6 +272,11 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--index", required=True)
     si.add_argument("--token", default=None,
                     help="idempotency token (replay-safe job reruns)")
+    si.add_argument("--optimize-layout", action="store_true",
+                    help="after syncing, re-cluster the layout "
+                    "hierarchically by (cell, vec_id) — sync patches "
+                    "fragment per-cell pruning; this restores it as one "
+                    "atomic rowset-preserving version")
 
     ist = sub.add_parser(
         "index-staleness",
@@ -710,11 +715,15 @@ def main(argv: list[str] | None = None) -> int:
               f"(index version {v})")
         return 0
     if args.cmd == "sync-index":
-        from .operators.similarity import sync_ivf_index
+        from .operators.similarity import optimize_ivf_layout, sync_ivf_index
 
         v = sync_ivf_index(spark, args.index, idempotency_token=args.token)
         print(f"IVF index at {args.index} synced to its base "
               f"(centroid version {v})")
+        if args.optimize_layout:
+            lv = optimize_ivf_layout(spark, args.index)
+            print(f"layout re-clustered by (cell, vec_id) "
+                  f"(layout version {lv})")
         return 0
     if args.cmd == "index-staleness":
         if args.kind == "ivf":

@@ -864,6 +864,35 @@ def sync_ivf_index(
     )
 
 
+def optimize_ivf_layout(
+    spark: SparkSession,
+    index_path: str,
+    num_files: int | None = None,
+) -> int:
+    """Re-cluster a repairable IVF layout (r11): repeated
+    ``sync_ivf_index`` patches write files whose (cell, vec_id) ranges
+    straddle many cells, so per-cell ``read_where`` pruning decays
+    toward scanning the patch files for every probe. This rewrites the
+    layout hierarchically clustered — ``optimize(cluster_by=["cell",
+    "vec_id"])``, every file owning one contiguous cell range with
+    fresh stats — as one atomic rowset-preserving version (serving is
+    byte-identical before/after; the next sync's CDC apply simply works
+    on the compacted files). The IVF analogue of OPTIMIZE after
+    streaming ingest; run it on the same cadence. Returns the layout
+    table version."""
+    from ..table import VersionedTable
+
+    _, meta = load_ivf_index(spark, index_path)
+    if meta.get("layout_kind") != "vt":
+        raise ValueError(
+            f"IVF index at {index_path} has an immutable directory layout"
+            " — it is already cell-partitioned and never fragments"
+        )
+    return VersionedTable(
+        spark, f"{index_path}/{meta['layout_dir']}"
+    ).optimize(cluster_by=["cell", "vec_id"], num_files=num_files)
+
+
 def vacuum_ivf_index(
     spark: SparkSession,
     index_path: str,

@@ -1167,6 +1167,7 @@ class VersionedTable:
         num_files: int | None = None,
         stats_cols: list[str] | None = None,
         target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Rewrite the CURRENT snapshot compacted — optionally Z-order
         clustered — as one atomic new version (the lakehouse OPTIMIZE
@@ -1176,6 +1177,16 @@ class VersionedTable:
         defaults to the zorder columns, so `read_where` prunes the
         optimized layout out of the box. Returns the new version.
 
+        ``cluster_by`` (r11, mutually exclusive with ``zorder``):
+        HIERARCHICAL clustering — range-partition + sort on the listed
+        columns in order. Right when predicates always hit a PREFIX of
+        the columns (e.g. an IVF layout probed by ``cell``): every file
+        owns one contiguous range of the leading column, where a
+        Z-order interleave would dilute it across bits of all columns.
+        Z-order remains the right call for independent multi-dimension
+        boxes. ``stats_cols`` defaults to the numeric ``cluster_by``
+        columns.
+
         Change-feed consumers (r9, VERDICT r8 #2): the manifest is
         marked ``op.rowset_preserving`` — an optimize preserves the
         logical rowset exactly, so ``changes`` SKIPS it instead of
@@ -1184,9 +1195,11 @@ class VersionedTable:
         optimize recomputes from the new snapshot (its payload is
         snapshot-dependent — a blind retry would drop the other
         writer's rows)."""
+        if zorder and cluster_by:
+            raise ValueError("optimize: pass zorder OR cluster_by, not both")
         return self._occ_retry(
             lambda: self._optimize_once(
-                zorder, num_files, stats_cols, target_file_bytes
+                zorder, num_files, stats_cols, target_file_bytes, cluster_by
             )
         )
 
@@ -1196,6 +1209,7 @@ class VersionedTable:
         num_files: int | None,
         stats_cols: list[str] | None,
         target_file_bytes: int,
+        cluster_by: list[str] | None = None,
     ) -> int:
         df = self.read()
         if num_files is None:
@@ -1223,6 +1237,21 @@ class VersionedTable:
             )
             if stats_cols is None:
                 stats_cols = list(zorder)
+        elif cluster_by:
+            df = df.repartitionByRange(
+                num_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+            if stats_cols is None:
+                from pyspark.sql import types as T
+
+                numeric = (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.FloatType, T.DoubleType,
+                           T.DecimalType)
+                by_name = {f.name: f.dataType for f in df.schema.fields}
+                stats_cols = [
+                    c for c in cluster_by
+                    if isinstance(by_name.get(c), numeric)
+                ] or None
         else:
             df = df.coalesce(num_files)
         return self.commit(

@@ -531,8 +531,10 @@ def test_sync_index_subcommand(spark, tmp_path, capsys):
     )
     assert main(["index-staleness", "--index", idx, "--kind", "ivf"]) == 1
     capsys.readouterr()
-    assert main(["sync-index", "--index", idx, "--token", "job:7"]) == 0
-    assert "synced to its base" in capsys.readouterr().out
+    assert main(["sync-index", "--index", idx, "--token", "job:7",
+                 "--optimize-layout"]) == 0
+    out = capsys.readouterr().out
+    assert "synced to its base" in out and "re-clustered" in out
     assert main(["index-staleness", "--index", idx, "--kind", "ivf"]) == 0
     assert main(["query-index", "--sf-dir", SF_SMOKE, "--index", idx,
                  "--nprobe", "2", "--limit", "3"]) == 0

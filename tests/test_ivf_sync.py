@@ -202,6 +202,54 @@ def test_vacuum_sweeps_synced_layout_versions(spark, tmp_path):
     assert _rows(_brute_topk(cvt.read())) == before
 
 
+def test_optimize_ivf_layout_restores_cell_pruning(spark, tmp_path):
+    """Sync patches fragment the layout (a patch file's cell range
+    straddles cells, so per-cell read_where must open it for every
+    probe); optimize_ivf_layout re-clusters hierarchically — after it,
+    one cell's read opens strictly fewer files, serving is unchanged,
+    and the next sync still applies (rowset-preserving compaction)."""
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        optimize_ivf_layout,
+    )
+
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=K_CELLS, base_path=cpath)
+    # spread mutations across the key space so the patch file's cell
+    # range is wide — the fragmentation case
+    cvt.upsert(
+        cvt.read().filter("vec_id % 40 = 3").withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(-x))")
+        ),
+        key="vec_id",
+    )
+    sync_ivf_index(spark, idx)
+    _, meta = load_ivf_index(spark, idx)
+    layout = VersionedTable(spark, f"{idx}/{meta['layout_dir']}")
+
+    def files_for_cell(c):
+        return len(layout.read_where({"cell": (c, c)}).inputFiles())
+
+    before_serve = _rows(ann_ivf_topk_from_index(spark, idx, nprobe=K_CELLS))
+    frag = max(files_for_cell(c) for c in range(K_CELLS))
+    assert frag >= 2  # at least one cell must also open a patch file
+
+    optimize_ivf_layout(spark, idx, num_files=K_CELLS)
+    after = max(files_for_cell(c) for c in range(K_CELLS))
+    assert after < frag
+    assert _rows(
+        ann_ivf_topk_from_index(spark, idx, nprobe=K_CELLS)
+    ) == before_serve
+
+    # the compaction is rowset-preserving: a later sync still applies
+    cvt.delete_where("vec_id = 7")
+    sync_ivf_index(spark, idx)
+    assert _rows(
+        ann_ivf_topk_from_index(spark, idx, nprobe=K_CELLS)
+    ) == _rows(_brute_topk(cvt.read()))
+
+
 def test_sync_refuses_plain_and_pre_r11_indexes(spark, tmp_path):
     """No base stamp -> loud; a base-stamped index whose layout is the
     immutable directory kind (pre-r11 build) -> loud with rebuild
