@@ -382,7 +382,12 @@ class VersionedTable:
         return df
 
     def _candidate_files(
-        self, files: list[str], old_stats: dict, key: str, batch: DataFrame
+        self,
+        files: list[str],
+        old_stats: dict,
+        key: str,
+        batch: DataFrame,
+        n_rows: int | None = None,
     ) -> list[str]:
         """The files a keyed rewrite (cow merge / CDC apply) must PROBE:
         every file whose recorded per-file [min, max] on ``key`` may
@@ -399,7 +404,7 @@ class VersionedTable:
 
         if not any(key in (old_stats.get(f) or {}) for f in files):
             return files
-        n = batch.count()
+        n = batch.count() if n_rows is None else n_rows
         if n <= _PRUNE_KEYS_COLLECT_MAX:
             import bisect
 
@@ -683,7 +688,10 @@ class VersionedTable:
         # stats-pruned candidate set (r11): skip probing files whose
         # recorded key stats exclude every batch key — see
         # `_candidate_files` for the exact-vs-range pruning contract
-        cand = self._candidate_files(files, old_stats, key, batch)
+        # (n_rows reuses the contract probe's count — no extra job)
+        cand = self._candidate_files(
+            files, old_stats, key, batch, n_rows=probe["n"]
+        )
         keys_df = batch.select(key)
         touched: dict[str, int] = {}
         if cand:

@@ -313,3 +313,54 @@ def test_clustered_index_range_local_sync_prunes_files(spark, tmp_path):
         }
 
     assert snap(idx.read()) == snap(neardup_index_entries(cvt.read()))
+
+
+def test_dedup_index_recluster_after_scattered_syncs(spark, tmp_path):
+    """r11: a scattered sync window writes a patch file whose doc_id
+    range straddles the clustered layout; optimize(cluster_by=
+    ["doc_id"]) re-clusters it as one rowset-preserving version —
+    single-key pruning restored, entries unchanged, the index's
+    staleness contract untouched, and the next sync still applies."""
+    from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+        neardup_index_staleness,
+        sync_neardup_index,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, _doc(rng)) for i in range(120)]
+    cpath, ipath = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(spark.createDataFrame(rows, "doc_id long, text string"))
+    build_neardup_index(spark, cvt.read(), ipath, base_path=cpath,
+                        num_files=4)
+    # scattered mutation: one doc per quarter of the key space
+    cvt.upsert(
+        spark.createDataFrame(
+            [(i, _doc(rng)) for i in (3, 33, 63, 93)],
+            "doc_id long, text string",
+        ),
+        key="doc_id",
+    )
+    sync_neardup_index(spark, ipath)
+    idx = VersionedTable(spark, ipath)
+
+    def files_for(doc_id):
+        return len(idx.read_where({"doc_id": (doc_id, doc_id)}).inputFiles())
+
+    assert files_for(3) >= 2  # build file + wide-range patch file
+
+    idx.optimize(cluster_by=["doc_id"], num_files=4)
+    assert files_for(3) == 1
+    assert neardup_index_staleness(spark, ipath)["kind"] == "unchanged"
+
+    def snap(df):
+        return {
+            (r["doc_id"], tuple(sorted(r["hh"])), tuple(r["sig"]))
+            for r in df.collect()
+        }
+
+    assert snap(idx.read()) == snap(neardup_index_entries(cvt.read()))
+    # later maintenance still syncs incrementally on the compacted index
+    cvt.delete_where("doc_id = 63")
+    sync_neardup_index(spark, ipath)
+    assert snap(idx.read()) == snap(neardup_index_entries(cvt.read()))

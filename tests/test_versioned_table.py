@@ -663,6 +663,40 @@ def test_upsert_rewrites_only_touched_files(spark, tmp_path):
     assert pruned.count() == 51
 
 
+def test_big_batch_pruning_falls_back_to_range_overlap(
+    spark, tmp_path, monkeypatch
+):
+    """r11: a batch above the key-collect cap prunes with whole-batch
+    [min, max] overlap — coarser (the mixed low+high batch now admits
+    every in-range file as a candidate) but never wrong: the semi-join
+    probe still finds the single truly-touched file and the merge stays
+    row-exact."""
+    import etl_airflow_adventureworks_spark.table as tbl
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(tbl, "_PRUNE_KEYS_COLLECT_MAX", 5)
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+             stats_cols=["k"])
+    batch = spark.createDataFrame(
+        [(k, -1) for k in range(2_000, 2_010)]
+        + [(k, -2) for k in range(90_000, 90_005)],
+        "k long, v long",
+    )
+    v = t.upsert(batch, key="k")
+    op = t.manifest(v)["op"]
+    # coarse range [2000, 90004] overlaps the files covering 2000..7999
+    assert op["files_probed"] >= 6, op
+    assert op["files_rewritten"] == 1 and op["rows_matched"] == 10, op
+    got = t.read()
+    assert got.count() == 8_005
+    assert got.filter("v = -1").count() == 10
+    assert got.filter("v = -2").count() == 5
+
+
 def test_insert_only_upsert_keeps_change_feed_alive(spark, tmp_path):
     """r8: a batch matching NO existing key carries every file (pure
     append) — `changes` tails across it; a matched batch still trips
