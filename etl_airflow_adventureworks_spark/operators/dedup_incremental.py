@@ -92,16 +92,14 @@ def _cluster_entries(entries: DataFrame, num_files: int | None):
     per-file min/max — what lets ``apply_cdc``'s touched-file probe
     prune a range-local sync window to the few files whose key range
     admits it (r11, VERDICT r10 #3) instead of scanning the index."""
-    from pyspark.sql import types as T
+    from ..table import numeric_stats_types
 
     parts = [num_files] if num_files else []
     clustered = entries.repartitionByRange(*parts, "doc_id").sortWithinPartitions(
         "doc_id"
     )
-    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-               T.FloatType, T.DoubleType, T.DecimalType)
     dtype = entries.schema["doc_id"].dataType
-    stats = ["doc_id"] if isinstance(dtype, numeric) else None
+    stats = ["doc_id"] if isinstance(dtype, numeric_stats_types()) else None
     return clustered, stats
 
 
@@ -285,12 +283,13 @@ def sync_neardup_index(
     and rewrites ONLY the files whose doc_id range admits the changed
     keys — a range-local 1% window at 500k docs touched 1 of 32 files
     and synced 3.5× FASTER than a rebuild (files_probed=1,
-    files_carried=31). Hash-scattered windows still touch every file
-    (the honest worst case), and at small corpora (50k docs) rebuild
-    still wins (0.6-0.8×: re-shingling is cheap there and the sync's
-    fixed job-chain overheads dominate). Either way the result is
-    row-identical to a rebuild (asserted in tests and by the
-    measurement tool)."""
+    files_carried=31), and at that corpus size even a hash-scattered
+    window wins 3.9× while rewriting every file (rebuild re-shingles
+    the whole corpus; sync's worst case is an index-sized IO rewrite).
+    At small corpora (50k docs) rebuild still wins (0.6-0.8×:
+    re-shingling is cheap there and the sync's fixed job-chain
+    overheads dominate). Either way the result is row-identical to a
+    rebuild (asserted in tests and by the measurement tool)."""
     from ..table import collapse_row_changes, latest_base_stamp
 
     idx = VersionedTable(spark, index_path)

@@ -261,6 +261,32 @@ def ann_ivf_topk(
     return _ivf_topk(spark, e, centroids, nprobe)
 
 
+def _ivf_layout_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[float]],
+    extra_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """The collection + its derived layout columns — the ONE frame both
+    layout writers (directory and VersionedTable) materialize, so the
+    staging-column contract cannot diverge between them. ``extra_cols``
+    ({name: SQL expr}) ride along — the PQ build adds its ``codes``
+    column here so the layout can be scanned code-only. Names starting
+    with ``__`` are STAGING columns (evaluated in order, visible to
+    later extras, dropped before the write) — the residual build stages
+    ``__res`` once so the centroid literal isn't repeated per dot
+    fold."""
+    df = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell",
+        F.expr(ivf_cell_expr(to_double_array("embedding"), centroids)).cast(
+            "int"
+        ),
+    )
+    for name, expr in (extra_cols or {}).items():
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[n for n in (extra_cols or {}) if n.startswith("__")])
+
+
 def write_embeddings_ivf_layout(
     spark: SparkSession,
     sf_dir: str,
@@ -271,19 +297,10 @@ def write_embeddings_ivf_layout(
     """Write the collection PARTITIONED BY its IVF cell — the learned-key
     analogue of write_embeddings_layout: a probe's literal cell filter
     becomes directory pruning, so a query opens nprobe/k of the files.
-    ``extra_cols`` ({name: SQL expr}) ride along — the PQ build adds its
-    ``codes`` column here so the layout can be scanned code-only.
-    Names starting with ``__`` are STAGING columns (evaluated in order,
-    visible to later extras, dropped before the write) — the residual
-    build stages ``__res`` once so the centroid literal isn't repeated
-    per dot fold."""
-    df = load_table(spark, sf_dir, "embeddings").withColumn(
-        "cell", F.expr(ivf_cell_expr(to_double_array("embedding"), centroids))
-    )
-    for name, expr in (extra_cols or {}).items():
-        df = df.withColumn(name, F.expr(expr))
-    df = df.drop(*[n for n in (extra_cols or {}) if n.startswith("__")])
-    df.write.mode("overwrite").partitionBy("cell").parquet(path)
+    See ``_ivf_layout_frame`` for the extra/staging column contract."""
+    _ivf_layout_frame(spark, sf_dir, centroids, extra_cols).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
 
 
 def ann_ivf_topk_over_layout(
@@ -517,6 +534,7 @@ def _write_ivf_layout_vt(
     centroids: list[list[float]],
     extra_cols: dict[str, str] | None = None,
     k_cells: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
     """The repairable layout variant (r11): same columns as
     ``write_embeddings_ivf_layout`` (vec_id, embedding, cell[, codes])
@@ -524,24 +542,28 @@ def _write_ivf_layout_vt(
     with per-file min/max stats on both — a probe's per-cell
     ``read_where`` prunes to the cell's files (stats pruning in place
     of directory pruning), and ``sync_ivf_index``'s CDC apply rewrites
-    only the files whose (vec_id) range admits the changed vectors."""
-    from pyspark.sql import functions as F
+    only the files whose (vec_id) range admits the changed vectors.
+    File count = max(k_cells, source bytes / ``target_file_bytes``) —
+    at least one range per cell so probes stay tight, but never files
+    so large that one touched vector's copy-on-write rewrite moves a
+    collection-sized fraction (the same sizing rule as optimize)."""
+    import math
 
     from ..table import VersionedTable
 
-    df = load_table(spark, sf_dir, "embeddings").withColumn(
-        "cell",
-        F.expr(ivf_cell_expr(to_double_array("embedding"), centroids)).cast(
-            "int"
-        ),
-    )
-    for name, expr in (extra_cols or {}).items():
-        df = df.withColumn(name, F.expr(expr))
-    df = df.drop(*[n for n in (extra_cols or {}) if n.startswith("__")])
-    parts = [k_cells] if k_cells else []
-    clustered = df.repartitionByRange(*parts, "cell", "vec_id").sortWithinPartitions(
-        "cell", "vec_id"
-    )
+    df = _ivf_layout_frame(spark, sf_dir, centroids, extra_cols)
+    src = load_table(spark, sf_dir, "embeddings")
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    total = 0
+    for uri in src.inputFiles():
+        p = HPath(uri)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        total += fs.getFileStatus(p).getLen()
+    n_files = max(k_cells or 1, math.ceil(total / target_file_bytes))
+    clustered = df.repartitionByRange(
+        n_files, "cell", "vec_id"
+    ).sortWithinPartitions("cell", "vec_id")
     return VersionedTable(spark, layout_path).commit(
         clustered, mode="overwrite", stats_cols=["cell", "vec_id"]
     )
@@ -719,6 +741,8 @@ def _vt_layout_frames(
         ).selectExpr(*cols, "v", f"{norm('v')} AS nrm")
 
     def prune(cells: list[int]) -> DataFrame:
+        if not cells:  # no query vectors -> empty result, like the dir
+            return prep(vt.read().limit(0))  # layout's isin([]) filter
         parts = [vt.read_where({"cell": (c, c)}) for c in cells]
         return prep(reduce(DataFrame.unionByName, parts))
 
@@ -804,13 +828,12 @@ def sync_ivf_index(
     derived = {"cell", "codes"}
     base_cols = [f.name for f in lay_schema.fields if f.name not in derived]
     delta = corpus.row_changes(base["version"], v_now)
-    if not {"vec_id", "embedding"} <= set(delta.columns) or not (
-        set(base_cols) <= set(delta.columns)
-    ):
+    missing_cols = sorted(set(base_cols) - set(delta.columns))
+    if missing_cols:  # base_cols always includes vec_id + embedding
         raise ValueError(
             f"base table {base['path']} lacks the layout's columns "
-            f"{sorted(set(base_cols) - set(delta.columns))} — "
-            "sync_ivf_index maintains embeddings-collection indexes"
+            f"{missing_cols} — sync_ivf_index maintains "
+            "embeddings-collection indexes"
         )
     final = collapse_row_changes(
         delta.select(*base_cols, CHANGE_TYPE_COL, CHANGE_VERSION_COL),

@@ -74,6 +74,31 @@ _MAX_COMMIT_ATTEMPTS = 5
 _PRUNE_KEYS_COLLECT_MAX = 100_000
 
 
+def numeric_stats_types() -> tuple:
+    """The Spark column types eligible for per-file min/max stats — the
+    ONE list `_validate_stats_cols`, `optimize(cluster_by=...)` and the
+    index builders' key-clustering all consult (a type added here gains
+    skip-scan support everywhere at once)."""
+    from pyspark.sql import types as T
+
+    return (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _widen_float_bounds(lo, hi):
+    """Stats recorded as floats (pre-r11 manifests; Decimal columns) may
+    have rounded an integral bound by up to half an ulp — widen by a
+    relative epsilon before any file-SKIPPING test so a wrong skip is
+    impossible (exact int bounds and genuinely-float columns widen by
+    ~nothing). Only skipping decisions use this; kept files re-verify
+    via the probe/filter as always."""
+    if isinstance(lo, float):
+        lo = lo - abs(lo) * 2.0 ** -50
+    if isinstance(hi, float):
+        hi = hi + abs(hi) * 2.0 ** -50
+    return lo, hi
+
+
 class CommitConflict(IOError):
     """Another writer published our target version first. Public ops
     retry with a recompute (bounded); surfaced only when retries are
@@ -296,10 +321,7 @@ class VersionedTable:
 
     @staticmethod
     def _validate_stats_cols(cols: list[str], schema) -> None:
-        from pyspark.sql import types as T
-
-        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                   T.FloatType, T.DoubleType, T.DecimalType)
+        numeric = numeric_stats_types()
         by_name = {f.name: f.dataType for f in schema.fields}
         for c in cols:
             if c not in by_name:
@@ -337,7 +359,14 @@ class VersionedTable:
             for c in cols:
                 mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
                 if mn is not None:
-                    ent[c] = [float(mn), float(mx)]
+                    # integral bounds stay exact (JSON ints are arbitrary
+                    # precision) — a float cast rounds longs above 2^53,
+                    # which could make the r11 pruning skip a file that
+                    # DOES contain a batch key (a silent lost write)
+                    ent[c] = [
+                        mn if isinstance(mn, int) else float(mn),
+                        mx if isinstance(mx, int) else float(mx),
+                    ]
             out[rel(r["f"])] = ent
         return out
 
@@ -365,7 +394,10 @@ class VersionedTable:
                 continue
             ok = True
             for c, (lo, hi) in box.items():
-                if c in ent and (ent[c][1] < lo or ent[c][0] > hi):
+                if c not in ent:
+                    continue
+                slo, shi = _widen_float_bounds(*ent[c])
+                if shi < lo or slo > hi:
                     ok = False
                     break
             if ok:
@@ -420,7 +452,7 @@ class VersionedTable:
                 if key not in ent:
                     out.append(f)
                     continue
-                lo, hi = ent[key]
+                lo, hi = _widen_float_bounds(*ent[key])
                 i = bisect.bisect_left(keys, lo)
                 if i < len(keys) and keys[i] <= hi:
                     out.append(f)
@@ -428,14 +460,16 @@ class VersionedTable:
         kmin, kmax = batch.agg(F.min(key), F.max(key)).first()
         if kmin is None:
             return []
-        return [
-            f
-            for f in files
-            if key not in (old_stats.get(f) or {})
-            or not (
-                old_stats[f][key][1] < kmin or old_stats[f][key][0] > kmax
-            )
-        ]
+        out = []
+        for f in files:
+            ent = old_stats.get(f) or {}
+            if key not in ent:
+                out.append(f)
+                continue
+            lo, hi = _widen_float_bounds(*ent[key])
+            if not (hi < kmin or lo > kmax):
+                out.append(f)
+        return out
 
     def _occ_retry(self, attempt_fn) -> int:
         """Run a snapshot-dependent write with bounded OCC retries: on a
@@ -520,9 +554,12 @@ class VersionedTable:
         updates = updates.localCheckpoint(eager=True)
         files = latest["files"]
         old_stats = latest.get("stats") or {}
+        n_batch = updates.count()  # once — shared by pruning + op metrics
         # see `_candidate_files`: exact per-file candidacy for bounded
         # batches, [min, max] range overlap beyond the collect cap
-        cand = self._candidate_files(files, old_stats, key, updates)
+        cand = self._candidate_files(
+            files, old_stats, key, updates, n_rows=n_batch
+        )
         keys_df = updates.select(key).distinct()
         touched: dict[str, int] = {}
         if cand:
@@ -583,7 +620,7 @@ class VersionedTable:
             "token": idempotency_token,
             "op": {
                 "op": "upsert",
-                "rows_in_batch": updates.count(),
+                "rows_in_batch": n_batch,
                 "rows_matched": sum(touched.values()),
                 "files_probed": len(cand),
                 "files_rewritten": len(touched),
@@ -1250,15 +1287,10 @@ class VersionedTable:
                 num_files, *cluster_by
             ).sortWithinPartitions(*cluster_by)
             if stats_cols is None:
-                from pyspark.sql import types as T
-
-                numeric = (T.ByteType, T.ShortType, T.IntegerType,
-                           T.LongType, T.FloatType, T.DoubleType,
-                           T.DecimalType)
                 by_name = {f.name: f.dataType for f in df.schema.fields}
                 stats_cols = [
                     c for c in cluster_by
-                    if isinstance(by_name.get(c), numeric)
+                    if isinstance(by_name.get(c), numeric_stats_types())
                 ] or None
         else:
             df = df.coalesce(num_files)

@@ -697,6 +697,49 @@ def test_big_batch_pruning_falls_back_to_range_overlap(
     assert got.filter("v = -2").count() == 5
 
 
+def test_huge_long_keys_never_skip_their_file(spark, tmp_path):
+    """r11 hardening: per-file stats store integral bounds EXACTLY
+    (floats round longs above 2^53, and a rounded bound could make the
+    stats pruning skip the very file a CDC key lives in — a silent lost
+    write); a delete of a >2^53 key lands."""
+    from pyspark.sql import functions as F
+
+    base = 2 ** 53
+    df = spark.createDataFrame(
+        [(base + i, i) for i in range(1, 801)], "k long, v long"
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+             stats_cols=["k"])
+    man = t.manifest()
+    for ent in man["stats"].values():
+        lo, hi = ent["k"]
+        assert isinstance(lo, int) and isinstance(hi, int)  # exact, not float
+
+    cdc = spark.createDataFrame([("delete", base + 3, None)],
+                                "op string, k long, v long")
+    t.apply_cdc(cdc, key="k")
+    assert t.read().filter(F.col("k") == base + 3).count() == 0
+    assert t.read().count() == 799
+    assert t.manifest()["op"]["rows_matched"] == 1
+
+
+def test_float_stat_widening_is_conservative(spark, tmp_path):
+    """Legacy manifests carry float-cast bounds; the candidacy test
+    widens them by a relative epsilon, so a key the float rounding
+    pushed just outside the recorded range still selects its file."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    batch = spark.createDataFrame([(2 ** 53 + 1,)], "k long")
+    # a legacy (float) stats entry whose true min was 2^53 + 1 but got
+    # recorded as the rounded 2^53 + 2
+    stats = {"data/f1": {"k": [float(2 ** 53 + 2), float(2 ** 53 + 40)]}}
+    assert t._candidate_files(["data/f1"], stats, "k", batch) == ["data/f1"]
+    # genuinely-out-of-range keys still prune (widening is ~1 ulp, not a
+    # blanket keep)
+    far = spark.createDataFrame([(2 ** 52,)], "k long")
+    assert t._candidate_files(["data/f1"], stats, "k", far) == []
+
+
 def test_insert_only_upsert_keeps_change_feed_alive(spark, tmp_path):
     """r8: a batch matching NO existing key carries every file (pure
     append) — `changes` tails across it; a matched batch still trips
