@@ -278,6 +278,19 @@ def main(argv: list[str] | None = None) -> int:
                     "fragment per-cell pruning; this restores it as one "
                     "atomic rowset-preserving version")
 
+    ri = sub.add_parser(
+        "rebuild-index",
+        help="REFIT a versioned-base IVF index from its base table's "
+        "current snapshot (r11): sync keeps the index correct but never "
+        "moves the centroids — once distribution drift crosses your "
+        "recall budget, this retrains k-means (and PQ codebooks, same "
+        "shape) on the live base and re-stamps",
+    )
+    ri.add_argument("--index", required=True)
+    ri.add_argument("--k-cells", type=int, default=None,
+                    help="default: the existing cell count")
+    ri.add_argument("--seed", type=int, default=7)
+
     ist = sub.add_parser(
         "index-staleness",
         help="manifest-only staleness of a versioned-base index (IVF or "
@@ -724,6 +737,14 @@ def main(argv: list[str] | None = None) -> int:
             lv = optimize_ivf_layout(spark, args.index)
             print(f"layout re-clustered by (cell, vec_id) "
                   f"(layout version {lv})")
+        return 0
+    if args.cmd == "rebuild-index":
+        from .operators.similarity import rebuild_ivf_index
+
+        v = rebuild_ivf_index(spark, args.index, k_cells=args.k_cells,
+                              seed=args.seed)
+        print(f"IVF index at {args.index} refit from its base "
+              f"(centroid version {v})")
         return 0
     if args.cmd == "index-staleness":
         if args.kind == "ivf":

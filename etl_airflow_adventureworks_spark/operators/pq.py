@@ -54,11 +54,15 @@ def fit_pq_codebooks(
     seed: int = 7,
     sample_rows: int = 100_000,
     centroids: list[list[float]] | None = None,
+    embeddings: DataFrame | None = None,
 ) -> list[list[list[float]]]:
     """Train ``m`` per-subspace codebooks of ``k`` centroids each over a
     bounded sample of the embeddings (driver-side numpy Lloyd's,
     deterministic seed/init — index-build time only). The embedding dim
-    must divide evenly into ``m`` subspaces.
+    must divide evenly into ``m`` subspaces. ``embeddings`` (r11)
+    overrides the ``sf_dir`` mirror with an explicit collection frame —
+    what ``rebuild_ivf_index`` passes so a refit trains on the CURRENT
+    base table, not a stale directory snapshot.
 
     ``centroids`` (r9, VERDICT r8 #6): train on RESIDUALS v − c(v)
     against the given coarse IVF centroids — the standard IVFADC
@@ -70,9 +74,13 @@ def fit_pq_codebooks(
     so the approximation error is ONLY the residual's."""
     import numpy as np
 
+    src = (
+        embeddings
+        if embeddings is not None
+        else load_table(spark, sf_dir, "embeddings")
+    )
     rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .selectExpr(f"{to_double_array('embedding')} AS v")
+        src.selectExpr(f"{to_double_array('embedding')} AS v")
         .limit(sample_rows)
         .collect()
     )

@@ -206,17 +206,23 @@ def ann_lsh_topk_over_layout(spark: SparkSession, layout_path: str) -> DataFrame
 
 
 def fit_ivf_centroids(
-    spark: SparkSession, sf_dir: str, k_cells: int = 16, seed: int = 7
+    spark: SparkSession, sf_dir: str, k_cells: int = 16, seed: int = 7,
+    embeddings: DataFrame | None = None,
 ) -> list[list[float]]:
     """Coarse quantizer for IVF: k-means (fixed seed, few iterations) over
     the collection — the one deliberately-iterative training step of the
-    IVF index build; runs once at index-build time, never at query time."""
+    IVF index build; runs once at index-build time, never at query time.
+    ``embeddings`` (r11) overrides the ``sf_dir`` mirror with an explicit
+    collection frame (the rebuild-from-base path)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings").selectExpr(
-        f"{to_double_array('embedding')} AS v"
+    src = (
+        embeddings
+        if embeddings is not None
+        else load_table(spark, sf_dir, "embeddings")
     )
+    e = src.selectExpr(f"{to_double_array('embedding')} AS v")
     model = KMeans(k=k_cells, seed=seed, maxIter=5, featuresCol="features").fit(
         e.select(array_to_vector("v").alias("features"))
     )
@@ -266,6 +272,7 @@ def _ivf_layout_frame(
     sf_dir: str,
     centroids: list[list[float]],
     extra_cols: dict[str, str] | None = None,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """The collection + its derived layout columns — the ONE frame both
     layout writers (directory and VersionedTable) materialize, so the
@@ -276,7 +283,12 @@ def _ivf_layout_frame(
     later extras, dropped before the write) — the residual build stages
     ``__res`` once so the centroid literal isn't repeated per dot
     fold."""
-    df = load_table(spark, sf_dir, "embeddings").withColumn(
+    src = (
+        embeddings
+        if embeddings is not None
+        else load_table(spark, sf_dir, "embeddings")
+    )
+    df = src.withColumn(
         "cell",
         F.expr(ivf_cell_expr(to_double_array("embedding"), centroids)).cast(
             "int"
@@ -535,6 +547,7 @@ def _write_ivf_layout_vt(
     extra_cols: dict[str, str] | None = None,
     k_cells: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    embeddings: DataFrame | None = None,
 ) -> int:
     """The repairable layout variant (r11): same columns as
     ``write_embeddings_ivf_layout`` (vec_id, embedding, cell[, codes])
@@ -551,8 +564,13 @@ def _write_ivf_layout_vt(
 
     from ..table import VersionedTable
 
-    df = _ivf_layout_frame(spark, sf_dir, centroids, extra_cols)
-    src = load_table(spark, sf_dir, "embeddings")
+    df = _ivf_layout_frame(spark, sf_dir, centroids, extra_cols,
+                           embeddings=embeddings)
+    src = (
+        embeddings
+        if embeddings is not None
+        else load_table(spark, sf_dir, "embeddings")
+    )
     jvm = spark._jvm
     HPath = jvm.org.apache.hadoop.fs.Path
     total = 0
@@ -881,6 +899,104 @@ def sync_ivf_index(
         idempotency_token=token,
         op_info={
             "op": "ivf_sync",
+            "layout_kind": "vt",
+            "base": {"path": base["path"], "version": v_now},
+        },
+    )
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    k_cells: int | None = None,
+    seed: int = 7,
+) -> int:
+    """REFIT a versioned-base IVF index from its base table's CURRENT
+    snapshot (r11 — the third leg of the maintenance lifecycle: detect
+    staleness → repair content with ``sync_ivf_index`` → refit the
+    quantizer here when drift crosses your recall budget). Sync keeps
+    the index CORRECT but never moves the centroids; once the
+    distribution has drifted (the count-based ``ivf_index_staleness``
+    probe), a refit needs the current collection — which lives in the
+    BASE TABLE, not in the ``sf_dir`` mirror the original build read
+    (that directory is stale the moment the base takes maintenance).
+
+    Reads the base snapshot pinned to its current version, refits
+    k-means (``k_cells`` defaults to the existing cell count) and — for
+    PQ builds — retrains codebooks with the SAME (m, k, residual)
+    shape, writes a fresh clustered ``VersionedTable`` layout under a
+    new immutable dir, and commits the centroid table with the new base
+    stamp. Old layouts stay time-travelable until ``vacuum_ivf_index``.
+    Returns the centroid-table version."""
+    import json as _json
+    import uuid
+
+    from ..table import VersionedTable
+
+    cents_old, meta = load_ivf_index(spark, index_path)
+    base = meta.get("base")
+    if not base:
+        raise ValueError(
+            f"IVF index at {index_path} was not built with base_path= — "
+            "rebuild_ivf_index refits from the recorded base table; use "
+            "build_ivf_index for directory collections"
+        )
+    corpus = VersionedTable(spark, base["path"])
+    v_now = corpus.manifest()["version"]
+    df = corpus.read(v_now)
+    k = k_cells or len(cents_old)
+    cents = fit_ivf_centroids(spark, sf_dir=None, k_cells=k, seed=seed,
+                              embeddings=df)
+    extra = None
+    books = None
+    residual = False
+    try:
+        from .pq import (
+            fit_pq_codebooks,
+            load_pq_quantizer,
+            pq_code_expr,
+            residual_expr,
+        )
+
+        books_old, residual = load_pq_quantizer(spark, index_path, meta)
+        books = fit_pq_codebooks(
+            spark, sf_dir=None, m=len(books_old), k=len(books_old[0]),
+            seed=seed, centroids=cents if residual else None, embeddings=df,
+        )
+        if residual:
+            extra = {
+                "__res": residual_expr(
+                    to_double_array("embedding"), "cell", cents
+                ),
+                "codes": pq_code_expr("__res", books),
+            }
+        else:
+            extra = {"codes": pq_code_expr(to_double_array("embedding"),
+                                           books)}
+    except FileNotFoundError:
+        pass  # plain (non-PQ) build: nothing to retrain
+    layout_dir = f"layout-{uuid.uuid4().hex[:12]}"
+    _write_ivf_layout_vt(
+        spark, sf_dir=None, layout_path=f"{index_path}/{layout_dir}",
+        centroids=cents, extra_cols=extra, k_cells=k, embeddings=df,
+    )
+    if books is not None:
+        _write_fs_text(
+            spark,
+            f"{index_path}/{layout_dir}/_pq_codebooks.json",
+            _json.dumps({"residual": bool(residual), "books": books}),
+        )
+    n_vecs = df.count()
+    cent_df = spark.createDataFrame(
+        [(i, c, n_vecs, base["path"], layout_dir) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>, n_vectors_at_build long,"
+        " built_from string, layout_dir string",
+    )
+    return VersionedTable(spark, f"{index_path}/centroids").commit(
+        cent_df,
+        mode="overwrite",
+        op_info={
+            "op": "ivf_rebuild",
             "layout_kind": "vt",
             "base": {"path": base["path"], "version": v_now},
         },

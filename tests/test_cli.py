@@ -538,6 +538,12 @@ def test_sync_index_subcommand(spark, tmp_path, capsys):
     assert main(["index-staleness", "--index", idx, "--kind", "ivf"]) == 0
     assert main(["query-index", "--sf-dir", SF_SMOKE, "--index", idx,
                  "--nprobe", "2", "--limit", "3"]) == 0
+    capsys.readouterr()
+    # refit leg: rebuild-index retrains from the current base and serves
+    cvt.delete_where("vec_id = 11")
+    assert main(["rebuild-index", "--index", idx]) == 0
+    assert "refit from its base" in capsys.readouterr().out
+    assert main(["index-staleness", "--index", idx, "--kind", "ivf"]) == 0
 
 
 def test_query_index_refuses_rewritten_base(spark, tmp_path, capsys):

@@ -250,6 +250,56 @@ def test_optimize_ivf_layout_restores_cell_pruning(spark, tmp_path):
     ) == _rows(_brute_topk(cvt.read()))
 
 
+def test_rebuild_ivf_index_refits_from_current_base(spark, tmp_path):
+    """r11: the refit leg — after base maintenance, rebuild_ivf_index
+    retrains the quantizer on the CURRENT base snapshot (the sf_dir
+    mirror is stale by then), recovering directly from 'rewritten'
+    without a sync; a PQ build retrains codebooks with the same
+    (m, k, residual) shape and still degenerates to the exact answer
+    at covering settings."""
+    from etl_airflow_adventureworks_spark.operators.pq import (
+        ann_ivf_pq_topk_from_index,
+        load_pq_quantizer,
+    )
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        rebuild_ivf_index,
+    )
+
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=K_CELLS, base_path=cpath)
+    _maintain(spark, cvt)
+    with pytest.raises(ValueError, match="rebuild the index"):
+        ivf_index_rowset_staleness(spark, idx)
+
+    rebuild_ivf_index(spark, idx)
+    st = ivf_index_rowset_staleness(spark, idx)
+    assert st["kind"] == "unchanged"
+    _, meta = load_ivf_index(spark, idx)
+    assert meta["layout_kind"] == "vt"
+    assert meta["n_vectors_at_build"] == cvt.read().count()
+    got = ann_ivf_topk_from_index(spark, idx, nprobe=K_CELLS)
+    assert _rows(got) == _rows(_brute_topk(cvt.read()))
+
+    # PQ refit: same quantizer shape, exact at covering nprobe + refine
+    c2, idx2 = str(tmp_path / "emb2"), str(tmp_path / "ivf2")
+    cvt2 = VersionedTable(spark, c2)
+    cvt2.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx2, k_cells=K_CELLS, pq_m=16,
+                    pq_k=64, base_path=c2)
+    _maintain(spark, cvt2)
+    rebuild_ivf_index(spark, idx2)
+    _, meta2 = load_ivf_index(spark, idx2)
+    books, residual = load_pq_quantizer(spark, idx2, meta2)
+    assert len(books) == 16 and len(books[0]) == 64 and residual
+    n = VersionedTable(spark, f"{idx2}/{meta2['layout_dir']}").read().count()
+    got = ann_ivf_pq_topk_from_index(
+        spark, idx2, nprobe=K_CELLS, refine=(n // TOP_K) + 1
+    )
+    assert _rows(got) == _rows(_brute_topk(cvt2.read()))
+
+
 def test_sync_refuses_plain_and_pre_r11_indexes(spark, tmp_path):
     """No base stamp -> loud; a base-stamped index whose layout is the
     immutable directory kind (pre-r11 build) -> loud with rebuild
