@@ -637,10 +637,23 @@ def ivf_index_staleness(
     cell, but the quantizer no longer matches the distribution and recall
     decays silently. Pass ``meta`` from an already-loaded index
     (``load_ivf_index``) to skip re-reading the manifest — the serve CLI
-    loads once and shares it between the staleness probe and the query."""
+    loads once and shares it between the staleness probe and the query.
+
+    Versioned-base indexes (r11): the live count comes from the BASE
+    TABLE'S current snapshot, not ``sf_dir`` — the directory mirror is
+    frozen at build time, so counting it would read ~0 growth forever
+    while the base keeps taking appends (exactly the drift this probe
+    exists to surface). ``sf_dir`` is only consulted for plain-directory
+    builds."""
+    from ..table import VersionedTable
+
     if meta is None:
         _, meta = load_ivf_index(spark, index_path, version)
-    now = load_table(spark, sf_dir, "embeddings").count()
+    base = meta.get("base")
+    if base:
+        now = VersionedTable(spark, base["path"]).read().count()
+    else:
+        now = load_table(spark, sf_dir, "embeddings").count()
     built = max(1, int(meta["n_vectors_at_build"]))
     return abs(now - built) / built
 

@@ -273,9 +273,18 @@ def test_rebuild_ivf_index_refits_from_current_base(spark, tmp_path):
     with pytest.raises(ValueError, match="rebuild the index"):
         ivf_index_rowset_staleness(spark, idx)
 
+    # the count probe measures the BASE (the sf_dir mirror is frozen):
+    # net +4 vectors since the build -> nonzero drift
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        ivf_index_staleness,
+    )
+
+    assert ivf_index_staleness(spark, idx, SF_SMOKE) > 0
+
     rebuild_ivf_index(spark, idx)
     st = ivf_index_rowset_staleness(spark, idx)
     assert st["kind"] == "unchanged"
+    assert ivf_index_staleness(spark, idx, SF_SMOKE) == 0.0
     _, meta = load_ivf_index(spark, idx)
     assert meta["layout_kind"] == "vt"
     assert meta["n_vectors_at_build"] == cvt.read().count()
