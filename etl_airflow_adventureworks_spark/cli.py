@@ -533,7 +533,10 @@ def main(argv: list[str] | None = None) -> int:
         staleness = ivf_index_staleness(
             spark, args.index, args.sf_dir, version=args.version, meta=index[1]
         )
-        print(f"index staleness vs {args.sf_dir}: {staleness:.1%}"
+        # label the collection the probe actually counted: versioned-base
+        # indexes measure the BASE table, not the (frozen) sf_dir mirror
+        src_label = (index[1].get("base") or {}).get("path") or args.sf_dir
+        print(f"index staleness vs {src_label}: {staleness:.1%}"
               + (" — refit advised" if staleness > 0.25 else ""))
         if index[1].get("base"):
             # versioned-base builds (r10) also get the rowset probe: a
@@ -728,15 +731,34 @@ def main(argv: list[str] | None = None) -> int:
               f"(index version {v})")
         return 0
     if args.cmd == "sync-index":
-        from .operators.similarity import optimize_ivf_layout, sync_ivf_index
+        from .operators.similarity import (
+            load_ivf_index,
+            optimize_ivf_layout,
+            sync_ivf_index,
+        )
+        from .table import VersionedTable
 
+        def layout_state():
+            _, m = load_ivf_index(spark, args.index)
+            if m.get("layout_kind") != "vt":
+                return None
+            lv = VersionedTable(spark, f"{args.index}/{m['layout_dir']}")
+            return (m["layout_dir"], lv.manifest()["version"])
+
+        pre = layout_state() if args.optimize_layout else None
         v = sync_ivf_index(spark, args.index, idempotency_token=args.token)
         print(f"IVF index at {args.index} synced to its base "
               f"(centroid version {v})")
         if args.optimize_layout:
-            lv = optimize_ivf_layout(spark, args.index)
-            print(f"layout re-clustered by (cell, vec_id) "
-                  f"(layout version {lv})")
+            cur = layout_state()
+            if cur is not None and cur == pre:
+                # a no-op sync (base already level / nothing applied)
+                # must not pay a whole-layout rewrite on every cadence
+                print("layout unchanged by this sync — skipping re-cluster")
+            else:
+                lv = optimize_ivf_layout(spark, args.index)
+                print(f"layout re-clustered by (cell, vec_id) "
+                      f"(layout version {lv})")
         return 0
     if args.cmd == "rebuild-index":
         from .operators.similarity import rebuild_ivf_index

@@ -476,10 +476,7 @@ def build_ivf_index(
     of a full rebuild; plain builds keep the immutable
     ``partitionBy(cell)`` directory layout. An OPTIMIZE of the base is
     rowset-preserving and leaves the index valid either way."""
-    import json as _json
-    import uuid
-
-    from ..table import VersionedTable, resolve_base_stamp
+    from ..table import resolve_base_stamp
 
     base = (
         resolve_base_stamp(spark, base_path, base_version)
@@ -487,18 +484,60 @@ def build_ivf_index(
         else None
     )
     cents = fit_ivf_centroids(spark, sf_dir, k_cells=k_cells, seed=seed)
-    n_vecs = load_table(spark, sf_dir, "embeddings").count()
-    layout_dir = f"layout-{uuid.uuid4().hex[:12]}"
-    extra = None
     books = None
     if pq_m is not None:
-        from .pq import fit_pq_codebooks, pq_code_expr, residual_expr
+        from .pq import fit_pq_codebooks
 
         books = fit_pq_codebooks(
             spark, sf_dir, m=pq_m, k=pq_k, seed=seed,
             centroids=cents if pq_residual else None,
         )
-        if pq_residual:
+    return _commit_ivf_index(
+        spark, index_path, cents,
+        base=base,
+        op_name="ivf_build",
+        built_from=sf_dir,
+        n_vecs=load_table(spark, sf_dir, "embeddings").count(),
+        layout_kind="vt" if base is not None else "dir",
+        books=books,
+        residual=pq_residual,
+        sf_dir=sf_dir,
+        k_cells=k_cells,
+    )
+
+
+def _commit_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    cents: list[list[float]],
+    *,
+    base: dict | None,
+    op_name: str,
+    built_from: str,
+    n_vecs: int,
+    layout_kind: str,
+    books: list[list[list[float]]] | None = None,
+    residual: bool = True,
+    sf_dir: str | None = None,
+    embeddings: DataFrame | None = None,
+    k_cells: int | None = None,
+) -> int:
+    """The shared tail of ``build_ivf_index`` / ``rebuild_ivf_index``:
+    derive the PQ extras, write the immutable layout (vt or dir), write
+    the version-coupled codebooks file, and commit the centroid table —
+    ONE definition of the centroid schema / extras contract so a fresh
+    build and a refit cannot drift apart."""
+    import json as _json
+    import uuid
+
+    from ..table import VersionedTable
+
+    layout_dir = f"layout-{uuid.uuid4().hex[:12]}"
+    extra = None
+    if books is not None:
+        from .pq import pq_code_expr, residual_expr
+
+        if residual:
             extra = {
                 "__res": residual_expr(
                     to_double_array("embedding"), "cell", cents
@@ -506,12 +545,12 @@ def build_ivf_index(
                 "codes": pq_code_expr("__res", books),
             }
         else:
-            extra = {"codes": pq_code_expr(to_double_array("embedding"), books)}
-    layout_kind = "vt" if base is not None else "dir"
+            extra = {"codes": pq_code_expr(to_double_array("embedding"),
+                                           books)}
     if layout_kind == "vt":
         _write_ivf_layout_vt(
             spark, sf_dir, f"{index_path}/{layout_dir}", cents,
-            extra_cols=extra, k_cells=k_cells,
+            extra_cols=extra, k_cells=k_cells, embeddings=embeddings,
         )
     else:
         write_embeddings_ivf_layout(
@@ -522,14 +561,14 @@ def build_ivf_index(
         _write_fs_text(
             spark,
             f"{index_path}/{layout_dir}/_pq_codebooks.json",
-            _json.dumps({"residual": bool(pq_residual), "books": books}),
+            _json.dumps({"residual": bool(residual), "books": books}),
         )
     cent_df = spark.createDataFrame(
-        [(i, c, n_vecs, sf_dir, layout_dir) for i, c in enumerate(cents)],
+        [(i, c, n_vecs, built_from, layout_dir) for i, c in enumerate(cents)],
         "cell int, centroid array<double>, n_vectors_at_build long,"
         " built_from string, layout_dir string",
     )
-    op_info = {"op": "ivf_build", "layout_kind": layout_kind}
+    op_info = {"op": op_name, "layout_kind": layout_kind}
     if base:
         op_info["base"] = base
     return VersionedTable(spark, f"{index_path}/centroids").commit(
@@ -564,19 +603,20 @@ def _write_ivf_layout_vt(
 
     from ..table import VersionedTable
 
-    df = _ivf_layout_frame(spark, sf_dir, centroids, extra_cols,
-                           embeddings=embeddings)
     src = (
         embeddings
         if embeddings is not None
         else load_table(spark, sf_dir, "embeddings")
     )
-    jvm = spark._jvm
-    HPath = jvm.org.apache.hadoop.fs.Path
+    df = _ivf_layout_frame(spark, sf_dir, centroids, extra_cols,
+                           embeddings=src)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
     total = 0
+    fs = None
     for uri in src.inputFiles():
         p = HPath(uri)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs is None:  # one FileSystem resolve; all files share a scheme
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         total += fs.getFileStatus(p).getLen()
     n_files = max(k_cells or 1, math.ceil(total / target_file_bytes))
     clustered = df.repartitionByRange(
@@ -940,10 +980,10 @@ def rebuild_ivf_index(
     shape, writes a fresh clustered ``VersionedTable`` layout under a
     new immutable dir, and commits the centroid table with the new base
     stamp. Old layouts stay time-travelable until ``vacuum_ivf_index``.
+    Cost shape: two full collection scans (the k-means fit and the
+    layout write — both inherent to a refit); the PQ sample is
+    limit-bounded and the row count reads parquet footers only.
     Returns the centroid-table version."""
-    import json as _json
-    import uuid
-
     from ..table import VersionedTable
 
     cents_old, meta = load_ivf_index(spark, index_path)
@@ -960,59 +1000,29 @@ def rebuild_ivf_index(
     k = k_cells or len(cents_old)
     cents = fit_ivf_centroids(spark, sf_dir=None, k_cells=k, seed=seed,
                               embeddings=df)
-    extra = None
     books = None
     residual = False
     try:
-        from .pq import (
-            fit_pq_codebooks,
-            load_pq_quantizer,
-            pq_code_expr,
-            residual_expr,
-        )
+        from .pq import fit_pq_codebooks, load_pq_quantizer
 
         books_old, residual = load_pq_quantizer(spark, index_path, meta)
         books = fit_pq_codebooks(
             spark, sf_dir=None, m=len(books_old), k=len(books_old[0]),
             seed=seed, centroids=cents if residual else None, embeddings=df,
         )
-        if residual:
-            extra = {
-                "__res": residual_expr(
-                    to_double_array("embedding"), "cell", cents
-                ),
-                "codes": pq_code_expr("__res", books),
-            }
-        else:
-            extra = {"codes": pq_code_expr(to_double_array("embedding"),
-                                           books)}
     except FileNotFoundError:
         pass  # plain (non-PQ) build: nothing to retrain
-    layout_dir = f"layout-{uuid.uuid4().hex[:12]}"
-    _write_ivf_layout_vt(
-        spark, sf_dir=None, layout_path=f"{index_path}/{layout_dir}",
-        centroids=cents, extra_cols=extra, k_cells=k, embeddings=df,
-    )
-    if books is not None:
-        _write_fs_text(
-            spark,
-            f"{index_path}/{layout_dir}/_pq_codebooks.json",
-            _json.dumps({"residual": bool(residual), "books": books}),
-        )
-    n_vecs = df.count()
-    cent_df = spark.createDataFrame(
-        [(i, c, n_vecs, base["path"], layout_dir) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>, n_vectors_at_build long,"
-        " built_from string, layout_dir string",
-    )
-    return VersionedTable(spark, f"{index_path}/centroids").commit(
-        cent_df,
-        mode="overwrite",
-        op_info={
-            "op": "ivf_rebuild",
-            "layout_kind": "vt",
-            "base": {"path": base["path"], "version": v_now},
-        },
+    return _commit_ivf_index(
+        spark, index_path, cents,
+        base={"path": base["path"], "version": v_now},
+        op_name="ivf_rebuild",
+        built_from=base["path"],
+        n_vecs=df.count(),
+        layout_kind="vt",
+        books=books,
+        residual=residual,
+        embeddings=df,
+        k_cells=k,
     )
 
 
@@ -1030,11 +1040,14 @@ def optimize_ivf_layout(
     fresh stats — as one atomic rowset-preserving version (serving is
     byte-identical before/after; the next sync's CDC apply simply works
     on the compacted files). The IVF analogue of OPTIMIZE after
-    streaming ingest; run it on the same cadence. Returns the layout
-    table version."""
+    streaming ingest; run it on the same cadence. The default file count
+    is byte-derived FLOORED at one file per cell — without the floor a
+    small layout would compact into one all-cells file and every probe
+    would scan the whole collection, the opposite of the point. Returns
+    the layout table version."""
     from ..table import VersionedTable
 
-    _, meta = load_ivf_index(spark, index_path)
+    cents, meta = load_ivf_index(spark, index_path)
     if meta.get("layout_kind") != "vt":
         raise ValueError(
             f"IVF index at {index_path} has an immutable directory layout"
@@ -1042,7 +1055,8 @@ def optimize_ivf_layout(
         )
     return VersionedTable(
         spark, f"{index_path}/{meta['layout_dir']}"
-    ).optimize(cluster_by=["cell", "vec_id"], num_files=num_files)
+    ).optimize(cluster_by=["cell", "vec_id"], num_files=num_files,
+               min_files=len(cents))
 
 
 def vacuum_ivf_index(
