@@ -440,10 +440,12 @@ class VersionedTable:
         if n <= _PRUNE_KEYS_COLLECT_MAX:
             import bisect
 
-            keys = sorted(
-                r[0] for r in batch.select(key).distinct().collect()
+            # no .distinct(): that's a shuffle stage, and the collect is
+            # already row-capped — dedupe on the driver instead
+            keys = sorted({
+                r[0] for r in batch.select(key).collect()
                 if r[0] is not None
-            )
+            })
             if not keys:
                 return []  # no non-null keys: nothing can match any file
             out = []
