@@ -53,8 +53,13 @@ incrementally — retractions subtract from count/sum, decrement the
 histogram's integer bins, and drop groups whose row count reaches
 zero — still reading only delta/change files. min/max and the HLL
 sketch cannot retract (an extremum's history and a sketch cannot
-un-see a value): a rewrite window touching those measures falls back
-to a full rebuild with a loud RuntimeWarning. An UNRECORDED rewrite
+un-see a value): a rewrite window touching those measures takes the
+GROUP-LOCAL path (r12) — the affected group keys are extracted from
+the change rows and ONLY those groups are re-aggregated from the
+source snapshot (stats-pruned to the touched files when a dim is a
+bare clustered column), then spliced into the untouched rollup rows —
+cost ∝ the touched groups' source rows, never the table. An UNRECORDED
+rewrite
 (plain overwrite, schema-drift upsert, pre-r10 history) still fails
 loud; pass ``full_rebuild=True`` to re-aggregate from the current
 snapshot (same result, full-scan cost). A pure COMPACTION
@@ -68,6 +73,8 @@ scale posture applied to exactly that recompute.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -265,8 +272,138 @@ def _aggregate(df: DataFrame, dims: list[str], measures: dict) -> DataFrame:
 #: measures whose contribution can be SUBTRACTED back out (commutative
 #: group structure) — what the row-level change feed's retractions need.
 #: min/max lose the evicted extremum's history; an HLL sketch cannot
-#: un-see a value. Both fall back to full_rebuild (loud) on a rewrite.
+#: un-see a value. Since r12 a rewrite window touching those measures
+#: takes the GROUP-LOCAL path (re-aggregate only the touched groups from
+#: the source snapshot) instead of a full rebuild.
 _RETRACTABLE = {"count", "sum", "histogram", "_nncount"}
+
+#: touched group keys up to this many get (a) broadcast into the
+#: group-local semi-joins and (b) exact per-file stats pruning of the
+#: source read — same ≤ ~1 MB driver-memory posture as the table layer's
+#: ``_PRUNE_KEYS_COLLECT_MAX``; beyond it the joins shuffle (still
+#: groups-sized) and the source read falls back to all files
+_GROUP_KEYS_COLLECT_MAX = 100_000
+
+#: a dim expression that is a BARE source column name — the only dim
+#: shape file-level min/max stats can prune on (an expression or alias
+#: has no per-file stats)
+_BARE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _group_local_state(
+    spark: SparkSession,
+    src: VersionedTable,
+    v_src: int,
+    current: DataFrame,
+    delta: DataFrame,
+    dims: list[str],
+    internal: dict,
+) -> tuple[DataFrame, dict]:
+    """Recompute ONLY the groups the change window touched, from the
+    source snapshot AT ``v_src``, and splice them into the untouched
+    rollup rows — the r12 refresh path for rewrite windows whose spec
+    has non-retractable measures (min / max / approx_distinct), which
+    previously forced a full rebuild per refresh (the last
+    full-scan-per-epoch cost cliff, VERDICT r11 #1).
+
+    Exactness: every window modification is a change row (``row_changes``
+    fails loud otherwise), and every change row's group key — preimage
+    AND postimage, so a row that MOVED groups touches both — is in the
+    touched set. Untouched groups therefore have bit-identical source
+    rows, and their stored state is carried verbatim; touched groups are
+    re-aggregated from the source itself, so nothing is "un-seen" — the
+    result equals ``full_rebuild=True`` bit-for-bit for every
+    deterministic measure (min/max/count/sum/histogram; HLL sketches are
+    bit-equal while in exact LIST/SET mode and within the documented
+    error band after, since untouched groups keep their stored merge
+    topology).
+
+    Cost shape: the touched-group source read is pruned to the files
+    whose recorded per-file min/max admit a touched key when a dim is a
+    bare stats-covered column (exact per-key bisect, the
+    ``_candidate_files`` discipline) — on a dim-clustered source a
+    k-group window reads ~k files, not the table. The semi-joins are
+    broadcast below ``_GROUP_KEYS_COLLECT_MAX`` keys. Returns
+    ``(state_df, op_metrics)``; the caller commits."""
+    import bisect
+
+    from functools import reduce
+
+    from ..table import _widen_float_bounds
+
+    dim_tmp = [f"__gl_d{i}" for i in range(len(dims))]
+    # output key-column names, schema-only (no job)
+    dim_names = delta.select(*[F.expr(d) for d in dims]).columns
+    keys = (
+        delta.select(*[F.expr(d).alias(t) for d, t in zip(dims, dim_tmp)])
+        .distinct()
+        .localCheckpoint(eager=True)  # read twice (semi + anti join)
+    )
+    n_groups = keys.count()
+    small = n_groups <= _GROUP_KEYS_COLLECT_MAX
+
+    man = src.manifest(v_src)
+    files = man["files"]
+    stats = man.get("stats") or {}
+    src_schema = src.read(v_src).schema  # manifest schema, no data read
+    src_cols = {f.name for f in src_schema.fields}
+    # bare-column dims with recorded stats are prunable; NULL touched
+    # keys disable pruning on that dim (file stats ignore NULLs, so any
+    # file could hold the NULL group's rows)
+    prunable = {
+        t: d.strip()
+        for d, t in zip(dims, dim_tmp)
+        if _BARE_IDENT.match(d.strip()) and d.strip() in src_cols
+    }
+    pruned = files
+    if small and prunable and files:
+        key_rows = keys.select(*prunable).collect()
+        for t, col in prunable.items():
+            vals = [r[t] for r in key_rows]
+            if any(v is None for v in vals):
+                continue
+            vals = sorted(set(vals))
+
+            def may_contain(f: str) -> bool:
+                ent = stats.get(f) or {}
+                if col not in ent:
+                    return True  # no stats: never wrongly skipped
+                lo, hi = _widen_float_bounds(*ent[col])
+                i = bisect.bisect_left(vals, lo)
+                return i < len(vals) and vals[i] <= hi
+
+            pruned = [f for f in pruned if may_contain(f)]
+    if pruned:
+        src_rows = spark.read.schema(src_schema).parquet(
+            *[f"{src.path}/{f}" for f in pruned]
+        )
+    else:
+        src_rows = spark.createDataFrame([], src_schema)
+    tagged = src_rows.select(
+        "*", *[F.expr(d).alias(t) for d, t in zip(dims, dim_tmp)]
+    )
+    probe = F.broadcast(keys) if small else keys
+    cond = reduce(
+        lambda a, b: a & b, [tagged[t].eqNullSafe(keys[t]) for t in dim_tmp]
+    )
+    re_agg = _aggregate(
+        tagged.join(probe, cond, "left_semi").drop(*dim_tmp), dims, internal
+    )
+    keys_named = keys.toDF(*dim_names)
+    probe_named = F.broadcast(keys_named) if small else keys_named
+    anti = reduce(
+        lambda a, b: a & b,
+        [current[n].eqNullSafe(keys_named[n]) for n in dim_names],
+    )
+    kept = current.join(probe_named, anti, "left_anti")
+    metrics = {
+        "op": "rollup_refresh",
+        "mode": "group_local",
+        "groups_touched": n_groups,
+        "files_read": len(pruned),
+        "files_total": len(files),
+    }
+    return kept.unionByName(re_agg), metrics
 
 
 def _signed_aggregate(
@@ -385,9 +522,17 @@ def refresh_rollup(
     bins decrement, groups whose row count reaches zero are dropped —
     still reading only the delta. Non-retractable measures (min / max /
     approx_distinct: an extremum's history and an HLL sketch cannot
-    un-see a value) fall back to a full rebuild with a loud warning;
-    an UNRECORDED rewrite (plain overwrite, pre-r10 history) still
-    fails loud — pass ``full_rebuild=True``.
+    un-see a value) take the GROUP-LOCAL path instead (r12, VERDICT
+    r11 #1): the touched group keys come from the change rows, only
+    those groups are re-aggregated from the source snapshot at the
+    stamped version (file-pruned via the manifest's per-file min/max
+    when a dim is a bare stats-covered column — exact per-key bisect),
+    and the untouched rollup rows are carried verbatim; the result is
+    bit-equal to ``full_rebuild=True`` at touched-groups cost, and the
+    manifest's ``op`` records ``{mode: group_local, groups_touched,
+    files_read, files_total}``. An UNRECORDED rewrite (plain
+    overwrite, pre-r10 history) still fails loud — pass
+    ``full_rebuild=True``.
 
     NULL-sum exactness (r11, VERDICT r10 #1): each ``sum`` measure
     carries a hidden ``__nn_<name>`` counter of non-null source values
@@ -452,6 +597,7 @@ def refresh_rollup(
                 return roll.manifest()["version"]
             rebuild = reflected is None or full_rebuild
             retractions = False
+            group_local = False
             if not rebuild:
                 current = roll.read()
                 if any(c not in current.columns for c in internal):
@@ -479,24 +625,34 @@ def refresh_rollup(
                         fn == "count" for fn, _c in measures.values()
                     )
                     if bad or not has_count:
-                        why = (
-                            f"non-retractable measure(s) {bad}"
-                            if bad
-                            else "no count measure to detect emptied groups"
-                        )
-                        warnings.warn(
-                            f"refresh_rollup: source v{reflected}->v{v_src} "
-                            f"contains a rewrite but {why} — falling back to "
-                            "a full rebuild (exact, full-scan cost)",
-                            RuntimeWarning,
-                            stacklevel=2,
-                        )
-                        rebuild = True
+                        # r12 (VERDICT r11 #1): re-aggregate ONLY the
+                        # change-feed-named groups from the source
+                        # snapshot instead of a full rebuild — exact for
+                        # min/max/HLL (nothing is un-seen), and the one
+                        # path that needs no count measure (emptied
+                        # groups simply have no source rows left)
+                        group_local = True
             if rebuild:
-                state = _aggregate(src.read(), dims, internal)
+                # pin the scan to the stamped version: a concurrent
+                # source commit between manifest() and this read would
+                # otherwise aggregate rows the token does not reflect,
+                # and the next refresh would re-apply them (double count)
+                state = _aggregate(src.read(v_src), dims, internal)
                 return roll.commit(
                     state, mode="overwrite", idempotency_token=token,
                     retry=False,
+                    op_info={"op": "rollup_refresh", "mode": "rebuild"},
+                )
+            if group_local:
+                delta = src.row_changes(reflected, v_src)
+                state, op_metrics = _group_local_state(
+                    spark, src, v_src, current, delta, dims, internal
+                )
+                state = state.localCheckpoint(eager=True)  # derives from
+                # the rollup version being replaced — pin before commit
+                return roll.commit(
+                    state, mode="overwrite", idempotency_token=token,
+                    retry=False, op_info=op_metrics,
                 )
             if (
                 rebuild_advisory_bytes > 0
@@ -552,7 +708,11 @@ def refresh_rollup(
                     )
                 merged = merged.filter(F.col(count_col) > 0)
             return roll.commit(
-                merged, mode="overwrite", idempotency_token=token, retry=False
+                merged, mode="overwrite", idempotency_token=token, retry=False,
+                op_info={
+                    "op": "rollup_refresh",
+                    "mode": "retract" if retractions else "incremental",
+                },
             )
         except CommitConflict as e:
             last_err = e

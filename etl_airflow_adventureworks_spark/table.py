@@ -1608,9 +1608,12 @@ def stream_cdc_with_rollups(
     refreshes no-op; a refresh that died before its commit recomputes
     the same delta on replay). The rollup lags the table by at most one
     failed refresh, never diverges. Specs with non-retractable measures
-    (min/max/HLL) will warn + full-rebuild per epoch under updates —
-    use retractable measure sets (count/sum/histogram + a count) for
-    CDC sources. Returns the started StreamingQuery.
+    (min/max/HLL) refresh GROUP-LOCALLY under updates since r12 — only
+    the epoch's touched groups are re-aggregated from the source
+    (stats-pruned when a dim is clustered), so per-epoch cost stays
+    delta-shaped; retractable measure sets (count/sum/histogram + a
+    count) remain cheaper still (no source re-read at all). Returns
+    the started StreamingQuery.
 
     Per-epoch cost shape (r11, VERDICT r10 #7): each epoch runs the CDC
     apply's job chain (probe + touched-file rewrite, ~4 jobs) plus ONE
@@ -1638,10 +1641,9 @@ def stream_cdc_with_rollups(
         for spec in rollups:
             with warnings.catch_warnings():
                 # silence ONLY the small-source advisory (a batch-caller
-                # hint; a continuous pipeline owns its refresh policy) —
-                # the non-retractable-measure fallback warning must stay
-                # loud, since per-epoch full rebuilds are exactly the
-                # degradation this pipeline exists to avoid
+                # hint; a continuous pipeline owns its refresh policy);
+                # any other warning (e.g. the one-time pre-r11 schema
+                # migration rebuild) stays loud
                 warnings.filterwarnings(
                     "ignore",
                     message=".*full rebuild is typically faster.*",

@@ -538,10 +538,16 @@ def test_refresh_survives_upsert_delete_cdc_with_retractions(spark, tmp_path):
     )
 
 
-def test_non_retractable_measures_fall_back_loud(spark, tmp_path):
+def test_non_retractable_measures_refresh_group_local(spark, tmp_path):
     """min/max and the HLL sketch cannot un-see a value: a rewrite window
-    touching them warns and rebuilds (exact, full-scan); likewise a
-    measure set with no count measure (emptied groups undetectable)."""
+    touching them no longer full-rebuilds (the pre-r12 behavior) — only
+    the change-feed-named groups are re-aggregated from the source
+    snapshot and spliced into the untouched rollup rows, exact vs
+    from-scratch; likewise a measure set with no count measure (the
+    group-local path needs none — emptied groups simply have no source
+    rows left)."""
+    import warnings
+
     ev, slices = _events_slices(spark)
     src = VersionedTable(spark, str(tmp_path / "src"))
     src.commit(slices[0])
@@ -553,23 +559,94 @@ def test_non_retractable_measures_fall_back_loud(spark, tmp_path):
             "value", F.col("value") + 1.0),
         key="event_id",
     )
-    with pytest.warns(RuntimeWarning, match="non-retractable measure"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old path warned; this one must not
         v = refresh_rollup(*args)
     assert v > 1
-    assert _snap(VersionedTable(spark, str(tmp_path / "roll")).read()) == \
-        _snap(_full_agg(src.read()))
+    roll = VersionedTable(spark, str(tmp_path / "roll"))
+    assert _snap(roll.read()) == _snap(_full_agg(src.read()))
+    op = roll.manifest()["op"]
+    assert op["mode"] == "group_local"
+    n_groups_total = _full_agg(src.read()).count()
+    assert 0 < op["groups_touched"] < n_groups_total
 
-    # sum-only measure set: no count measure to detect emptied groups
+    # sum-only measure set: no count measure — group-local handles it too
     args2 = (spark, str(tmp_path / "src"), str(tmp_path / "roll2"),
              DIMS, {"sum_value": ("sum", "value")})
     refresh_rollup(*args2)
     src.delete_where("event_id % 11 = 0")
-    with pytest.warns(RuntimeWarning, match="no count measure"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         refresh_rollup(*args2)
-    got = VersionedTable(spark, str(tmp_path / "roll2")).read()
+    roll2 = VersionedTable(spark, str(tmp_path / "roll2"))
+    assert roll2.manifest()["op"]["mode"] == "group_local"
+    got = roll2.read()
     exact = src.read().groupBy(*[F.expr(d) for d in DIMS]).agg(
         F.sum("value").alias("sum_value"))
     assert _snap(got) == _snap(exact)
+    # incremental service resumes after the group-local window
+    src.commit(slices[1], mode="append")
+    refresh_rollup(*args2)
+    assert roll2.manifest()["op"]["mode"] == "incremental"
+    exact = src.read().groupBy(*[F.expr(d) for d in DIMS]).agg(
+        F.sum("value").alias("sum_value"))
+    assert _snap(roll2.read()) == _snap(exact)
+
+
+def test_group_local_refresh_prunes_files_on_clustered_dim(spark, tmp_path):
+    """VERDICT r11 #1's done-gate: an upsert touching k of N groups on a
+    dim-clustered source refreshes bit-equal to ``full_rebuild=True``
+    while the op metrics show the source read was pruned ∝ touched
+    groups (per-file min/max stats + exact key bisect), and the HLL
+    sketch column agrees with from-scratch (exact mode at this size)."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _aggregate, finalize_rollup,
+    )
+
+    dims = ["g"]
+    measures = {
+        "n": ("count", None),
+        "mx": ("max", "v"),
+        "mn": ("min", "v"),
+        "nd": ("approx_distinct", "u"),
+    }
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    rows = [(i, i % 16, float(i % 97), i % 37) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, g long, v double, u long")
+    # key-clustered layout: one contiguous g-range per file, stats recorded
+    t.commit(
+        df.repartitionByRange(8, "g").sortWithinPartitions("g"),
+        stats_cols=["g"],
+    )
+    refresh_rollup(spark, tpath, rpath, dims, measures)
+
+    # touch exactly one group: every k ≡ 35 (mod 80) has k % 16 = 3, so
+    # the delete retracts rows from g=3 only (one clustered file)
+    t.delete_where("k % 80 = 35")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        refresh_rollup(spark, tpath, rpath, dims, measures)
+    roll = VersionedTable(spark, rpath)
+    op = roll.manifest()["op"]
+    assert op["mode"] == "group_local"
+    assert op["groups_touched"] == 1
+    # pruned ∝ touched groups: the delete's survivor file(s) plus at
+    # most the one carried clustered file overlapping g=3 — never the
+    # 7 untouched clustered files
+    assert op["files_read"] <= op["files_total"] - 7
+    assert op["files_read"] < op["files_total"]
+
+    # bit-equal to a from-scratch rebuild, HLL estimates included
+    got = finalize_rollup(roll.read(), measures).collect()
+    want = finalize_rollup(
+        _aggregate(t.read(), dims, measures), measures
+    ).collect()
+    assert sorted(
+        [tuple(r) for r in got], key=lambda x: x[0]
+    ) == sorted([tuple(r) for r in want], key=lambda x: x[0])
 
 
 def test_fully_retracted_nullable_sum_reads_null(spark, tmp_path):
