@@ -278,6 +278,20 @@ def main(argv: list[str] | None = None) -> int:
                     "fragment per-cell pruning; this restores it as one "
                     "atomic rowset-preserving version")
 
+    oil = sub.add_parser(
+        "optimize-index-layout",
+        help="re-cluster a repairable IVF layout hierarchically by "
+        "(cell, vec_id) as one atomic rowset-preserving version — run "
+        "when repeated sync patches have fragmented per-cell pruning, "
+        "or to recover a crashed 'sync-index --optimize-layout' whose "
+        "replayed sync no-ops on its token and skips the re-cluster "
+        "(r12, ADVICE r11)",
+    )
+    oil.add_argument("--index", required=True)
+    oil.add_argument("--num-files", type=int, default=None,
+                     help="default: byte-derived, floored at one file "
+                     "per cell")
+
     ri = sub.add_parser(
         "rebuild-index",
         help="REFIT a versioned-base IVF index from its base table's "
@@ -759,6 +773,13 @@ def main(argv: list[str] | None = None) -> int:
                 lv = optimize_ivf_layout(spark, args.index)
                 print(f"layout re-clustered by (cell, vec_id) "
                       f"(layout version {lv})")
+        return 0
+    if args.cmd == "optimize-index-layout":
+        from .operators.similarity import optimize_ivf_layout
+
+        lv = optimize_ivf_layout(spark, args.index, num_files=args.num_files)
+        print(f"layout re-clustered by (cell, vec_id) "
+              f"(layout version {lv})")
         return 0
     if args.cmd == "rebuild-index":
         from .operators.similarity import rebuild_ivf_index

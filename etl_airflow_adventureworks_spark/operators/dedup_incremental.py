@@ -151,6 +151,36 @@ def build_neardup_index(
     )
 
 
+#: target bytes per appended index file — the same sizing rule as
+#: `optimize` / `_write_ivf_layout_vt`; measured against the batch's
+#: INPUT bytes (a cheap proxy for entry bytes: shingle-hash arrays scale
+#: with document text)
+_APPEND_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _batch_num_files(spark: SparkSession, docs: DataFrame) -> int:
+    """Output file count for an append batch: ceil(input bytes / 128 MiB),
+    so a LARGE batch lands as several key-local files instead of one
+    oversized file spanning the whole batch key range — which every later
+    copy-on-write sync would have to rewrite wholesale, re-creating the
+    fragmentation the r11 clustering removed (ADVICE r11). In-memory
+    batches (no resolvable input files) stay at 1."""
+    import math
+
+    uris = docs.inputFiles()
+    if not uris:
+        return 1
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = None
+    total = 0
+    for uri in uris:
+        p = HPath(uri)
+        if fs is None:  # one FileSystem resolve; batch files share a scheme
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        total += fs.getFileStatus(p).getLen()
+    return max(1, math.ceil(total / _APPEND_TARGET_FILE_BYTES))
+
+
 def append_to_neardup_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -158,6 +188,7 @@ def append_to_neardup_index(
     idempotency_token: str | None = None,
     base_path: str | None = None,
     base_version: int | None = None,
+    num_files: int | None = None,
 ) -> int:
     """Append an accepted batch's entries to the index as a new version.
     Pass the batch id as ``idempotency_token`` for exactly-once semantics
@@ -168,7 +199,9 @@ def append_to_neardup_index(
     the corpus version this batch brings the index level with — when
     concurrent writers are possible: resolving the current version at
     call time is a TOCTOU that would stamp over (and silently skip) a
-    racing rewrite (``table.resolve_base_stamp``)."""
+    racing rewrite (``table.resolve_base_stamp``). ``num_files`` sizes
+    the batch's key-clustered output (default: byte-derived — see
+    ``_batch_num_files``)."""
     from ..table import resolve_base_stamp
 
     base = (
@@ -176,9 +209,12 @@ def append_to_neardup_index(
         if base_path is not None
         else None
     )
-    # batches cluster within themselves (1 file per batch by default) and
+    # batches cluster within themselves (byte-sized file count) and
     # record key stats, so appended files stay prunable by later syncs
-    entries, stats = _cluster_entries(neardup_index_entries(docs), 1)
+    entries, stats = _cluster_entries(
+        neardup_index_entries(docs),
+        num_files if num_files is not None else _batch_num_files(spark, docs),
+    )
     return VersionedTable(spark, index_path).commit(
         entries, mode="append",
         stats_cols=stats,

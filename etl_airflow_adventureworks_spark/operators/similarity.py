@@ -848,8 +848,14 @@ def sync_ivf_index(
     a plain directory layout cannot be patched atomically — rebuild
     with ``build_ivf_index``. An UNRECORDED base rewrite (plain
     overwrite) still fails loud in ``row_changes``. A window with no
-    row changes (e.g. only OPTIMIZE) just re-stamps. Returns the
-    centroid-table version after the sync.
+    row changes (e.g. only OPTIMIZE) just re-stamps. A base that
+    additively GREW payload columns in the window (r12, VERDICT r11
+    #2) stays incremental: the layout is widened first by a zero-row
+    schema append (old files surface NULL for the new columns, exactly
+    like the base's own pre-evolution files) and the sync batch carries
+    them; a retyped column still fails loud (rebuild_ivf_index
+    re-reads the current snapshot). Returns the centroid-table version
+    after the sync.
 
     After a sync, ``ivf_index_rowset_staleness`` reads 'unchanged' and
     the served top-k is row-identical to a from-scratch rebuild at
@@ -864,6 +870,7 @@ def sync_ivf_index(
     from ..table import (
         CHANGE_TYPE_COL,
         CHANGE_VERSION_COL,
+        CommitConflict,
         VersionedTable,
         collapse_row_changes,
     )
@@ -892,13 +899,48 @@ def sync_ivf_index(
         _json.loads(layout.manifest()["schema"])
     )
     # the layout = the base's columns + the derived (cell[, codes]);
-    # sync recomputes the derived ones and carries the rest. A base that
-    # additively GREW a payload column since the build keeps serving
-    # (ANN only needs vec_id/embedding) but the layout won't pick the
-    # new column up until a rebuild.
+    # sync recomputes the derived ones and carries the rest.
     derived = {"cell", "codes"}
-    base_cols = [f.name for f in lay_schema.fields if f.name not in derived]
+    token = idempotency_token or f"ivf-sync:v{v_now}"
     delta = corpus.row_changes(base["version"], v_now)
+    delta_payload = {
+        f.name: f
+        for f in delta.schema.fields
+        if f.name not in (CHANGE_TYPE_COL, CHANGE_VERSION_COL)
+    }
+    lay_by_name = {f.name: f for f in lay_schema.fields}
+    retyped = sorted(
+        n for n, f in delta_payload.items()
+        if n in lay_by_name
+        and lay_by_name[n].dataType.simpleString()
+        != f.dataType.simpleString()
+    )
+    if retyped:
+        raise ValueError(
+            f"base table {base['path']} retyped column(s) {retyped} since "
+            f"the build at v{base['version']} — the layout's copies cannot "
+            "be widened in place; rebuild_ivf_index re-reads the current "
+            "snapshot"
+        )
+    added = [
+        f for n, f in delta_payload.items() if n not in lay_by_name
+    ]
+    if added:
+        # additive base evolution (r12, VERDICT r11 #2): widen the layout
+        # FIRST with a zero-row append carrying the new payload columns —
+        # its untouched files then surface NULL for them, exactly like
+        # the base's own pre-evolution files (the r11 replicate_table
+        # move). The token suffix keeps the commit from being skipped as
+        # a replay of this sync while a crash between the two commits
+        # replays cleanly (same window; re-widen no-ops on its token,
+        # the CDC apply no-ops on the sync token).
+        lay_schema = T.StructType(list(lay_schema.fields) + added)
+        layout.commit(
+            spark.createDataFrame([], lay_schema),
+            mode="append",
+            idempotency_token=f"{token}+schema-v{v_now}",
+        )
+    base_cols = [f.name for f in lay_schema.fields if f.name not in derived]
     missing_cols = sorted(set(base_cols) - set(delta.columns))
     if missing_cols:  # base_cols always includes vec_id + embedding
         raise ValueError(
@@ -910,7 +952,6 @@ def sync_ivf_index(
         delta.select(*base_cols, CHANGE_TYPE_COL, CHANGE_VERSION_COL),
         "vec_id",
     ).localCheckpoint(eager=True)  # window-sized; reused below
-    token = idempotency_token or f"ivf-sync:v{v_now}"
     if final.take(1):
         live = final.filter(F.col("op") == "upsert").select(*base_cols)
         assigned = live.withColumn(
@@ -946,16 +987,29 @@ def sync_ivf_index(
     # entry) — a crash between the apply and this commit replays cleanly
     # (same window; the layout apply's token makes it a no-op)
     cent_df = cvt_cent.read().localCheckpoint(eager=True)
-    return cvt_cent.commit(
-        cent_df,
-        mode="overwrite",
-        idempotency_token=token,
-        op_info={
-            "op": "ivf_sync",
-            "layout_kind": "vt",
-            "base": {"path": base["path"], "version": v_now},
-        },
-    )
+    try:
+        return cvt_cent.commit(
+            cent_df,
+            mode="overwrite",
+            idempotency_token=token,
+            retry=False,  # snapshot-dependent payload (r12, ADVICE r11):
+            # commit's blind OCC retry would republish these pre-conflict
+            # centroid rows over a concurrent rebuild_ivf_index's refit,
+            # silently reverting its new centroids + layout pointer
+            op_info={
+                "op": "ivf_sync",
+                "layout_kind": "vt",
+                "base": {"path": base["path"], "version": v_now},
+            },
+        )
+    except CommitConflict:
+        # a concurrent centroid writer (another sync, or a rebuild refit)
+        # landed first: its state is newer and self-consistent — never
+        # republish ours over it. Our CDC apply patched the layout that
+        # writer may have superseded; return its version UNSTAMPED and
+        # let the next sync bring the (possibly rebuilt) index level
+        # from its own recorded base stamp.
+        return cvt_cent.manifest()["version"]
 
 
 def rebuild_ivf_index(

@@ -539,6 +539,15 @@ def test_sync_index_subcommand(spark, tmp_path, capsys):
     assert main(["query-index", "--sf-dir", SF_SMOKE, "--index", idx,
                  "--nprobe", "2", "--limit", "3"]) == 0
     capsys.readouterr()
+    # standalone re-cluster (r12, ADVICE r11): recovers a crashed
+    # 'sync-index --optimize-layout' run — the replayed sync no-ops on
+    # its token, so the combined command would skip the re-cluster
+    assert main(["optimize-index-layout", "--index", idx,
+                 "--num-files", "4"]) == 0
+    assert "re-clustered" in capsys.readouterr().out
+    assert main(["query-index", "--sf-dir", SF_SMOKE, "--index", idx,
+                 "--nprobe", "2", "--limit", "3"]) == 0
+    capsys.readouterr()
     # refit leg: rebuild-index retrains from the current base and serves
     cvt.delete_where("vec_id = 11")
     assert main(["rebuild-index", "--index", idx]) == 0

@@ -133,6 +133,43 @@ def test_append_is_idempotent_under_token_replay(
     assert vt.read().count() == corpus_df.count() + b1_df.count()
 
 
+def test_append_sizes_output_files_by_batch_bytes(
+    spark, tmp_path, corpus_and_batches
+):
+    """r12 (ADVICE r11): a large append batch no longer lands as ONE file
+    spanning the whole batch key range (which every later copy-on-write
+    sync would rewrite wholesale) — num_files is byte-derived (in-memory
+    batches stay at 1) and overridable."""
+    from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+        _batch_num_files,
+    )
+
+    corpus_df, b1_df = corpus_and_batches[0], corpus_and_batches[1]
+    idx = str(tmp_path / "index")
+    build_neardup_index(spark, corpus_df, idx)
+    # in-memory batch: byte derivation has no input files -> 1
+    assert _batch_num_files(spark, b1_df) == 1
+    vt = VersionedTable(spark, idx)
+    n_before = len(vt.manifest()["files"])
+    append_to_neardup_index(spark, b1_df, idx, idempotency_token="b1")
+    assert len(vt.manifest()["files"]) == n_before + 1
+    # explicit override: the batch clusters into that many key-local
+    # files, each carrying doc_id stats for later sync pruning
+    b2_df = corpus_and_batches[2]
+    append_to_neardup_index(
+        spark, b2_df, idx, idempotency_token="b2", num_files=3
+    )
+    man = vt.manifest()
+    new_files = [f for f in man["files"] if f not in set(
+        vt.manifest(man["version"] - 1)["files"])]
+    assert len(new_files) == 3
+    assert all("doc_id" in (man["stats"].get(f) or {}) for f in new_files)
+    # a parquet-backed batch derives from its input bytes (tiny -> 1)
+    pq = str(tmp_path / "batch.parquet")
+    b2_df.write.parquet(pq)
+    assert _batch_num_files(spark, spark.read.parquet(pq)) == 1
+
+
 def test_threshold_and_validation(spark, tmp_path, corpus_and_batches):
     corpus_df, b1_df = corpus_and_batches[0], corpus_and_batches[1]
     idx = str(tmp_path / "index")

@@ -309,6 +309,50 @@ def test_rebuild_ivf_index_refits_from_current_base(spark, tmp_path):
     assert _rows(got) == _rows(_brute_topk(cvt2.read()))
 
 
+def test_sync_carries_additive_base_schema_evolution(spark, tmp_path):
+    """r12 (VERDICT r11 #2): a base that additively grew a payload column
+    in the sync window stays incremental — the layout is widened first by
+    a zero-row schema append (pre-evolution rows surface NULL, exactly
+    like the base's own old files), the synced rows carry the new
+    column's values, and serving still equals brute force over the
+    current base."""
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=K_CELLS, base_path=cpath)
+
+    # additive evolution: append fresh vectors carrying a NEW column,
+    # then mutate an old vector under the widened schema
+    appended = (
+        cvt.read().filter("vec_id < 5")
+        .withColumn("vec_id", F.col("vec_id") + F.lit(200000))
+        .withColumn("lang", F.lit("en"))
+    )
+    cvt.commit(appended, mode="append")
+    cvt.upsert(
+        cvt.read().filter("vec_id = 1").withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(-x))")
+        ),
+        key="vec_id",
+    )
+
+    sync_ivf_index(spark, idx)
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
+    _, meta = load_ivf_index(spark, idx)
+    lay = VersionedTable(spark, f"{idx}/{meta['layout_dir']}").read()
+    assert "lang" in lay.columns
+    assert lay.filter("vec_id >= 200000 AND lang = 'en'").count() == 5
+    old = lay.filter("vec_id < 200000")
+    assert old.filter("lang IS NULL").count() == old.count()  # NULL backfill
+    got = ann_ivf_topk_from_index(spark, idx, nprobe=K_CELLS)
+    assert _rows(got) == _rows(
+        _brute_topk(cvt.read().select("vec_id", "embedding"))
+    )
+    # replaying the same window (crash between widen and stamp) no-ops
+    v = sync_ivf_index(spark, idx)
+    assert sync_ivf_index(spark, idx) == v
+
+
 def test_sync_refuses_plain_and_pre_r11_indexes(spark, tmp_path):
     """No base stamp -> loud; a base-stamped index whose layout is the
     immutable directory kind (pre-r11 build) -> loud with rebuild
