@@ -234,6 +234,13 @@ def main(argv: list[str] | None = None) -> int:
     vt.add_argument("--retain", type=int, default=1,
                     help="newest versions to keep readable (default 1)")
     vt.add_argument("--dry-run", action="store_true")
+    vt.add_argument("--respect-consumer", action="append", default=[],
+                    metavar="PATH",
+                    help="repeatable: a rollup / replica / base-stamped "
+                    "index derived from this table — its recorded sync "
+                    "point computes a retention floor, and --retain "
+                    "below it is clamped up loudly so the consumer can "
+                    "still catch up incrementally (r12)")
 
     rt = sub.add_parser(
         "replicate-table",
@@ -304,6 +311,21 @@ def main(argv: list[str] | None = None) -> int:
     ri.add_argument("--k-cells", type=int, default=None,
                     help="default: the existing cell count")
     ri.add_argument("--seed", type=int, default=7)
+
+    mi = sub.add_parser(
+        "maintain-index",
+        help="one-call maintenance policy for a versioned-base index "
+        "(r12): reads the staleness probes and picks no-op / sync / "
+        "compact / rebuild-refit from the measured SCALING.md decision "
+        "table (corpus size, count drift, layout fragmentation); "
+        "--dry-run prints the chosen actions and why without touching "
+        "anything",
+    )
+    mi.add_argument("--index", required=True)
+    mi.add_argument("--kind", choices=["ivf", "dedup"], required=True)
+    mi.add_argument("--dry-run", action="store_true")
+    mi.add_argument("--token", default=None,
+                    help="idempotency token forwarded to a sync action")
 
     ist = sub.add_parser(
         "index-staleness",
@@ -719,13 +741,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "vacuum-table":
         from .table import VersionedTable
 
-        n = VersionedTable(spark, args.path).vacuum(
-            retain_last=args.retain, dry_run=args.dry_run
-        )
+        t = VersionedTable(spark, args.path)
+        retain = args.retain
+        if args.respect_consumer:
+            floor = t.safe_retain_floor(args.respect_consumer)
+            if retain < floor:
+                print(f"--retain {retain} would strand a lagging consumer "
+                      f"— clamped to the computed floor {floor}")
+                retain = floor
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", RuntimeWarning)  # clamp printed above
+            n = t.vacuum(retain_last=retain, dry_run=args.dry_run,
+                         respect_consumers=args.respect_consumer or None)
         print(
             (f"would delete {n} file(s)" if args.dry_run
              else f"deleted {n} file(s)")
-            + f" (retaining the newest {args.retain} version(s))"
+            + f" (retaining the newest {retain} version(s))"
         )
         return 0
     if args.cmd == "replicate-table":
@@ -788,6 +821,21 @@ def main(argv: list[str] | None = None) -> int:
                               seed=args.seed)
         print(f"IVF index at {args.index} refit from its base "
               f"(centroid version {v})")
+        return 0
+    if args.cmd == "maintain-index":
+        if args.kind == "ivf":
+            from .operators.similarity import maintain_ivf_index as _mt
+        else:
+            from .operators.dedup_incremental import (
+                maintain_neardup_index as _mt,
+            )
+        kw = {"idempotency_token": args.token} if args.token else {}
+        rep = _mt(spark, args.index, dry_run=args.dry_run, **kw)
+        verb = "would run" if args.dry_run else "ran"
+        print(f"{args.kind} index {args.index}: {verb} "
+              f"{rep['actions'] or ['nothing']}")
+        for r in rep["reasons"]:
+            print(f"  - {r}")
         return 0
     if args.cmd == "index-staleness":
         if args.kind == "ivf":

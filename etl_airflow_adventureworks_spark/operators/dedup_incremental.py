@@ -215,11 +215,17 @@ def append_to_neardup_index(
         neardup_index_entries(docs),
         num_files if num_files is not None else _batch_num_files(spark, docs),
     )
+    # op name recorded even without a base stamp: the maintain policy's
+    # fragmentation baseline must classify appends as PATCHES (their
+    # batch file may span the key range), never as the clustered shape
+    op_info = {"op": "neardup_index_append"}
+    if base:
+        op_info["base"] = base
     return VersionedTable(spark, index_path).commit(
         entries, mode="append",
         stats_cols=stats,
         idempotency_token=idempotency_token,
-        op_info={"op": "neardup_index_append", "base": base} if base else None,
+        op_info=op_info,
     )
 
 
@@ -365,6 +371,141 @@ def sync_neardup_index(
         idempotency_token=idempotency_token,
         op_extra={"base": {"path": base["path"], "version": v_now}},
     )
+
+
+#: below this corpus size a REBUILD typically beats sync (the measured
+#: SCALING.md "Dedup-index sync" table: 50k-doc corpora 0.6–0.8× —
+#: re-shingling is cheap and sync's ~10 fixed Spark jobs dominate;
+#: 500k-doc corpora 3.5–3.9× in sync's favor, where rebuild's
+#: re-shingle-everything term has grown with the corpus)
+MAINTAIN_REBUILD_BELOW_BYTES = 16 * 1024 * 1024
+
+#: key-range overlap depth (`table.stats_overlap_depth`) above which
+#: the maintain policy re-clusters the layout: a fresh build is ~1
+#: (disjoint file ranges), each range-spanning sync patch adds ~1, and
+#: every extra unit is one more file EVERY future probe must open
+MAINTAIN_FRAG_DEPTH_MAX = 2
+
+
+def maintain_neardup_index(
+    spark: SparkSession,
+    index_path: str,
+    dry_run: bool = False,
+    rebuild_below_bytes: int = MAINTAIN_REBUILD_BELOW_BYTES,
+    frag_depth_max: int = MAINTAIN_FRAG_DEPTH_MAX,
+    idempotency_token: str | None = None,
+) -> dict:
+    """ONE maintenance call for a versioned-base dedup index (r12,
+    VERDICT r11 #5): read the staleness probes and pick — then run —
+    the right verb, encoding SCALING.md's measured decision table
+    ("Dedup-index sync vs rebuild") instead of leaving the choice to
+    the operator:
+
+    - base ``unchanged`` since the sync point → no content action;
+    - base ``appended``/``rewritten`` and the corpus is SMALL
+      (``rebuild_below_bytes``, default 16 MiB ≈ the measured ~50k-doc
+      regime where rebuild wins 0.6–0.8×) → ``build_neardup_index``
+      from the current snapshot;
+    - otherwise → ``sync_neardup_index`` (change-feed cost; 3.5–3.9×
+      faster than rebuild at 500k docs);
+    - afterwards, if the layout's doc_id overlap depth exceeds
+      ``max(frag_depth_max, baseline)`` — where baseline is the depth
+      at the last retained clustering (``table.
+      clustered_baseline_depth``): growth above it is reducible patch
+      fragmentation, the degradation VERDICT r11 flagged — re-cluster
+      with ``optimize(cluster_by=["doc_id"])``; skipped when no file
+      has doc_id stats (non-numeric keys: nothing prunes either way)
+      and after a rebuild (already freshly clustered).
+
+    ``dry_run=True`` returns the PLAN (actions + reasons) without
+    touching anything; the executed report re-probes fragmentation
+    AFTER the content action (a scattered sync adds the very patch
+    file the probe measures), so a real run may compact where the plan
+    did not. Returns ``{"actions", "reasons", "kind", "frag_depth",
+    "dry_run"[, "index_version"]}``."""
+    from ..table import clustered_baseline_depth, stats_overlap_depth
+
+    idx = VersionedTable(spark, index_path)
+    st = neardup_index_staleness(spark, index_path, allow_rewritten=True)
+    corpus = VersionedTable(spark, st["base_path"])
+    plan: list[str] = []
+    reasons: list[str] = []
+    if st["kind"] == "unchanged":
+        reasons.append(
+            f"base unchanged since v{st['synced_at_base_version']} — "
+            "no content action"
+        )
+    elif corpus.visible_bytes(stop_at=rebuild_below_bytes) < rebuild_below_bytes:
+        plan.append("rebuild")
+        reasons.append(
+            f"base {st['kind']} and corpus < "
+            f"{rebuild_below_bytes >> 20} MiB — re-shingling a small "
+            "corpus beats sync's fixed job chain (SCALING.md: 0.6-0.8x "
+            "at 50k docs)"
+        )
+    else:
+        plan.append("sync")
+        reasons.append(
+            f"base {st['kind']} and corpus >= "
+            f"{rebuild_below_bytes >> 20} MiB — sync at change-feed cost "
+            "(SCALING.md: 3.5-3.9x over rebuild at 500k docs)"
+        )
+
+    def frag_depth() -> int | None:
+        man = idx.manifest()
+        stats = man.get("stats") or {}
+        if not any("doc_id" in (stats.get(f) or {}) for f in man["files"]):
+            return None  # nothing prunes on doc_id; compaction can't help
+        return stats_overlap_depth(man, "doc_id")
+
+    def frag_floor() -> int:
+        # depth at the last retained clustering = the layout's legitimate
+        # shape; growth above max(it, frag_depth_max) is reducible
+        return max(frag_depth_max, clustered_baseline_depth(idx, "doc_id"))
+
+    depth = frag_depth()
+    if dry_run:
+        if "rebuild" not in plan and depth is not None and depth > frag_floor():
+            plan.append("compact")
+            reasons.append(
+                f"layout doc_id overlap depth {depth} > {frag_floor()} "
+                "(max of frag_depth_max and the last clustering's depth) "
+                "— stats pruning degraded; re-cluster"
+            )
+        return {"actions": plan, "reasons": reasons, "kind": st["kind"],
+                "frag_depth": depth, "frag_floor": frag_floor(),
+                "dry_run": True}
+    actions: list[str] = []
+    for a in plan:
+        if a == "rebuild":
+            v_now = corpus.manifest()["version"]
+            build_neardup_index(
+                spark, corpus.read(v_now), index_path,
+                base_path=st["base_path"], base_version=v_now,
+            )
+        else:
+            sync_neardup_index(
+                spark, index_path, idempotency_token=idempotency_token
+            )
+        actions.append(a)
+    if "rebuild" not in actions:
+        depth = frag_depth()  # re-probe: the sync may have fragmented
+        floor = frag_floor()
+        if depth is not None and depth > floor:
+            idx.optimize(cluster_by=["doc_id"])
+            actions.append("compact")
+            reasons.append(
+                f"post-sync layout doc_id overlap depth {depth} > {floor} "
+                "(max of frag_depth_max and the last clustering's depth) "
+                "— re-clustered"
+            )
+            depth = frag_depth()
+    else:
+        depth = frag_depth()
+    return {"actions": actions, "reasons": reasons, "kind": st["kind"],
+            "frag_depth": depth, "frag_floor": frag_floor(),
+            "dry_run": False,
+            "index_version": idx.manifest()["version"]}
 
 
 def _bands(entries: DataFrame) -> DataFrame:

@@ -444,22 +444,6 @@ def _signed_aggregate(
     return delta.groupBy(*[F.expr(d) for d in dims]).agg(*aggs)
 
 
-def _visible_bytes(vt: VersionedTable, stop_at: int) -> int:
-    """Bytes of the table's CURRENT visible files, stopping as soon as
-    ``stop_at`` is reached — manifest-only metadata (one filesystem stat
-    per file, never a data read). The advisory only needs to know which
-    SIDE of the threshold the source is on, so a large table (the case
-    where the advisory is moot) pays at most a handful of stats instead
-    of one per file per refresh tick."""
-    man = vt.manifest()
-    total = 0
-    for f in man["files"]:
-        total += vt._fs.getFileStatus(vt._HPath(f"{vt.path}/{f}")).getLen()
-        if total >= stop_at:
-            break
-    return total
-
-
 def _merge(parts: DataFrame, dim_names: list[str], measures: dict) -> DataFrame:
     aggs = [
         (
@@ -656,7 +640,7 @@ def refresh_rollup(
                 )
             if (
                 rebuild_advisory_bytes > 0
-                and _visible_bytes(src, rebuild_advisory_bytes)
+                and src.visible_bytes(rebuild_advisory_bytes)
                 < rebuild_advisory_bytes
             ):
                 warnings.warn(

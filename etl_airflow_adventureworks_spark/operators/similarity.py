@@ -1113,6 +1113,149 @@ def optimize_ivf_layout(
                min_files=len(cents))
 
 
+#: count-based quantizer drift (|now-built|/built, `ivf_index_staleness`)
+#: at which the maintain policy refits instead of syncing — sync repairs
+#: CONTENT but never moves the centroids, so recall decays silently once
+#: the distribution has drifted (the probe docstring's "0.5 = refit
+#: advised" guidance, encoded)
+MAINTAIN_REFIT_STALENESS = 0.5
+
+#: cell-range overlap depth above which the maintain policy re-clusters
+#: the layout — same contract as dedup_incremental.MAINTAIN_FRAG_DEPTH_MAX
+MAINTAIN_FRAG_DEPTH_MAX = 2
+
+
+def maintain_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    dry_run: bool = False,
+    refit_staleness: float = MAINTAIN_REFIT_STALENESS,
+    frag_depth_max: int = MAINTAIN_FRAG_DEPTH_MAX,
+    idempotency_token: str | None = None,
+) -> dict:
+    """ONE maintenance call for a versioned-base IVF index (r12, VERDICT
+    r11 #5): read both staleness probes and pick — then run — the right
+    lifecycle verb, encoding the SCALING.md decision table ("IVF-index
+    sync", "Dedup-index sync" crossovers) instead of leaving the choice
+    to the operator:
+
+    - count-based quantizer drift ≥ ``refit_staleness`` (default 0.5 —
+      the ``ivf_index_staleness`` docstring's refit guidance) →
+      ``rebuild_ivf_index``: sync would keep the index CORRECT but the
+      centroids no longer match the distribution, so recall decays
+      silently; the refit also subsumes any pending content repair;
+    - else base ``appended``/``rewritten`` since the sync point →
+      ``sync_ivf_index`` (change-feed cost, stored quantizer);
+    - else no content action;
+    - afterwards, if the layout's cell overlap depth
+      (``table.stats_overlap_depth``) exceeds ``max(frag_depth_max,
+      baseline)`` — where baseline is the depth at the last retained
+      clustering (``table.clustered_baseline_depth``): a big cell
+      legitimately spans several files and range boundaries straddle
+      cells, so only growth ABOVE the clustered shape is reducible
+      patch fragmentation (the per-cell-pruning degradation VERDICT
+      r11 flagged) — re-cluster with ``optimize_ivf_layout``; skipped
+      after a rebuild (fresh layout).
+
+    ``dry_run=True`` returns the PLAN without touching anything; a real
+    run re-probes fragmentation AFTER the content action (a scattered
+    sync adds the very patch file the probe measures), so it may
+    compact where the plan did not. Requires a versioned-base "vt"
+    build (the same contract as ``sync_ivf_index``). Returns
+    ``{"actions", "reasons", "kind", "growth", "frag_depth",
+    "dry_run"[, "centroid_version"]}``."""
+    from ..table import (
+        VersionedTable,
+        clustered_baseline_depth,
+        stats_overlap_depth,
+    )
+
+    _, meta = load_ivf_index(spark, index_path)
+    if not meta.get("base"):
+        raise ValueError(
+            f"IVF index at {index_path} was not built with base_path= — "
+            "maintain_ivf_index needs the recorded base sync point"
+        )
+    if meta.get("layout_kind") != "vt":
+        raise ValueError(
+            f"IVF index at {index_path} has an immutable directory layout "
+            "(pre-r11 build) — rebuild with build_ivf_index(base_path=...) "
+            "to get the maintainable VersionedTable layout"
+        )
+    st = ivf_index_rowset_staleness(
+        spark, index_path, meta=meta, allow_rewritten=True
+    )
+    growth = ivf_index_staleness(spark, index_path, sf_dir=None, meta=meta)
+    plan: list[str] = []
+    reasons: list[str] = []
+    if growth >= refit_staleness:
+        plan.append("rebuild")
+        reasons.append(
+            f"collection moved {growth:.0%} since the quantizer fit "
+            f"(>= {refit_staleness:.0%}) — sync cannot move centroids, "
+            "recall decays silently; refit"
+        )
+    elif st["kind"] != "unchanged":
+        plan.append("sync")
+        reasons.append(
+            f"base {st['kind']} since v{st['built_at_base_version']} and "
+            f"drift {growth:.0%} below the refit threshold — repair "
+            "content at change-feed cost (stored quantizer)"
+        )
+    else:
+        reasons.append(
+            f"base unchanged since v{st['built_at_base_version']} and "
+            f"drift {growth:.0%} below the refit threshold — no content "
+            "action"
+        )
+
+    def frag() -> tuple[int, int]:
+        _c, m = load_ivf_index(spark, index_path)
+        lay = VersionedTable(spark, f"{index_path}/{m['layout_dir']}")
+        depth = stats_overlap_depth(lay.manifest(), "cell")
+        # depth at the last retained clustering = the layout's
+        # legitimate shape; only growth above max(it, frag_depth_max)
+        # is reducible patch fragmentation
+        floor = max(frag_depth_max, clustered_baseline_depth(lay, "cell"))
+        return depth, floor
+
+    depth, floor = frag()
+    if dry_run:
+        if "rebuild" not in plan and depth > floor:
+            plan.append("compact")
+            reasons.append(
+                f"layout cell overlap depth {depth} > {floor} (max of "
+                "frag_depth_max and the last clustering's depth) — "
+                "per-cell pruning degraded; re-cluster"
+            )
+        return {"actions": plan, "reasons": reasons, "kind": st["kind"],
+                "growth": growth, "frag_depth": depth,
+                "frag_floor": floor, "dry_run": True}
+    actions: list[str] = []
+    for a in plan:
+        if a == "rebuild":
+            rebuild_ivf_index(spark, index_path)
+        else:
+            sync_ivf_index(
+                spark, index_path, idempotency_token=idempotency_token
+            )
+        actions.append(a)
+    depth, floor = frag()  # re-probe: the sync may have fragmented
+    if "rebuild" not in actions and depth > floor:
+        optimize_ivf_layout(spark, index_path)
+        actions.append("compact")
+        reasons.append(
+            f"post-sync layout cell overlap depth {depth} > {floor} "
+            "(max of frag_depth_max and the last clustering's depth) — "
+            "re-clustered"
+        )
+        depth, _ = frag()
+    cv = VersionedTable(spark, f"{index_path}/centroids").manifest()["version"]
+    return {"actions": actions, "reasons": reasons, "kind": st["kind"],
+            "growth": growth, "frag_depth": depth, "frag_floor": floor,
+            "dry_run": False, "centroid_version": cv}
+
+
 def vacuum_ivf_index(
     spark: SparkSession,
     index_path: str,

@@ -1312,7 +1312,53 @@ class VersionedTable:
             retry=False,  # snapshot-dependent: recompute via _occ_retry
         )
 
-    def vacuum(self, retain_last: int = 1, dry_run: bool = False) -> int:
+    def visible_bytes(self, stop_at: int | None = None) -> int:
+        """Bytes of the CURRENT visible files, stopping early once
+        ``stop_at`` is reached — manifest-only metadata (one filesystem
+        stat per file, never a data read). Threshold checks (refresh
+        advisories, maintain policies) only need to know which SIDE of
+        a size cutoff the table is on, so a large table pays a handful
+        of stats, not one per file."""
+        man = self.manifest()
+        if man is None:
+            return 0
+        total = 0
+        for f in man["files"]:
+            total += self._fs.getFileStatus(
+                self._HPath(f"{self.path}/{f}")
+            ).getLen()
+            if stop_at is not None and total >= stop_at:
+                break
+        return total
+
+    def safe_retain_floor(self, consumers: list[str]) -> int:
+        """The minimum ``retain_last`` that keeps every listed consumer's
+        catch-up window readable (r12, VERDICT r11 #3): each consumer
+        records the version of THIS table it reflects (a rollup's
+        ``rollup-of:v<N>`` token, a replica's ``replica-of:v<N>`` token,
+        a derived index's base stamp), and catching up needs
+        ``row_changes(reflected, latest)`` — i.e. manifest ``reflected``
+        must survive the vacuum. Floor = max over consumers of
+        ``latest - reflected + 1`` (≥ 1). Turns "operator remembered to
+        size retain_last" into a computed invariant — pass the result
+        (or the consumer list via ``vacuum(respect_consumers=...)``)
+        instead of a hand-sized constant."""
+        man = self.manifest()
+        if man is None:
+            return 1
+        latest = man["version"]
+        floor = 1
+        for c in consumers:
+            r = consumer_reflected_version(self.spark, c, self.path)
+            floor = max(floor, latest - r + 1)
+        return floor
+
+    def vacuum(
+        self,
+        retain_last: int = 1,
+        dry_run: bool = False,
+        respect_consumers: list[str] | None = None,
+    ) -> int:
         """Drop data files referenced by no retained manifest (and
         change-row files, tmp manifest debris, emptied commit dirs).
         Keeps the newest ``retain_last`` versions time-travelable; older
@@ -1328,11 +1374,30 @@ class VersionedTable:
         ``ValueError``) and its unshared data files are gone (an
         already-planned scan raises Spark's missing-file error rather
         than silently returning the surviving subset). Size
-        ``retain_last`` to cover the longest-running reader/rollup lag;
-        see tests/test_versioned_table.py::
+        ``retain_last`` to cover the longest-running reader/rollup lag —
+        or pass the consumers themselves via ``respect_consumers``
+        (r12): their recorded reflected versions compute the floor
+        (``safe_retain_floor``) and a ``retain_last`` below it is
+        CLAMPED up with a loud RuntimeWarning, so a lagging rollup /
+        replica / index can always still catch up incrementally. See
+        tests/test_versioned_table.py::
         test_vacuum_fails_readers_loud_never_partial."""
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
+        if respect_consumers:
+            import warnings
+
+            floor = self.safe_retain_floor(respect_consumers)
+            if retain_last < floor:
+                warnings.warn(
+                    f"vacuum({self.path}): retain_last={retain_last} would "
+                    f"strand a lagging consumer (computed floor {floor} "
+                    f"from {len(respect_consumers)} consumer(s)) — "
+                    f"clamping to {floor}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                retain_last = floor
         vs = self.versions()
         if not vs:
             return 0
@@ -1553,6 +1618,107 @@ def latest_base_stamp(vt: VersionedTable) -> dict | None:
         if base:
             return base
     return None
+
+
+def stats_overlap_depth(man: dict, col: str) -> int:
+    """FRAGMENTATION probe for a key-clustered layout (r12, VERDICT r11
+    #6): the maximum number of files whose recorded per-file [min, max]
+    stats on ``col`` overlap at any single key — 1 for a freshly
+    clustered layout (disjoint ranges), growing by ~1 per maintenance
+    patch whose file spans the key range, which is exactly how repeated
+    sync windows degrade stats pruning back toward scanning every file.
+    Files with no recorded stats on ``col`` count as full-range (they
+    can never be pruned). Manifest-only — classic sweep over 2·files
+    endpoints, no data read."""
+    stats = man.get("stats") or {}
+    unpruned = 0
+    events = []
+    for f in man["files"]:
+        ent = stats.get(f) or {}
+        if col not in ent:
+            unpruned += 1
+            continue
+        lo, hi = ent[col]
+        events.append((lo, 0))  # opens sort before closes at the same
+        events.append((hi, 1))  # key, so touching ranges count as overlap
+    depth = best = 0
+    for _v, kind in sorted(events):
+        if kind == 0:
+            depth += 1
+            best = max(best, depth)
+        else:
+            depth -= 1
+    return best + unpruned
+
+
+#: manifest op names that PATCH a clustered layout rather than establish
+#: one — what `clustered_baseline_depth` walks past to find the layout's
+#: reference shape
+_PATCH_OPS = {"cdc", "upsert", "delete", "neardup_index_append"}
+
+
+def clustered_baseline_depth(vt: "VersionedTable", col: str) -> int:
+    """``stats_overlap_depth`` at the most recent retained CLUSTERING of
+    the table — the bootstrap build or an optimize rewrite, i.e. the
+    newest manifest whose op is not a patch (CDC apply / upsert / delete
+    / index append). This is the reference a maintain policy compares
+    the CURRENT depth against: depth above it is reducible fragmentation
+    (maintenance patches spanning the key range), depth AT it is the
+    layout's legitimate shape (e.g. a hot IVF cell that genuinely spans
+    several files — compaction cannot and should not reduce that).
+    Falls back to the oldest retained manifest when vacuum dropped every
+    clustering commit (conservative: under-triggers, never churns)."""
+    vs = vt.versions()
+    for v in reversed(vs):
+        m = vt.manifest(v)
+        if ((m.get("op") or {}).get("op")) not in _PATCH_OPS:
+            return stats_overlap_depth(m, col)
+    return stats_overlap_depth(vt.manifest(vs[0]), col)
+
+
+def consumer_reflected_version(
+    spark: SparkSession, consumer_path: str, table_path: str
+) -> int:
+    """The version of ``table_path`` that the derived artifact at
+    ``consumer_path`` currently reflects — read from the consumer's OWN
+    records (r12, VERDICT r11 #3): a rollup's ``rollup-of:v<N>`` commit
+    token, a replica's ``replica-of:v<N>`` token (``+schema-v<M>``
+    suffixes ignored), or a derived index's base stamp (a dedup index
+    root, or an IVF index root whose ``centroids`` table carries the
+    stamp). One manifest read per candidate — no data scanned.
+
+    Fails loud when the path records nothing, or when an index's stamp
+    names a DIFFERENT base table. Rollup/replica tokens carry no source
+    path, so passing a consumer of some other table is the caller's bug
+    (it would return that table's version) — associate consumers with
+    their source at the call site."""
+    import re as _re
+
+    table_path = table_path.rstrip("/")
+    for p in (consumer_path.rstrip("/"),
+              f"{consumer_path.rstrip('/')}/centroids"):
+        vt = VersionedTable(spark, p)
+        man = vt.manifest()
+        if man is None:
+            continue
+        m = _re.match(r"(?:rollup|replica)-of:v(\d+)", man.get("token") or "")
+        if m:
+            return int(m.group(1))
+        stamp = latest_base_stamp(vt)
+        if stamp:
+            if stamp["path"].rstrip("/") != table_path:
+                raise ValueError(
+                    f"consumer at {consumer_path} is derived from "
+                    f"{stamp['path']}, not {table_path} — wrong consumer "
+                    "for this table's vacuum floor"
+                )
+            return stamp["version"]
+    raise ValueError(
+        f"{consumer_path} records no reflected version of {table_path} "
+        "(not a rollup / replica / base-stamped index) — "
+        "safe_retain_floor only covers consumers that self-describe "
+        "their sync point"
+    )
 
 
 def stream_cdc_to_versioned(

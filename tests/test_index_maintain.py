@@ -1,0 +1,237 @@
+"""One-call index maintenance policies (r12, VERDICT r11 #5 + #6):
+`maintain_neardup_index` / `maintain_ivf_index` read the staleness
+probes and pick no-op / sync / compact / rebuild-refit from SCALING.md's
+measured decision table — with a dry_run that reports the plan and why,
+and a fragmentation probe (`table.stats_overlap_depth`) that closes the
+repeated-sync layout-degradation loop by auto-compacting."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+    build_neardup_index,
+    maintain_neardup_index,
+    neardup_index_entries,
+)
+from etl_airflow_adventureworks_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_index_rowset_staleness,
+    load_ivf_index,
+    maintain_ivf_index,
+)
+from etl_airflow_adventureworks_spark.sources import load_table
+from etl_airflow_adventureworks_spark.table import (
+    VersionedTable,
+    stats_overlap_depth,
+)
+
+_VOCAB = [f"w{i}" for i in range(50)]
+
+
+def _docs(spark, rng, ids):
+    rows = [(i, " ".join(rng.choice(_VOCAB) for _ in range(12)))
+            for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _entries_snap(df):
+    return {(r["doc_id"], tuple(sorted(r["hh"])), tuple(r["sig"]))
+            for r in df.collect()}
+
+
+def test_stats_overlap_depth_probe():
+    """The fragmentation probe: disjoint clustered ranges -> 1; a patch
+    file spanning the whole range -> +1; files without stats count as
+    full-range (never prunable)."""
+    man = {
+        "files": ["a", "b", "c"],
+        "stats": {"a": {"k": [0, 9]}, "b": {"k": [10, 19]},
+                  "c": {"k": [20, 29]}},
+    }
+    assert stats_overlap_depth(man, "k") == 1
+    man["files"].append("patch")
+    man["stats"]["patch"] = {"k": [0, 29]}
+    assert stats_overlap_depth(man, "k") == 2
+    man["files"].append("nostats")
+    assert stats_overlap_depth(man, "k") == 3
+    # touching ranges ([0,10],[10,19]) count as overlapping at the point
+    man2 = {"files": ["a", "b"],
+            "stats": {"a": {"k": [0, 10]}, "b": {"k": [10, 19]}}}
+    assert stats_overlap_depth(man2, "k") == 2
+
+
+def test_maintain_dedup_policy_paths(spark, tmp_path):
+    """no-op when unchanged; REBUILD below the corpus-size crossover;
+    SYNC above it (forced via rebuild_below_bytes=0); dry_run plans
+    without touching; every executed path leaves the index row-identical
+    to a from-scratch build."""
+    rng = random.Random(3)
+    cpath, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(_docs(spark, rng, range(40)))                       # v1
+    build_neardup_index(spark, cvt.read(), idx, base_path=cpath,
+                        base_version=1, num_files=4)
+
+    rep = maintain_neardup_index(spark, idx)
+    assert rep["actions"] == [] and rep["kind"] == "unchanged"
+
+    # rewrite window on a SMALL corpus: the policy rebuilds (measured
+    # crossover: re-shingling 50k docs beats sync's fixed job chain)
+    cvt.upsert(_docs(spark, rng, [3, 7]), key="doc_id")
+    plan = maintain_neardup_index(spark, idx, dry_run=True)
+    assert plan["actions"] == ["rebuild"] and plan["dry_run"]
+    v_before = VersionedTable(spark, idx).manifest()["version"]
+    assert VersionedTable(spark, idx).manifest()["version"] == v_before
+
+    rep = maintain_neardup_index(spark, idx)
+    assert rep["actions"] == ["rebuild"]
+    assert _entries_snap(VersionedTable(spark, idx).read()) == \
+        _entries_snap(neardup_index_entries(cvt.read()))
+    assert maintain_neardup_index(spark, idx)["actions"] == []
+
+    # force the large-corpus arm: rebuild_below_bytes=0 -> sync
+    cvt.delete_where("doc_id = 11")
+    rep = maintain_neardup_index(spark, idx, rebuild_below_bytes=0)
+    assert rep["actions"][0] == "sync"
+    assert _entries_snap(VersionedTable(spark, idx).read()) == \
+        _entries_snap(neardup_index_entries(cvt.read()))
+
+
+def test_maintain_dedup_auto_compacts_fragmented_layout(spark, tmp_path):
+    """VERDICT r11 #6's done-gate: scattered sync windows degrade the
+    layout's key-range overlap depth toward all-files; the maintain call
+    detects it post-sync and re-clusters, restoring depth ~1 — with the
+    index rowset identical throughout."""
+    rng = random.Random(5)
+    cpath, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(_docs(spark, rng, range(64)))
+    build_neardup_index(spark, cvt.read(), idx, base_path=cpath,
+                        base_version=1, num_files=8)
+    ivt = VersionedTable(spark, idx)
+    assert stats_overlap_depth(ivt.manifest(), "doc_id") == 1
+
+    # a SCATTERED window: doc_ids spanning the whole key range, so the
+    # sync patch file straddles every clustered range
+    cvt.upsert(_docs(spark, rng, [0, 30, 63]), key="doc_id")
+    rep = maintain_neardup_index(spark, idx, rebuild_below_bytes=0,
+                                 frag_depth_max=1)
+    assert rep["actions"] == ["sync", "compact"]
+    assert rep["frag_depth"] == 1  # restored
+    assert _entries_snap(ivt.read()) == \
+        _entries_snap(neardup_index_entries(cvt.read()))
+    # and the compacted layout still syncs (rowset-preserving rewrite)
+    cvt.delete_where("doc_id = 30")
+    rep = maintain_neardup_index(spark, idx, rebuild_below_bytes=0)
+    assert rep["actions"][0] == "sync"
+    assert _entries_snap(ivt.read()) == \
+        _entries_snap(neardup_index_entries(cvt.read()))
+
+
+def test_maintain_ivf_policy_paths(spark, tmp_path):
+    """sync below the refit threshold, rebuild-refit above it (count
+    drift: sync repairs content, never centroid fit), dry_run plans
+    without touching, loud refusal for non-versioned-base builds."""
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=4, base_path=cpath)
+
+    rep = maintain_ivf_index(spark, idx)
+    assert rep["actions"] == [] and rep["kind"] == "unchanged"
+
+    # small rewrite: content repair via sync (growth << 0.5)
+    cvt.upsert(
+        cvt.read().filter("vec_id = 9").withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(-x))")
+        ),
+        key="vec_id",
+    )
+    plan = maintain_ivf_index(spark, idx, dry_run=True)
+    assert plan["actions"] == ["sync"]
+    with pytest.raises(ValueError, match="rebuild the index"):
+        ivf_index_rowset_staleness(spark, idx)  # dry_run touched nothing
+    rep = maintain_ivf_index(spark, idx)
+    assert rep["actions"][0] == "sync"
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
+
+    # drift path: the same state crosses a tiny refit threshold -> refit
+    cvt.commit(
+        cvt.read().limit(5).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(900000)),
+        mode="append",
+    )
+    plan = maintain_ivf_index(spark, idx, refit_staleness=0.005,
+                              dry_run=True)
+    assert plan["actions"] == ["rebuild"]
+    rep = maintain_ivf_index(spark, idx, refit_staleness=0.005)
+    assert rep["actions"] == ["rebuild"]
+    _, meta = load_ivf_index(spark, idx)
+    assert meta["n_vectors_at_build"] == cvt.read().count()
+    assert rep["growth"] >= 0.005
+    assert maintain_ivf_index(spark, idx)["actions"] == []
+
+    # plain-dir builds refuse loud
+    plain = str(tmp_path / "plain")
+    build_ivf_index(spark, SF_SMOKE, plain, k_cells=4)
+    with pytest.raises(ValueError, match="not built with base_path"):
+        maintain_ivf_index(spark, plain)
+
+
+def test_maintain_ivf_auto_compacts_fragmented_layout(spark, tmp_path):
+    """Scattered sync patches straddle the cell range; the maintain call
+    re-probes AFTER its sync and re-clusters, so one call both repairs
+    content and restores per-cell pruning."""
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=4, base_path=cpath)
+    # mutations spread across the id space -> the patch spans cells
+    base_rep = maintain_ivf_index(spark, idx, dry_run=True)
+    floor = base_rep["frag_floor"]  # the build's legitimate shape
+    cvt.upsert(
+        cvt.read().filter("vec_id % 40 = 3").withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(-x))")
+        ),
+        key="vec_id",
+    )
+    rep = maintain_ivf_index(spark, idx)
+    assert rep["actions"] == ["sync", "compact"]
+    # restored to (at most) the clustered shape — never churns below it
+    assert rep["frag_depth"] <= floor
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
+    # immediately re-running maintains nothing (no compaction churn on a
+    # layout already at its clustered shape)
+    assert maintain_ivf_index(spark, idx)["actions"] == []
+
+
+def test_maintain_index_subcommand(spark, tmp_path, capsys):
+    """CLI verb: dry-run prints the plan + reasons, the real run
+    executes it and the index reads level afterwards."""
+    from etl_airflow_adventureworks_spark.cli import main
+
+    rng = random.Random(9)
+    cpath, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(_docs(spark, rng, range(30)))
+    build_neardup_index(spark, cvt.read(), idx, base_path=cpath,
+                        base_version=1, num_files=2)
+    cvt.upsert(_docs(spark, rng, [4]), key="doc_id")
+    assert main(["maintain-index", "--index", idx, "--kind", "dedup",
+                 "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "would run" in out and "rebuild" in out
+    assert main(["maintain-index", "--index", idx,
+                 "--kind", "dedup"]) == 0
+    assert "ran" in capsys.readouterr().out
+    assert _entries_snap(VersionedTable(spark, idx).read()) == \
+        _entries_snap(neardup_index_entries(cvt.read()))
+    assert main(["maintain-index", "--index", idx,
+                 "--kind", "dedup"]) == 0
+    assert "nothing" in capsys.readouterr().out

@@ -1218,3 +1218,49 @@ def test_vacuum_dry_run_counts_without_touching(spark, tmp_path):
     did = t.vacuum(retain_last=1)
     assert did == would
     assert t.versions() == [3]
+
+
+def test_vacuum_respects_lagging_consumers(spark, tmp_path):
+    """r12 (VERDICT r11 #3): the consumer-aware retention floor — a
+    vacuum that would strand a lagging replica is clamped up with a loud
+    warning (the replica's recorded ``replica-of:v<N>`` token computes
+    the floor), the replica then catches up incrementally, and the next
+    vacuum proceeds to retain_last=1 silently. A consumer derived from a
+    DIFFERENT table fails loud instead of mis-sizing the floor."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.table import (
+        consumer_reflected_version,
+        replicate_table,
+    )
+
+    src_p, repl_p = str(tmp_path / "src"), str(tmp_path / "repl")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))                     # v1
+    replicate_table(spark, src_p, repl_p, key="k")                 # level @v1
+    assert consumer_reflected_version(spark, repl_p, src_p) == 1
+    t.upsert(_df(spark, [(2, "B")]), key="k")                      # v2
+    t.commit(_df(spark, [(9, "z")]), mode="append")                # v3
+
+    # replica lags at v1: floor = 3 (needs row_changes(1, 3) readable)
+    assert t.safe_retain_floor([repl_p]) == 3
+    with pytest.warns(RuntimeWarning, match="strand a lagging"):
+        t.vacuum(retain_last=1, respect_consumers=[repl_p])
+    assert t.versions() == [1, 2, 3]  # clamped: nothing stranded
+
+    # catch up -> floor drops to 1 and the vacuum proceeds silently
+    replicate_table(spark, src_p, repl_p, key="k")
+    assert t.safe_retain_floor([repl_p]) == 1
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        t.vacuum(retain_last=1, respect_consumers=[repl_p])
+    assert t.versions() == [3]
+    assert sorted(map(tuple, VersionedTable(spark, repl_p).read().collect())) \
+        == sorted(map(tuple, t.read().collect()))
+
+    # a consumer of some OTHER table: index stamps carry the base path
+    # and fail loud on mismatch; an unrelated table fails loud too
+    other_p = str(tmp_path / "other")
+    VersionedTable(spark, other_p).commit(_df(spark, [(7, "q")]))
+    with pytest.raises(ValueError, match="records no reflected version"):
+        t.safe_retain_floor([other_p])
