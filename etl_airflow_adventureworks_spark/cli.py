@@ -356,7 +356,10 @@ def main(argv: list[str] | None = None) -> int:
                     '["sum", "value"]}}')
     rr.add_argument("--full-rebuild", action="store_true",
                     help="re-aggregate from the current snapshot (required "
-                    "after the source history was rewritten)")
+                    "only after an UNRECORDED rewrite — plain overwrite / "
+                    "pre-r10 history; recorded upserts/deletes refresh "
+                    "incrementally, min/max/HLL specs via the r12 "
+                    "group-local path)")
     rr.add_argument("--show", type=int, default=0, metavar="N",
                     help="after refreshing, print N finalized rollup rows "
                     "(HLL sketches as estimates; histogram measures as "

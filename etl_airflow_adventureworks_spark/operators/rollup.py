@@ -474,6 +474,17 @@ def _reflected_version(rollup: VersionedTable) -> int | None:
 #: when incrementally refreshing a source smaller than this
 REBUILD_ADVISORY_BYTES = 64 * 1024 * 1024
 
+#: the GROUP-LOCAL path's advisory threshold (r12, measured —
+#: SCALING.md "Group-local refresh"): its fixed job chain (~8 jobs:
+#: delta distinct, pruned read, two broadcast joins, checkpoint,
+#: commit) costs ~1.3-1.5 s regardless of source size, while the full
+#: rebuild it replaces grows with the source (0.62 s at 1M rows,
+#: 0.95 s at 10M) — extrapolated crossover ≈ 20M local rows ≈ 1 GiB.
+#: Below it the advisory suggests full_rebuild=True; above it (and at
+#: the 100 TB target, where the rebuild term is the lake) group-local
+#: wins on the flat-vs-linear trend, by touched-files ∝ touched groups.
+GROUP_LOCAL_ADVISORY_BYTES = 1024 * 1024 * 1024
+
 
 def refresh_rollup(
     spark: SparkSession,
@@ -533,7 +544,12 @@ def refresh_rollup(
     ~1M-row crossover where rebuild beat refresh 0.93× at sf1), the
     incremental path emits a ``RuntimeWarning`` advising
     ``full_rebuild=True`` — the refresh still runs (callers own the
-    policy), but the measured cost model is now at the call site.
+    policy), but the measured cost model is now at the call site. The
+    group-local path carries the same advisory at its own measured
+    crossover (``GROUP_LOCAL_ADVISORY_BYTES``, ~1 GiB ≈ 20M local rows
+    — its fixed job chain is flat while the rebuild it replaces grows
+    with the source; SCALING.md r12); ``rebuild_advisory_bytes=0``
+    silences both.
 
     Concurrent refreshers (r9): the rollup commit passes ``retry=False``
     — a rollup state is derived from the rollup snapshot it read, so the
@@ -628,6 +644,22 @@ def refresh_rollup(
                     op_info={"op": "rollup_refresh", "mode": "rebuild"},
                 )
             if group_local:
+                if (
+                    rebuild_advisory_bytes > 0  # same silencing knob as
+                    # the incremental advisory (callers own the policy)
+                    and src.visible_bytes(GROUP_LOCAL_ADVISORY_BYTES)
+                    < GROUP_LOCAL_ADVISORY_BYTES
+                ):
+                    warnings.warn(
+                        "refresh_rollup: source is smaller than "
+                        f"{GROUP_LOCAL_ADVISORY_BYTES >> 20} MiB — below "
+                        "the measured ~20M-row crossover a full rebuild "
+                        "is typically faster than the group-local "
+                        "refresh's fixed job chain (SCALING.md, r12); "
+                        "consider full_rebuild=True for small sources",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 delta = src.row_changes(reflected, v_src)
                 state, op_metrics = _group_local_state(
                     spark, src, v_src, current, delta, dims, internal

@@ -42,8 +42,8 @@ from pyspark.sql import functions as F
 from ..operators.dedup import JACCARD_THRESHOLD
 from ..operators.dedup_incremental import (
     _require_doc_frame,
+    append_to_neardup_index,
     minhash_neardup_incremental,
-    neardup_index_entries,
 )
 from ..table import VersionedTable
 
@@ -113,9 +113,12 @@ def ingest_batch_with_dedup(
         eager=True
     )
 
-    VersionedTable(spark, index_path).commit(
-        neardup_index_entries(accepted), mode="append", idempotency_token=token
-    )
+    # through the shared append path (r12): the batch's entries land
+    # key-clustered with doc_id stats and a patch-op marker, so later
+    # syncs can PRUNE to them and the maintain policy's fragmentation
+    # baseline never mistakes an epoch's append for a clustered layout
+    append_to_neardup_index(spark, accepted, index_path,
+                            idempotency_token=token)
     VersionedTable(spark, corpus_path).commit(
         accepted, mode="append", idempotency_token=token
     )
