@@ -326,6 +326,12 @@ def main(argv: list[str] | None = None) -> int:
     mi.add_argument("--dry-run", action="store_true")
     mi.add_argument("--token", default=None,
                     help="idempotency token forwarded to a sync action")
+    mi.add_argument("--check-fit-drift", action="store_true",
+                    help="(ivf only) also probe quantizer FIT drift — one "
+                    "column-pruned pass over the base table; refits when "
+                    "the mean assigned-centroid distance inflated >= 25%% "
+                    "vs build (the refit signal the count probe is blind "
+                    "to under upsert-heavy maintenance)")
 
     ist = sub.add_parser(
         "index-staleness",
@@ -833,6 +839,11 @@ def main(argv: list[str] | None = None) -> int:
                 maintain_neardup_index as _mt,
             )
         kw = {"idempotency_token": args.token} if args.token else {}
+        if args.kind == "ivf" and args.check_fit_drift:
+            kw["check_fit_drift"] = True
+        elif args.check_fit_drift:
+            print("--check-fit-drift applies to --kind ivf only")
+            return 2
         rep = _mt(spark, args.index, dry_run=args.dry_run, **kw)
         verb = "would run" if args.dry_run else "ran"
         print(f"{args.kind} index {args.index}: {verb} "

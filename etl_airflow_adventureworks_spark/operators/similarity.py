@@ -506,6 +506,90 @@ def build_ivf_index(
     )
 
 
+#: target fit-probe sample size — the deterministic hash sample the
+#: build records its mean assigned-centroid distance over, and the
+#: drift probe re-measures with the SAME modulus (paired comparison)
+_FIT_SAMPLE_TARGET = 4096
+
+
+def _fit_sample_mean_dist(
+    df: DataFrame, cents: list[list[float]], sample_mod: int
+) -> float:
+    """Mean distance from a deterministic hash-sample of vectors to their
+    NEAREST centroid — the quantizer-fit quality number. One column-pruned
+    pass over (vec_id, embedding); the k per-vector distances are native
+    expressions (``least`` over k codegen'd dot products, the same shape
+    as ``ivf_cell_expr``), no UDFs, no shuffle (global avg). The sample is
+    ``pmod(xxhash64(vec_id), sample_mod) = 0`` so build-time and
+    probe-time measure the SAME (surviving) vectors plus the same slice
+    of new ones — a paired drift comparison, not two unrelated samples."""
+    v = to_double_array("embedding")
+    terms = ", ".join(
+        f"({dot('v', _lit_array(c))} * -2.0D + {sum(x * x for x in c)!r}D)"
+        for c in cents
+    )
+    e = (
+        df.selectExpr("vec_id", f"{v} AS v")
+        .filter(f"pmod(xxhash64(vec_id), {max(1, sample_mod)}) = 0")
+        .selectExpr(f"sqrt(greatest(0.0D, {dot('v', 'v')} "
+                    f"+ least({terms}))) AS d")
+    )
+    row = e.agg(F.avg("d").alias("m")).first()
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def ivf_fit_drift(
+    spark: SparkSession,
+    index_path: str,
+    preloaded: tuple[list[list[float]], dict] | None = None,
+) -> dict:
+    """Quantizer FIT drift of a versioned-base IVF index (r12): relative
+    inflation of the mean assigned-centroid distance over the base
+    table's CURRENT snapshot vs the value the build recorded over the
+    build collection (same deterministic hash sample). This is the probe
+    the count-based ``ivf_index_staleness`` is blind to: an upsert-heavy
+    workload mutates vectors WITHOUT changing the count, so growth reads
+    0 forever while the centroids drift off the distribution and recall
+    decays silently — here that reads as ``rel_drift`` > 0.
+
+    Cost: ONE column-pruned pass over the base's (vec_id, embedding) —
+    a data read, unlike the manifest-only staleness probes; run it on a
+    maintenance cadence (or via ``maintain_ivf_index(
+    check_fit_drift=True)``), not per serve. Requires a base-stamped
+    index whose build recorded fit stats (r12 builds; older indexes
+    raise — one rebuild migrates them). ``preloaded`` = the
+    ``(centroids, meta)`` pair from an earlier ``load_ivf_index``, the
+    same convention as ``ann_ivf_topk_from_index``."""
+    from ..table import VersionedTable
+
+    cents, meta = preloaded or load_ivf_index(spark, index_path)
+    base = meta.get("base")
+    if not base:
+        raise ValueError(
+            f"IVF index at {index_path} was not built with base_path= — "
+            "fit drift measures the base table's current snapshot"
+        )
+    fit = meta.get("fit")
+    if not fit:
+        raise ValueError(
+            f"IVF index at {index_path} predates fit-stat recording "
+            "(r12) — rebuild_ivf_index once to record the build-time "
+            "mean assigned-centroid distance"
+        )
+    now = _fit_sample_mean_dist(
+        VersionedTable(spark, base["path"]).read(), cents,
+        fit["sample_mod"],
+    )
+    at_build = fit["mean_dist"]
+    rel = (now - at_build) / at_build if at_build > 0 else 0.0
+    return {
+        "mean_dist_now": now,
+        "mean_dist_at_build": at_build,
+        "rel_drift": rel,
+        "sample_mod": fit["sample_mod"],
+    }
+
+
 def _commit_ivf_index(
     spark: SparkSession,
     index_path: str,
@@ -568,7 +652,23 @@ def _commit_ivf_index(
         "cell int, centroid array<double>, n_vectors_at_build long,"
         " built_from string, layout_dir string",
     )
-    op_info = {"op": op_name, "layout_kind": layout_kind}
+    # fit stats (r12): mean assigned-centroid distance over a
+    # deterministic hash sample of the build collection — the baseline
+    # `ivf_fit_drift` compares against (the refit signal count-based
+    # staleness is blind to: upserts mutate vectors without moving the
+    # count). One extra bounded job against a collection the build
+    # already scanned twice.
+    coll = (
+        embeddings
+        if embeddings is not None
+        else load_table(spark, sf_dir, "embeddings")
+    )
+    sample_mod = max(1, int(n_vecs) // _FIT_SAMPLE_TARGET)
+    fit = {
+        "mean_dist": round(_fit_sample_mean_dist(coll, cents, sample_mod), 9),
+        "sample_mod": sample_mod,
+    }
+    op_info = {"op": op_name, "layout_kind": layout_kind, "fit": fit}
     if base:
         op_info["base"] = base
     return VersionedTable(spark, f"{index_path}/centroids").commit(
@@ -658,6 +758,9 @@ def load_ivf_index(
         # r11: "vt" = repairable VersionedTable layout (versioned-base
         # builds); "dir" = immutable partitionBy(cell) directory
         "layout_kind": op.get("layout_kind") or "dir",
+        # r12: build-time fit stats ({mean_dist, sample_mod}) — the
+        # baseline `ivf_fit_drift` compares against; None pre-r12
+        "fit": op.get("fit"),
     }
     return [list(r["centroid"]) for r in rows], meta
 
@@ -1000,6 +1103,9 @@ def sync_ivf_index(
                 "op": "ivf_sync",
                 "layout_kind": "vt",
                 "base": {"path": base["path"], "version": v_now},
+                # the quantizer is unchanged by a sync, so the BUILD's
+                # fit baseline stays the drift reference (r12)
+                **({"fit": meta["fit"]} if meta.get("fit") else {}),
             },
         )
     except CommitConflict:
@@ -1125,6 +1231,13 @@ MAINTAIN_REFIT_STALENESS = 0.5
 MAINTAIN_FRAG_DEPTH_MAX = 2
 
 
+#: relative mean-residual inflation (`ivf_fit_drift`) at which the
+#: maintain policy refits when `check_fit_drift=True` — 25% larger mean
+#: assigned-centroid distance than at build means the quantizer no
+#: longer matches the distribution even if the COUNT never moved
+MAINTAIN_REFIT_FIT_DRIFT = 0.25
+
+
 def maintain_ivf_index(
     spark: SparkSession,
     index_path: str,
@@ -1132,6 +1245,8 @@ def maintain_ivf_index(
     refit_staleness: float = MAINTAIN_REFIT_STALENESS,
     frag_depth_max: int = MAINTAIN_FRAG_DEPTH_MAX,
     idempotency_token: str | None = None,
+    check_fit_drift: bool = False,
+    refit_fit_drift: float = MAINTAIN_REFIT_FIT_DRIFT,
 ) -> dict:
     """ONE maintenance call for a versioned-base IVF index (r12, VERDICT
     r11 #5): read both staleness probes and pick — then run — the right
@@ -1144,6 +1259,12 @@ def maintain_ivf_index(
       ``rebuild_ivf_index``: sync would keep the index CORRECT but the
       centroids no longer match the distribution, so recall decays
       silently; the refit also subsumes any pending content repair;
+    - with ``check_fit_drift=True`` (opt-in: one column-pruned data
+      pass, unlike the manifest-only probes), relative mean-residual
+      inflation ≥ ``refit_fit_drift`` (``ivf_fit_drift``, default 25%)
+      → ``rebuild_ivf_index`` — the refit signal count growth is BLIND
+      to: an upsert-heavy base mutates vectors without moving the
+      count, so growth reads 0 forever while the fit decays;
     - else base ``appended``/``rewritten`` since the sync point →
       ``sync_ivf_index`` (change-feed cost, stored quantizer);
     - else no content action;
@@ -1186,6 +1307,15 @@ def maintain_ivf_index(
         spark, index_path, meta=meta, allow_rewritten=True
     )
     growth = ivf_index_staleness(spark, index_path, sf_dir=None, meta=meta)
+    fit_drift = None
+    if check_fit_drift and meta.get("fit"):
+        # opt-in: ONE column-pruned data pass over the base (the manifest
+        # probes stay free) — the refit signal count growth is blind to
+        # (upsert-heavy bases mutate vectors without moving the count)
+        cents, _m = load_ivf_index(spark, index_path)
+        fit_drift = ivf_fit_drift(
+            spark, index_path, preloaded=(cents, meta)
+        )["rel_drift"]
     plan: list[str] = []
     reasons: list[str] = []
     if growth >= refit_staleness:
@@ -1194,6 +1324,14 @@ def maintain_ivf_index(
             f"collection moved {growth:.0%} since the quantizer fit "
             f"(>= {refit_staleness:.0%}) — sync cannot move centroids, "
             "recall decays silently; refit"
+        )
+    elif fit_drift is not None and fit_drift >= refit_fit_drift:
+        plan.append("rebuild")
+        reasons.append(
+            f"mean assigned-centroid distance inflated {fit_drift:.0%} "
+            f"since the fit (>= {refit_fit_drift:.0%}) with count drift "
+            f"only {growth:.0%} — the upsert-heavy blind spot of the "
+            "count probe; refit"
         )
     elif st["kind"] != "unchanged":
         plan.append("sync")
@@ -1229,8 +1367,8 @@ def maintain_ivf_index(
                 "per-cell pruning degraded; re-cluster"
             )
         return {"actions": plan, "reasons": reasons, "kind": st["kind"],
-                "growth": growth, "frag_depth": depth,
-                "frag_floor": floor, "dry_run": True}
+                "growth": growth, "fit_drift": fit_drift,
+                "frag_depth": depth, "frag_floor": floor, "dry_run": True}
     actions: list[str] = []
     for a in plan:
         if a == "rebuild":
@@ -1252,8 +1390,8 @@ def maintain_ivf_index(
         depth, _ = frag()
     cv = VersionedTable(spark, f"{index_path}/centroids").manifest()["version"]
     return {"actions": actions, "reasons": reasons, "kind": st["kind"],
-            "growth": growth, "frag_depth": depth, "frag_floor": floor,
-            "dry_run": False, "centroid_version": cv}
+            "growth": growth, "fit_drift": fit_drift, "frag_depth": depth,
+            "frag_floor": floor, "dry_run": False, "centroid_version": cv}
 
 
 def vacuum_ivf_index(

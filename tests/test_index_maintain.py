@@ -211,6 +211,56 @@ def test_maintain_ivf_auto_compacts_fragmented_layout(spark, tmp_path):
     assert maintain_ivf_index(spark, idx)["actions"] == []
 
 
+def test_fit_drift_probe_catches_upsert_blind_spot(spark, tmp_path):
+    """r12: an upsert-heavy base mutates vectors WITHOUT moving the
+    count, so the count probe reads 0 growth forever — the fit-drift
+    probe (mean assigned-centroid distance vs the build's recorded
+    baseline, same deterministic sample) reads the decay, and
+    maintain(check_fit_drift=True) refits where the default policy
+    would sync forever. After the refit the drift baseline resets."""
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        ivf_fit_drift,
+        ivf_index_staleness,
+    )
+
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=4, base_path=cpath)
+    _, meta = load_ivf_index(spark, idx)
+    assert meta["fit"] and meta["fit"]["mean_dist"] > 0
+
+    d0 = ivf_fit_drift(spark, idx)
+    assert abs(d0["rel_drift"]) < 1e-9  # same snapshot, same sample
+
+    # blast every vector far from the fitted centroids: count unchanged
+    cvt.upsert(
+        cvt.read().withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> float(x * 50.0 + 25.0))"),
+        ),
+        key="vec_id",
+    )
+    assert ivf_index_staleness(spark, idx, SF_SMOKE) == 0.0  # blind
+    drift = ivf_fit_drift(spark, idx)["rel_drift"]
+    assert drift > 0.25
+
+    # default policy: syncs (correct content, stale quantizer) — and the
+    # sync CARRIES the fit baseline forward so the probe still works
+    rep = maintain_ivf_index(spark, idx)
+    assert rep["actions"][0] == "sync" and rep["fit_drift"] is None
+    _, meta = load_ivf_index(spark, idx)
+    assert meta["fit"] == {"mean_dist": pytest.approx(
+        d0["mean_dist_at_build"]), "sample_mod": d0["sample_mod"]}
+    assert ivf_fit_drift(spark, idx)["rel_drift"] > 0.25
+
+    # opt-in fit probe: refits, after which the drift baseline resets
+    rep = maintain_ivf_index(spark, idx, check_fit_drift=True)
+    assert rep["actions"] == ["rebuild"]
+    assert rep["fit_drift"] > 0.25
+    assert abs(ivf_fit_drift(spark, idx)["rel_drift"]) < 1e-9
+
+
 def test_maintain_index_subcommand(spark, tmp_path, capsys):
     """CLI verb: dry-run prints the plan + reasons, the real run
     executes it and the index reads level afterwards."""
