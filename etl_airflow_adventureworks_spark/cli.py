@@ -751,6 +751,9 @@ def main(argv: list[str] | None = None) -> int:
         from .table import VersionedTable
 
         t = VersionedTable(spark, args.path)
+        # clamp CLI-side (one floor computation, honest print) and do
+        # NOT also pass respect_consumers — vacuum would recompute the
+        # same floor, doubling per-consumer manifest reads
         retain = args.retain
         if args.respect_consumer:
             floor = t.safe_retain_floor(args.respect_consumer)
@@ -758,12 +761,7 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"--retain {retain} would strand a lagging consumer "
                       f"— clamped to the computed floor {floor}")
                 retain = floor
-        import warnings as _w
-
-        with _w.catch_warnings():
-            _w.simplefilter("ignore", RuntimeWarning)  # clamp printed above
-            n = t.vacuum(retain_last=retain, dry_run=args.dry_run,
-                         respect_consumers=args.respect_consumer or None)
+        n = t.vacuum(retain_last=retain, dry_run=args.dry_run)
         print(
             (f"would delete {n} file(s)" if args.dry_run
              else f"deleted {n} file(s)")

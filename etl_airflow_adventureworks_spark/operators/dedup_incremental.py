@@ -158,27 +158,36 @@ def build_neardup_index(
 _APPEND_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+#: a byte-derived append file count is additionally CAPPED at one file
+#: per this many batch rows — the plan's input bytes over-count a
+#: FILTERED read of a large table (inputFiles() lists every scanned
+#: file), and without the cap a 1000-row slice of a 100 GiB corpus
+#: would shatter into hundreds of near-empty key-spanning files, the
+#: exact fragmentation the sizing rule exists to prevent
+_APPEND_MIN_ROWS_PER_FILE = 50_000
+
+
 def _batch_num_files(spark: SparkSession, docs: DataFrame) -> int:
-    """Output file count for an append batch: ceil(input bytes / 128 MiB),
-    so a LARGE batch lands as several key-local files instead of one
-    oversized file spanning the whole batch key range — which every later
-    copy-on-write sync would have to rewrite wholesale, re-creating the
-    fragmentation the r11 clustering removed (ADVICE r11). In-memory
-    batches (no resolvable input files) stay at 1."""
+    """Output file count for an append batch:
+    min(ceil(input bytes / 128 MiB), ceil(rows / 50k)) — byte-derived so
+    a LARGE batch lands as several key-local files instead of one
+    oversized file spanning the whole batch key range (which every later
+    copy-on-write sync would rewrite wholesale, ADVICE r11), row-capped
+    so a FILTERED read of a big table can't over-shard a small batch
+    (``inputFiles()`` counts every scanned file's bytes, not the rows
+    that survive the filter). In-memory batches (no resolvable input
+    files) stay at 1; the row count job only runs when the bytes
+    suggest more than one file."""
     import math
 
-    uris = docs.inputFiles()
-    if not uris:
+    from ..table import sum_file_bytes
+
+    total = sum_file_bytes(spark, docs.inputFiles())
+    by_bytes = math.ceil(total / _APPEND_TARGET_FILE_BYTES)
+    if by_bytes <= 1:
         return 1
-    HPath = spark._jvm.org.apache.hadoop.fs.Path
-    fs = None
-    total = 0
-    for uri in uris:
-        p = HPath(uri)
-        if fs is None:  # one FileSystem resolve; batch files share a scheme
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        total += fs.getFileStatus(p).getLen()
-    return max(1, math.ceil(total / _APPEND_TARGET_FILE_BYTES))
+    by_rows = math.ceil(max(1, docs.count()) / _APPEND_MIN_ROWS_PER_FILE)
+    return max(1, min(by_bytes, by_rows))
 
 
 def append_to_neardup_index(

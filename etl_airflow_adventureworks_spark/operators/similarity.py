@@ -524,15 +524,17 @@ def _fit_sample_mean_dist(
     probe-time measure the SAME (surviving) vectors plus the same slice
     of new ones — a paired drift comparison, not two unrelated samples."""
     v = to_double_array("embedding")
-    terms = ", ".join(
+    terms = [
         f"({dot('v', _lit_array(c))} * -2.0D + {sum(x * x for x in c)!r}D)"
         for c in cents
-    )
+    ]
+    # least() needs >= 2 args; a k_cells=1 build has one distance term
+    nearest = f"least({', '.join(terms)})" if len(terms) > 1 else terms[0]
     e = (
         df.selectExpr("vec_id", f"{v} AS v")
         .filter(f"pmod(xxhash64(vec_id), {max(1, sample_mod)}) = 0")
         .selectExpr(f"sqrt(greatest(0.0D, {dot('v', 'v')} "
-                    f"+ least({terms}))) AS d")
+                    f"+ {nearest})) AS d")
     )
     row = e.agg(F.avg("d").alias("m")).first()
     return float(row["m"]) if row["m"] is not None else 0.0
@@ -701,7 +703,7 @@ def _write_ivf_layout_vt(
     collection-sized fraction (the same sizing rule as optimize)."""
     import math
 
-    from ..table import VersionedTable
+    from ..table import VersionedTable, sum_file_bytes
 
     src = (
         embeddings
@@ -710,14 +712,7 @@ def _write_ivf_layout_vt(
     )
     df = _ivf_layout_frame(spark, sf_dir, centroids, extra_cols,
                            embeddings=src)
-    HPath = spark._jvm.org.apache.hadoop.fs.Path
-    total = 0
-    fs = None
-    for uri in src.inputFiles():
-        p = HPath(uri)
-        if fs is None:  # one FileSystem resolve; all files share a scheme
-            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        total += fs.getFileStatus(p).getLen()
+    total = sum_file_bytes(spark, src.inputFiles())
     n_files = max(k_cells or 1, math.ceil(total / target_file_bytes))
     clustered = df.repartitionByRange(
         n_files, "cell", "vec_id"
@@ -1042,6 +1037,9 @@ def sync_ivf_index(
             spark.createDataFrame([], lay_schema),
             mode="append",
             idempotency_token=f"{token}+schema-v{v_now}",
+            # a patch op (table._PATCH_OPS): a zero-row widen must not
+            # read as a clustering baseline to the fragmentation probe
+            op_info={"op": "schema_widen"},
         )
     base_cols = [f.name for f in lay_schema.fields if f.name not in derived]
     missing_cols = sorted(set(base_cols) - set(delta.columns))
@@ -1089,33 +1087,50 @@ def sync_ivf_index(
     # re-stamp the sync point (metadata-only: same centroid rows, new op
     # entry) — a crash between the apply and this commit replays cleanly
     # (same window; the layout apply's token makes it a no-op)
-    cent_df = cvt_cent.read().localCheckpoint(eager=True)
-    try:
-        return cvt_cent.commit(
-            cent_df,
-            mode="overwrite",
-            idempotency_token=token,
-            retry=False,  # snapshot-dependent payload (r12, ADVICE r11):
-            # commit's blind OCC retry would republish these pre-conflict
-            # centroid rows over a concurrent rebuild_ivf_index's refit,
-            # silently reverting its new centroids + layout pointer
-            op_info={
-                "op": "ivf_sync",
-                "layout_kind": "vt",
-                "base": {"path": base["path"], "version": v_now},
-                # the quantizer is unchanged by a sync, so the BUILD's
-                # fit baseline stays the drift reference (r12)
-                **({"fit": meta["fit"]} if meta.get("fit") else {}),
-            },
-        )
-    except CommitConflict:
-        # a concurrent centroid writer (another sync, or a rebuild refit)
-        # landed first: its state is newer and self-consistent — never
-        # republish ours over it. Our CDC apply patched the layout that
-        # writer may have superseded; return its version UNSTAMPED and
-        # let the next sync bring the (possibly rebuilt) index level
-        # from its own recorded base stamp.
-        return cvt_cent.manifest()["version"]
+    stamp_v = v_now
+    fit = meta.get("fit")  # quantizer unchanged by a sync: the BUILD's
+    # fit baseline stays the drift reference (r12)
+    for _ in range(5):
+        cent_df = cvt_cent.read().localCheckpoint(eager=True)
+        try:
+            return cvt_cent.commit(
+                cent_df,
+                mode="overwrite",
+                idempotency_token=token,
+                retry=False,  # snapshot-dependent payload (r12, ADVICE
+                # r11): commit's blind OCC retry would republish these
+                # pre-conflict centroid rows over a concurrent
+                # rebuild_ivf_index's refit, silently reverting its new
+                # centroids + layout pointer
+                op_info={
+                    "op": "ivf_sync",
+                    "layout_kind": "vt",
+                    "base": {"path": base["path"], "version": stamp_v},
+                    **({"fit": fit} if fit else {}),
+                },
+            )
+        except CommitConflict:
+            # a concurrent centroid writer (another sync, or a rebuild
+            # refit) landed between our CDC apply and this stamp. Its
+            # centroid rows / layout pointer / fit baseline win (re-read
+            # above on retry — never republish pre-conflict rows over a
+            # refit), but its STAMP may not: our already-applied batch
+            # and the winner's interleaved on the layout, so rows the
+            # winner wrote from a newer base snapshot may have been
+            # overwritten by our older finals. Re-stamp with the OLDER
+            # of the two base versions — the next sync then replays the
+            # union window, whose per-key final states land
+            # idempotently, repairing any such interleaving (and on a
+            # rebuilt index merely re-applies already-reflected keys).
+            _c2, meta2 = load_ivf_index(spark, index_path)
+            win = (meta2.get("base") or {}).get("version", stamp_v)
+            stamp_v = min(stamp_v, win)
+            fit = meta2.get("fit")
+            token = f"{token}+occ"  # distinct from the winner's token
+    raise CommitConflict(
+        f"sync_ivf_index: could not re-stamp {index_path} after repeated "
+        "concurrent centroid commits"
+    )
 
 
 def rebuild_ivf_index(
@@ -1291,7 +1306,7 @@ def maintain_ivf_index(
         stats_overlap_depth,
     )
 
-    _, meta = load_ivf_index(spark, index_path)
+    cents, meta = load_ivf_index(spark, index_path)
     if not meta.get("base"):
         raise ValueError(
             f"IVF index at {index_path} was not built with base_path= — "
@@ -1308,11 +1323,14 @@ def maintain_ivf_index(
     )
     growth = ivf_index_staleness(spark, index_path, sf_dir=None, meta=meta)
     fit_drift = None
-    if check_fit_drift and meta.get("fit"):
+    if check_fit_drift:
         # opt-in: ONE column-pruned data pass over the base (the manifest
         # probes stay free) — the refit signal count growth is blind to
-        # (upsert-heavy bases mutate vectors without moving the count)
-        cents, _m = load_ivf_index(spark, index_path)
+        # (upsert-heavy bases mutate vectors without moving the count).
+        # A pre-r12 index with no recorded fit stats fails LOUD inside
+        # ivf_fit_drift (one rebuild migrates it) — an explicit opt-in
+        # that silently probed nothing would hide exactly the decay the
+        # flag exists to catch.
         fit_drift = ivf_fit_drift(
             spark, index_path, preloaded=(cents, meta)
         )["rel_drift"]
@@ -1347,8 +1365,7 @@ def maintain_ivf_index(
             "action"
         )
 
-    def frag() -> tuple[int, int]:
-        _c, m = load_ivf_index(spark, index_path)
+    def frag(m: dict) -> tuple[int, int]:
         lay = VersionedTable(spark, f"{index_path}/{m['layout_dir']}")
         depth = stats_overlap_depth(lay.manifest(), "cell")
         # depth at the last retained clustering = the layout's
@@ -1357,7 +1374,7 @@ def maintain_ivf_index(
         floor = max(frag_depth_max, clustered_baseline_depth(lay, "cell"))
         return depth, floor
 
-    depth, floor = frag()
+    depth, floor = frag(meta)
     if dry_run:
         if "rebuild" not in plan and depth > floor:
             plan.append("compact")
@@ -1373,12 +1390,13 @@ def maintain_ivf_index(
     for a in plan:
         if a == "rebuild":
             rebuild_ivf_index(spark, index_path)
+            _c, meta = load_ivf_index(spark, index_path)  # new layout_dir
         else:
             sync_ivf_index(
                 spark, index_path, idempotency_token=idempotency_token
             )
         actions.append(a)
-    depth, floor = frag()  # re-probe: the sync may have fragmented
+    depth, floor = frag(meta)  # re-probe: the sync may have fragmented
     if "rebuild" not in actions and depth > floor:
         optimize_ivf_layout(spark, index_path)
         actions.append("compact")
@@ -1387,7 +1405,7 @@ def maintain_ivf_index(
             "(max of frag_depth_max and the last clustering's depth) — "
             "re-clustered"
         )
-        depth, _ = frag()
+        depth, _ = frag(meta)
     cv = VersionedTable(spark, f"{index_path}/centroids").manifest()["version"]
     return {"actions": actions, "reasons": reasons, "kind": st["kind"],
             "growth": growth, "fit_drift": fit_drift, "frag_depth": depth,

@@ -1573,6 +1573,7 @@ def replicate_table(
                 json.loads(src_latest["schema"]))),
             mode="append",
             idempotency_token=f"replica-of:v{reflected}+schema-v{v_src}",
+            op_info={"op": "schema_widen"},  # a patch op — see _PATCH_OPS
         )
     batch = collapse_row_changes(src.row_changes(reflected, v_src), key)
     if not batch.take(1):
@@ -1620,6 +1621,25 @@ def latest_base_stamp(vt: VersionedTable) -> dict | None:
     return None
 
 
+def sum_file_bytes(spark: SparkSession, uris: list[str]) -> int:
+    """Total on-disk bytes of the given file URIs — one filesystem stat
+    per file through Hadoop's FileSystem API (scheme-resolved once; all
+    of one DataFrame's input files share a scheme). The shared
+    byte-sizing primitive the layout writers and append-batch sizers
+    use; returns 0 for an empty list (in-memory frames)."""
+    if not uris:
+        return 0
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = None
+    total = 0
+    for uri in uris:
+        p = HPath(uri)
+        if fs is None:
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        total += fs.getFileStatus(p).getLen()
+    return total
+
+
 def stats_overlap_depth(man: dict, col: str) -> int:
     """FRAGMENTATION probe for a key-clustered layout (r12, VERDICT r11
     #6): the maximum number of files whose recorded per-file [min, max]
@@ -1653,8 +1673,11 @@ def stats_overlap_depth(man: dict, col: str) -> int:
 
 #: manifest op names that PATCH a clustered layout rather than establish
 #: one — what `clustered_baseline_depth` walks past to find the layout's
-#: reference shape
-_PATCH_OPS = {"cdc", "upsert", "delete", "neardup_index_append"}
+#: reference shape. By contract every non-clustering commit on an index
+#: layout carries one of these op names; the clustering commits are the
+#: bootstrap build (op None / *_build) and `optimize`.
+_PATCH_OPS = {"cdc", "upsert", "delete", "neardup_index_append",
+              "schema_widen"}
 
 
 def clustered_baseline_depth(vt: "VersionedTable", col: str) -> int:

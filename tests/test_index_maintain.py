@@ -84,9 +84,9 @@ def test_maintain_dedup_policy_paths(spark, tmp_path):
     # rewrite window on a SMALL corpus: the policy rebuilds (measured
     # crossover: re-shingling 50k docs beats sync's fixed job chain)
     cvt.upsert(_docs(spark, rng, [3, 7]), key="doc_id")
+    v_before = VersionedTable(spark, idx).manifest()["version"]
     plan = maintain_neardup_index(spark, idx, dry_run=True)
     assert plan["actions"] == ["rebuild"] and plan["dry_run"]
-    v_before = VersionedTable(spark, idx).manifest()["version"]
     assert VersionedTable(spark, idx).manifest()["version"] == v_before
 
     rep = maintain_neardup_index(spark, idx)
