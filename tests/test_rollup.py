@@ -658,6 +658,64 @@ def test_group_local_refresh_prunes_files_on_clustered_dim(spark, tmp_path):
     ) == sorted([tuple(r) for r in want], key=lambda x: x[0])
 
 
+def test_group_local_null_keys_and_group_moves(spark, tmp_path):
+    """Group-local edge cases: a NULL dim value is a real group (the
+    touched-key joins are null-safe, and NULL touched keys disable file
+    pruning rather than wrongly skipping files), and an upsert that
+    MOVES a row between groups touches BOTH (preimage and postimage
+    keys enter the touched set) — all asserted bit-equal to
+    from-scratch with a min measure forcing the group-local path."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    dims = ["g"]
+    measures = {"n": ("count", None), "mn": ("min", "v")}
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    rows = [(1, None, 5.0), (2, None, 9.0), (3, 1, 7.0), (4, 2, 3.0),
+            (5, 2, 8.0)]
+    t.commit(
+        spark.createDataFrame(rows, "k long, g long, v double"),
+        stats_cols=["g"],  # stats exist; NULL touched keys must not
+        # prune away the files holding the NULL group's rows
+    )
+    refresh_rollup(spark, tpath, rpath, dims, measures)
+
+    def check():
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            refresh_rollup(spark, tpath, rpath, dims, measures)
+        roll = VersionedTable(spark, rpath)
+        assert roll.manifest()["op"]["mode"] == "group_local"
+        got = {tuple(r) for r in roll.read().collect()}
+        want = {tuple(r) for r in _aggregate(t.read(), dims, measures).collect()}
+        assert got == want
+
+    # retract the NULL group's min (k=1, v=5.0): NULL group recomputes
+    t.delete_where("k = 1")
+    check()
+
+    # move a row BETWEEN groups: k=4 leaves g=2 (its min) and joins g=1
+    t.upsert(
+        spark.createDataFrame([(4, 1, 3.0)], "k long, g long, v double"),
+        key="k",
+    )
+    check()
+
+    # move a row INTO the NULL group
+    t.upsert(
+        spark.createDataFrame([(3, None, 7.0)], "k long, g long, v double"),
+        key="k",
+    )
+    check()
+
+    # empty a group entirely: g=2's last row leaves; the group vanishes
+    t.delete_where("k = 5")
+    check()
+    assert VersionedTable(spark, rpath).read().filter("g = 2").count() == 0
+
+
 def test_fully_retracted_nullable_sum_reads_null(spark, tmp_path):
     """r11 (VERDICT r10 #1): a sum over a nullable expression reads NULL
     (not 0) once the group's last non-null value is retracted — bit-equal
