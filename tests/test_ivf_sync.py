@@ -353,6 +353,65 @@ def test_sync_carries_additive_base_schema_evolution(spark, tmp_path):
     assert sync_ivf_index(spark, idx) == v
 
 
+def test_sync_restamp_conflict_repairs_with_older_stamp(
+    spark, tmp_path, monkeypatch
+):
+    """r12 (review finding): when a concurrent centroid writer lands
+    between a sync's CDC apply and its re-stamp, the two writers'
+    layout patches may have interleaved — so the loser must re-stamp
+    with the OLDER of the two base versions (the next sync then replays
+    the union window, whose per-key finals land idempotently) instead
+    of trusting the winner's stamp over possibly-mixed layout content.
+    The pre-fix behavior returned the winner's newer stamp, silently
+    stranding the loser's overwrites forever."""
+    from etl_airflow_adventureworks_spark.table import (
+        VersionedTable as VT,
+        latest_base_stamp,
+    )
+
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))          # v1
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=4, base_path=cpath)
+    cvt.upsert(
+        cvt.read().filter("vec_id = 5").withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(-x))")
+        ),
+        key="vec_id",
+    )                                                              # v2
+
+    orig = VT._publish_manifest
+    injected = {}
+
+    def racy(self, man):
+        op = man.get("op") or {}
+        if op.get("op") == "ivf_sync" and "done" not in injected:
+            injected["done"] = True
+            # the competitor: a concurrent writer that already stamped
+            # an OLDER base version (e.g. a rebuild that started before
+            # our window) — lands first, taking our target version
+            comp = dict(man)
+            comp["token"] = "competitor"
+            comp["op"] = dict(op, base={"path": cpath, "version": 1})
+            orig(self, comp)
+        return orig(self, man)
+
+    monkeypatch.setattr(VT, "_publish_manifest", racy)
+    sync_ivf_index(spark, idx)
+    monkeypatch.setattr(VT, "_publish_manifest", orig)
+    assert injected  # the conflict really fired
+
+    # the loser re-stamped with min(ours=2, winner=1) = 1 — conservative
+    stamp = latest_base_stamp(VersionedTable(spark, f"{idx}/centroids"))
+    assert stamp == {"path": cpath, "version": 1}
+
+    # and the union-window replay brings the index level and exact
+    sync_ivf_index(spark, idx)
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
+    got = ann_ivf_topk_from_index(spark, idx, nprobe=4)
+    assert _rows(got) == _rows(_brute_topk(cvt.read()))
+
+
 def test_sync_refuses_plain_and_pre_r11_indexes(spark, tmp_path):
     """No base stamp -> loud; a base-stamped index whose layout is the
     immutable directory kind (pre-r11 build) -> loud with rebuild
