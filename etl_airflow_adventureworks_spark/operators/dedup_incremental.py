@@ -162,14 +162,21 @@ _APPEND_TARGET_FILE_BYTES = 128 * 1024 * 1024
 #: per this many batch rows — the plan's input bytes over-count a
 #: FILTERED read of a large table (inputFiles() lists every scanned
 #: file), and without the cap a 1000-row slice of a 100 GiB corpus
-#: would shatter into hundreds of near-empty key-spanning files, the
-#: exact fragmentation the sizing rule exists to prevent
-_APPEND_MIN_ROWS_PER_FILE = 50_000
+#: would shatter into hundreds of near-empty key-spanning files.
+#: Deliberately LOOSE (5k rows ≈ 14 MiB of entries at the ~2.7 KiB/row
+#: the sizing comment assumes): a tight cap would override the byte
+#: signal for honest unfiltered batches of LARGE documents — whose
+#: entry bytes scale with text — re-creating the oversized-file problem
+#: the byte rule (ADVICE r11) exists to prevent. The two errors are
+#: asymmetric: over-sharding a filtered batch costs a few small files;
+#: under-sharding a fat batch costs every later sync a multi-GiB
+#: rewrite, so the cap only trims the pathological tail.
+_APPEND_MIN_ROWS_PER_FILE = 5_000
 
 
 def _batch_num_files(spark: SparkSession, docs: DataFrame) -> int:
     """Output file count for an append batch:
-    min(ceil(input bytes / 128 MiB), ceil(rows / 50k)) — byte-derived so
+    min(ceil(input bytes / 128 MiB), ceil(rows / 5k)) — byte-derived so
     a LARGE batch lands as several key-local files instead of one
     oversized file spanning the whole batch key range (which every later
     copy-on-write sync would rewrite wholesale, ADVICE r11), row-capped

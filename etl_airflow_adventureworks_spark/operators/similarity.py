@@ -583,7 +583,14 @@ def ivf_fit_drift(
         fit["sample_mod"],
     )
     at_build = fit["mean_dist"]
-    rel = (now - at_build) / at_build if at_build > 0 else 0.0
+    if at_build > 0:
+        rel = (now - at_build) / at_build
+    else:
+        # a perfectly-fit build (k_cells >= distinct vectors, or a mean
+        # that rounded to 0): ANY nonzero residual now is maximal drift
+        # — reporting 0 here would blind the probe for exactly the
+        # blast-upsert case it exists to catch
+        rel = float("inf") if now > 0 else 0.0
     return {
         "mean_dist_now": now,
         "mean_dist_at_build": at_build,
@@ -654,24 +661,29 @@ def _commit_ivf_index(
         "cell int, centroid array<double>, n_vectors_at_build long,"
         " built_from string, layout_dir string",
     )
-    # fit stats (r12): mean assigned-centroid distance over a
-    # deterministic hash sample of the build collection — the baseline
-    # `ivf_fit_drift` compares against (the refit signal count-based
-    # staleness is blind to: upserts mutate vectors without moving the
-    # count). One extra bounded job against a collection the build
-    # already scanned twice.
-    coll = (
-        embeddings
-        if embeddings is not None
-        else load_table(spark, sf_dir, "embeddings")
-    )
-    sample_mod = max(1, int(n_vecs) // _FIT_SAMPLE_TARGET)
-    fit = {
-        "mean_dist": round(_fit_sample_mean_dist(coll, cents, sample_mod), 9),
-        "sample_mod": sample_mod,
-    }
-    op_info = {"op": op_name, "layout_kind": layout_kind, "fit": fit}
+    op_info = {"op": op_name, "layout_kind": layout_kind}
     if base:
+        # fit stats (r12): mean assigned-centroid distance over a
+        # deterministic hash sample of the build collection — the
+        # baseline `ivf_fit_drift` compares against (the refit signal
+        # count-based staleness is blind to: upserts mutate vectors
+        # without moving the count). One extra bounded job against a
+        # collection the build already scanned twice; VERSIONED-BASE
+        # builds only — the probe measures the base's current snapshot,
+        # so a plain-dir build's baseline would be unreachable (the
+        # probe raises before reading it).
+        coll = (
+            embeddings
+            if embeddings is not None
+            else load_table(spark, sf_dir, "embeddings")
+        )
+        sample_mod = max(1, int(n_vecs) // _FIT_SAMPLE_TARGET)
+        op_info["fit"] = {
+            "mean_dist": round(
+                _fit_sample_mean_dist(coll, cents, sample_mod), 9
+            ),
+            "sample_mod": sample_mod,
+        }
         op_info["base"] = base
     return VersionedTable(spark, f"{index_path}/centroids").commit(
         cent_df,
@@ -1000,6 +1012,15 @@ def sync_ivf_index(
     # sync recomputes the derived ones and carries the rest.
     derived = {"cell", "codes"}
     token = idempotency_token or f"ivf-sync:v{v_now}"
+    # the LAYOUT apply's token is WINDOW-SCOPED: after a conflict-repair
+    # re-stamp (below) moved the sync point backward, a retry carrying
+    # the caller's same token computes a DIFFERENT (union) window — a
+    # bare-token replay skip would silently drop exactly the repair
+    # window that stamp exists to force, while a true crash-replay of
+    # the SAME window still skips. apply_cdc re-application of a
+    # collapsed window is idempotent anyway (same finals, absent-key
+    # deletes no-op), so the scoped token is strictly safer.
+    lay_token = f"{token}@v{base['version']}->v{v_now}"
     delta = corpus.row_changes(base["version"], v_now)
     delta_payload = {
         f.name: f
@@ -1036,7 +1057,7 @@ def sync_ivf_index(
         layout.commit(
             spark.createDataFrame([], lay_schema),
             mode="append",
-            idempotency_token=f"{token}+schema-v{v_now}",
+            idempotency_token=f"{lay_token}+schema",
             # a patch op (table._PATCH_OPS): a zero-row widen must not
             # read as a clustering baseline to the fragmentation probe
             op_info={"op": "schema_widen"},
@@ -1083,7 +1104,7 @@ def sync_ivf_index(
         cdc = assigned.withColumn("op", F.lit("upsert")).unionByName(
             dead.select("vec_id", *nulls).withColumn("op", F.lit("delete"))
         )
-        layout.apply_cdc(cdc, key="vec_id", idempotency_token=token)
+        layout.apply_cdc(cdc, key="vec_id", idempotency_token=lay_token)
     # re-stamp the sync point (metadata-only: same centroid rows, new op
     # entry) — a crash between the apply and this commit replays cleanly
     # (same window; the layout apply's token makes it a no-op)
@@ -1323,10 +1344,12 @@ def maintain_ivf_index(
     )
     growth = ivf_index_staleness(spark, index_path, sf_dir=None, meta=meta)
     fit_drift = None
-    if check_fit_drift:
+    if check_fit_drift and growth < refit_staleness:
         # opt-in: ONE column-pruned data pass over the base (the manifest
         # probes stay free) — the refit signal count growth is blind to
         # (upsert-heavy bases mutate vectors without moving the count).
+        # Skipped when the FREE count probe already mandates the rebuild
+        # (the data pass would be redundant — the refit re-scans anyway).
         # A pre-r12 index with no recorded fit stats fails LOUD inside
         # ivf_fit_drift (one rebuild migrates it) — an explicit opt-in
         # that silently probed nothing would hide exactly the decay the
@@ -1342,6 +1365,8 @@ def maintain_ivf_index(
             f"collection moved {growth:.0%} since the quantizer fit "
             f"(>= {refit_staleness:.0%}) — sync cannot move centroids, "
             "recall decays silently; refit"
+            + (" (fit-drift probe skipped: redundant)" if check_fit_drift
+               else "")
         )
     elif fit_drift is not None and fit_drift >= refit_fit_drift:
         plan.append("rebuild")

@@ -397,7 +397,7 @@ def test_sync_restamp_conflict_repairs_with_older_stamp(
         return orig(self, man)
 
     monkeypatch.setattr(VT, "_publish_manifest", racy)
-    sync_ivf_index(spark, idx)
+    sync_ivf_index(spark, idx, idempotency_token="job:7")
     monkeypatch.setattr(VT, "_publish_manifest", orig)
     assert injected  # the conflict really fired
 
@@ -405,7 +405,18 @@ def test_sync_restamp_conflict_repairs_with_older_stamp(
     stamp = latest_base_stamp(VersionedTable(spark, f"{idx}/centroids"))
     assert stamp == {"path": cpath, "version": 1}
 
-    # and the union-window replay brings the index level and exact
+    # an at-least-once orchestrator RETRY with the SAME token must still
+    # repair: the layout apply's token is window-scoped, so the repaired
+    # stamp's union window is never mistaken for a replay of the
+    # original (the pre-fix silent-corruption case), and the re-stamp
+    # advances past the +occ marker
+    sync_ivf_index(spark, idx, idempotency_token="job:7")
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
+    got = ann_ivf_topk_from_index(spark, idx, nprobe=4)
+    assert _rows(got) == _rows(_brute_topk(cvt.read()))
+
+    # and a LATER window under the same flow stays incremental + exact
+    cvt.delete_where("vec_id = 9")
     sync_ivf_index(spark, idx)
     assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
     got = ann_ivf_topk_from_index(spark, idx, nprobe=4)
