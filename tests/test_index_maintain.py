@@ -285,3 +285,7 @@ def test_maintain_index_subcommand(spark, tmp_path, capsys):
     assert main(["maintain-index", "--index", idx,
                  "--kind", "dedup"]) == 0
     assert "nothing" in capsys.readouterr().out
+    # --check-fit-drift is an ivf-only probe
+    assert main(["maintain-index", "--index", idx, "--kind", "dedup",
+                 "--check-fit-drift"]) == 2
+    assert "ivf only" in capsys.readouterr().out
