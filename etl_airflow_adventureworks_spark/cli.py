@@ -326,6 +326,12 @@ def main(argv: list[str] | None = None) -> int:
     mi.add_argument("--dry-run", action="store_true")
     mi.add_argument("--token", default=None,
                     help="idempotency token forwarded to a sync action")
+    mi.add_argument("--vacuum-retain", type=int, default=None, metavar="N",
+                    help="after the content/compact actions, sweep index "
+                    "storage to the newest N versions (dedup: the index "
+                    "table's versions; ivf: centroid versions + "
+                    "unreferenced layout dirs past the in-flight-build "
+                    "age window + the layout's sync-patch versions)")
     mi.add_argument("--check-fit-drift", action="store_true",
                     help="(ivf only) also probe quantizer FIT drift — one "
                     "column-pruned pass over the base table; refits when "
@@ -837,6 +843,8 @@ def main(argv: list[str] | None = None) -> int:
                 maintain_neardup_index as _mt,
             )
         kw = {"idempotency_token": args.token} if args.token else {}
+        if args.vacuum_retain is not None:
+            kw["vacuum_retain_last"] = args.vacuum_retain
         if args.kind == "ivf" and args.check_fit_drift:
             kw["check_fit_drift"] = True
         elif args.check_fit_drift:

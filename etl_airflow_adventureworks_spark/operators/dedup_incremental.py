@@ -410,6 +410,7 @@ def maintain_neardup_index(
     rebuild_below_bytes: int = MAINTAIN_REBUILD_BELOW_BYTES,
     frag_depth_max: int = MAINTAIN_FRAG_DEPTH_MAX,
     idempotency_token: str | None = None,
+    vacuum_retain_last: int | None = None,
 ) -> dict:
     """ONE maintenance call for a versioned-base dedup index (r12,
     VERDICT r11 #5): read the staleness probes and pick — then run —
@@ -432,6 +433,13 @@ def maintain_neardup_index(
       with ``optimize(cluster_by=["doc_id"])``; skipped when no file
       has doc_id stats (non-numeric keys: nothing prunes either way)
       and after a rebuild (already freshly clustered).
+
+    ``vacuum_retain_last`` (optional) completes the lifecycle: after
+    the content/compact actions, sweep the index table's own internal
+    versions to the newest N (sync patches and compactions accumulate
+    them; the index is a derived artifact, so its history has no
+    consumers of its own to strand — time travel of the index itself is
+    the only thing the knob trades).
 
     ``dry_run=True`` returns the PLAN (actions + reasons) without
     touching anything; the executed report re-probes fragmentation
@@ -488,6 +496,11 @@ def maintain_neardup_index(
                 "(max of frag_depth_max and the last clustering's depth) "
                 "— stats pruning degraded; re-cluster"
             )
+        if vacuum_retain_last is not None:
+            plan.append("vacuum")
+            reasons.append(
+                f"sweep index versions to the newest {vacuum_retain_last}"
+            )
         return {"actions": plan, "reasons": reasons, "kind": st["kind"],
                 "frag_depth": depth, "frag_floor": frag_floor(),
                 "dry_run": True}
@@ -518,6 +531,13 @@ def maintain_neardup_index(
             depth = frag_depth()
     else:
         depth = frag_depth()
+    if vacuum_retain_last is not None:
+        deleted = idx.vacuum(retain_last=vacuum_retain_last)
+        actions.append("vacuum")
+        reasons.append(
+            f"swept {deleted} unreferenced file(s), retaining the newest "
+            f"{vacuum_retain_last} index version(s)"
+        )
     return {"actions": actions, "reasons": reasons, "kind": st["kind"],
             "frag_depth": depth, "frag_floor": frag_floor(),
             "dry_run": False,

@@ -1283,6 +1283,8 @@ def maintain_ivf_index(
     idempotency_token: str | None = None,
     check_fit_drift: bool = False,
     refit_fit_drift: float = MAINTAIN_REFIT_FIT_DRIFT,
+    vacuum_retain_last: int | None = None,
+    vacuum_min_age_sec: int = 3600,
 ) -> dict:
     """ONE maintenance call for a versioned-base IVF index (r12, VERDICT
     r11 #5): read both staleness probes and pick — then run — the right
@@ -1313,6 +1315,13 @@ def maintain_ivf_index(
       patch fragmentation (the per-cell-pruning degradation VERDICT
       r11 flagged) — re-cluster with ``optimize_ivf_layout``; skipped
       after a rebuild (fresh layout).
+
+    ``vacuum_retain_last`` (optional) completes the lifecycle with the
+    retention verb: after the content/compact actions,
+    ``vacuum_ivf_index`` sweeps centroid versions, unreferenced layout
+    directories older than ``vacuum_min_age_sec`` (the in-flight-build
+    safety window), and the retained layout's internal sync-patch
+    versions.
 
     ``dry_run=True`` returns the PLAN without touching anything; a real
     run re-probes fragmentation AFTER the content action (a scattered
@@ -1408,6 +1417,12 @@ def maintain_ivf_index(
                 "frag_depth_max and the last clustering's depth) — "
                 "per-cell pruning degraded; re-cluster"
             )
+        if vacuum_retain_last is not None:
+            plan.append("vacuum")
+            reasons.append(
+                f"sweep index storage to the newest {vacuum_retain_last} "
+                "centroid version(s) + retained layouts"
+            )
         return {"actions": plan, "reasons": reasons, "kind": st["kind"],
                 "growth": growth, "fit_drift": fit_drift,
                 "frag_depth": depth, "frag_floor": floor, "dry_run": True}
@@ -1431,6 +1446,16 @@ def maintain_ivf_index(
             "re-clustered"
         )
         depth, _ = frag(meta)
+    if vacuum_retain_last is not None:
+        swept = vacuum_ivf_index(
+            spark, index_path, retain_last=vacuum_retain_last,
+            min_age_sec=vacuum_min_age_sec,
+        )
+        actions.append("vacuum")
+        reasons.append(
+            f"swept {swept} unreferenced layout dir(s), retaining the "
+            f"newest {vacuum_retain_last} centroid version(s)"
+        )
     cv = VersionedTable(spark, f"{index_path}/centroids").manifest()["version"]
     return {"actions": actions, "reasons": reasons, "kind": st["kind"],
             "growth": growth, "fit_drift": fit_drift, "frag_depth": depth,

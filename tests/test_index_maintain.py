@@ -211,6 +211,51 @@ def test_maintain_ivf_auto_compacts_fragmented_layout(spark, tmp_path):
     assert maintain_ivf_index(spark, idx)["actions"] == []
 
 
+def test_maintain_vacuum_leg_sweeps_index_storage(spark, tmp_path):
+    """r12: the optional vacuum leg completes the lifecycle in the same
+    call — dedup: the index table's internal versions sweep to the
+    newest N with the rowset intact; ivf: centroid versions + old
+    layout dirs sweep (age window zeroed for the test) with serving
+    unchanged."""
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        ann_ivf_topk_from_index,
+    )
+
+    rng = random.Random(11)
+    cpath, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(_docs(spark, rng, range(40)))
+    build_neardup_index(spark, cvt.read(), idx, base_path=cpath,
+                        base_version=1, num_files=4)
+    for i in range(2):
+        cvt.delete_where(f"doc_id = {i}")
+        maintain_neardup_index(spark, idx, rebuild_below_bytes=0)
+    ivt = VersionedTable(spark, idx)
+    assert len(ivt.versions()) >= 3
+    rep = maintain_neardup_index(spark, idx, vacuum_retain_last=1)
+    assert rep["actions"] == ["vacuum"]  # base unchanged: retention only
+    assert len(ivt.versions()) == 1
+    assert _entries_snap(ivt.read()) == \
+        _entries_snap(neardup_index_entries(cvt.read()))
+
+    epath, ivf = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    evt = VersionedTable(spark, epath)
+    evt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, ivf, k_cells=4, base_path=epath)
+    evt.delete_where("vec_id = 30")
+    maintain_ivf_index(spark, ivf)                 # sync patch lands
+    before = sorted(map(tuple, ann_ivf_topk_from_index(
+        spark, ivf, nprobe=4).collect()))
+    cvt_cent = VersionedTable(spark, f"{ivf}/centroids")
+    assert len(cvt_cent.versions()) >= 2
+    rep = maintain_ivf_index(spark, ivf, vacuum_retain_last=1,
+                             vacuum_min_age_sec=0)
+    assert rep["actions"] == ["vacuum"]
+    assert len(cvt_cent.versions()) == 1
+    assert sorted(map(tuple, ann_ivf_topk_from_index(
+        spark, ivf, nprobe=4).collect())) == before
+
+
 def test_fit_drift_probe_catches_upsert_blind_spot(spark, tmp_path):
     """r12: an upsert-heavy base mutates vectors WITHOUT moving the
     count, so the count probe reads 0 growth forever — the fit-drift
