@@ -844,6 +844,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         kw = {"idempotency_token": args.token} if args.token else {}
         if args.vacuum_retain is not None:
+            if args.vacuum_retain < 1:
+                # fail at arg-parse time, before any Spark work — the
+                # policies re-validate up front too (ADVICE r12)
+                print("--vacuum-retain must be >= 1")
+                return 2
             kw["vacuum_retain_last"] = args.vacuum_retain
         if args.kind == "ivf" and args.check_fit_drift:
             kw["check_fit_drift"] = True

@@ -152,49 +152,50 @@ def build_neardup_index(
 
 
 #: target bytes per appended index file — the same sizing rule as
-#: `optimize` / `_write_ivf_layout_vt`; measured against the batch's
-#: INPUT bytes (a cheap proxy for entry bytes: shingle-hash arrays scale
-#: with document text)
+#: `optimize` / `_write_ivf_layout_vt`
 _APPEND_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
+#: estimated stored-entry bytes per byte of document TEXT: `hh` holds
+#: one 8-byte hash per distinct 3-token shingle (≈ one per ~5-char
+#: token), so entry bytes track text bytes at roughly 8/5 = 1.6×
+#: pre-compression (parquet wins some of that back; the sizing only
+#: needs the right order of magnitude)
+_ENTRY_BYTES_PER_TEXT_BYTE = 1.6
 
-#: a byte-derived append file count is additionally CAPPED at one file
-#: per this many batch rows — the plan's input bytes over-count a
-#: FILTERED read of a large table (inputFiles() lists every scanned
-#: file), and without the cap a 1000-row slice of a 100 GiB corpus
-#: would shatter into hundreds of near-empty key-spanning files.
-#: Deliberately LOOSE (5k rows ≈ 14 MiB of entries at the ~2.7 KiB/row
-#: the sizing comment assumes): a tight cap would override the byte
-#: signal for honest unfiltered batches of LARGE documents — whose
-#: entry bytes scale with text — re-creating the oversized-file problem
-#: the byte rule (ADVICE r11) exists to prevent. The two errors are
-#: asymmetric: over-sharding a filtered batch costs a few small files;
-#: under-sharding a fat batch costs every later sync a multi-GiB
-#: rewrite, so the cap only trims the pathological tail.
-_APPEND_MIN_ROWS_PER_FILE = 5_000
+#: per-row fixed entry bytes: the 32×8-byte `sig` array + doc_id +
+#: parquet framing overhead
+_ENTRY_FIXED_BYTES = 384
 
 
 def _batch_num_files(spark: SparkSession, docs: DataFrame) -> int:
-    """Output file count for an append batch:
-    min(ceil(input bytes / 128 MiB), ceil(rows / 5k)) — byte-derived so
-    a LARGE batch lands as several key-local files instead of one
+    """Output file count for an append batch, derived from the batch's
+    MEASURED text volume: one column-pruned ``(count, sum(length(text)))``
+    agg estimates the stored entry bytes (shingle-hash arrays scale with
+    document text), and the count is ``ceil(entry bytes / 128 MiB)`` —
+    so a LARGE batch lands as several key-local files instead of one
     oversized file spanning the whole batch key range (which every later
-    copy-on-write sync would rewrite wholesale, ADVICE r11), row-capped
-    so a FILTERED read of a big table can't over-shard a small batch
-    (``inputFiles()`` counts every scanned file's bytes, not the rows
-    that survive the filter). In-memory batches (no resolvable input
-    files) stay at 1; the row count job only runs when the bytes
-    suggest more than one file."""
+    copy-on-write sync would rewrite wholesale, ADVICE r11).
+
+    r13 (ADVICE r12): measuring the batch itself replaced the earlier
+    input-file-bytes proxy + row cap — the proxy over-counted a FILTERED
+    read of a big table (``inputFiles()`` lists every scanned file) and
+    the row cap that papered over it suppressed the byte signal for
+    low-count batches of very large documents (2k docs × 1 MB capped to
+    ONE multi-GiB key-spanning file). The agg reads only the rows that
+    are actually in the batch, so both failure modes are gone; cost is
+    one batch-sized pass over a column the append is about to shingle
+    anyway."""
     import math
 
-    from ..table import sum_file_bytes
-
-    total = sum_file_bytes(spark, docs.inputFiles())
-    by_bytes = math.ceil(total / _APPEND_TARGET_FILE_BYTES)
-    if by_bytes <= 1:
-        return 1
-    by_rows = math.ceil(max(1, docs.count()) / _APPEND_MIN_ROWS_PER_FILE)
-    return max(1, min(by_bytes, by_rows))
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("tb")
+    ).first()
+    rows, text_bytes = int(row["n"] or 0), int(row["tb"] or 0)
+    entry_bytes = (
+        rows * _ENTRY_FIXED_BYTES
+        + int(text_bytes * _ENTRY_BYTES_PER_TEXT_BYTE)
+    )
+    return max(1, math.ceil(entry_bytes / _APPEND_TARGET_FILE_BYTES))
 
 
 def append_to_neardup_index(
@@ -449,6 +450,14 @@ def maintain_neardup_index(
     "dry_run"[, "index_version"]}``."""
     from ..table import clustered_baseline_depth, stats_overlap_depth
 
+    if vacuum_retain_last is not None and vacuum_retain_last < 1:
+        # validate the retention leg BEFORE any content action runs —
+        # surfacing this from vacuum() after a sync/rebuild already
+        # executed would lose the report of what ran (ADVICE r12)
+        raise ValueError(
+            "vacuum_retain_last must be >= 1 (or None to skip the "
+            f"retention leg), got {vacuum_retain_last}"
+        )
     idx = VersionedTable(spark, index_path)
     st = neardup_index_staleness(spark, index_path, allow_rewritten=True)
     corpus = VersionedTable(spark, st["base_path"])

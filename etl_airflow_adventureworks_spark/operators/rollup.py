@@ -631,7 +631,16 @@ def refresh_rollup(
                         # min/max/HLL (nothing is un-seen), and the one
                         # path that needs no count measure (emptied
                         # groups simply have no source rows left)
-                        group_local = True
+                        if dims:
+                            group_local = True
+                        else:
+                            # a GLOBAL spec (dims=[]) has exactly ONE
+                            # group, so "re-aggregate the touched groups"
+                            # IS the full rebuild — take it directly; the
+                            # group-local join machinery needs >= 1 dim
+                            # (ADVICE r12: reduce() over an empty per-dim
+                            # equality list raised TypeError here)
+                            rebuild = True
             if rebuild:
                 # pin the scan to the stamped version: a concurrent
                 # source commit between manifest() and this read would
@@ -641,7 +650,8 @@ def refresh_rollup(
                 return roll.commit(
                     state, mode="overwrite", idempotency_token=token,
                     retry=False,
-                    op_info={"op": "rollup_refresh", "mode": "rebuild"},
+                    op_info={"op": "rollup_refresh", "mode": "rebuild",
+                             "source": src.path},
                 )
             if group_local:
                 if (
@@ -664,6 +674,7 @@ def refresh_rollup(
                 state, op_metrics = _group_local_state(
                     spark, src, v_src, current, delta, dims, internal
                 )
+                op_metrics["source"] = src.path
                 state = state.localCheckpoint(eager=True)  # derives from
                 # the rollup version being replaced — pin before commit
                 return roll.commit(
@@ -728,6 +739,7 @@ def refresh_rollup(
                 op_info={
                     "op": "rollup_refresh",
                     "mode": "retract" if retractions else "incremental",
+                    "source": src.path,
                 },
             )
         except CommitConflict as e:

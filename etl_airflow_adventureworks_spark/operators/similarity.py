@@ -1336,6 +1336,14 @@ def maintain_ivf_index(
         stats_overlap_depth,
     )
 
+    if vacuum_retain_last is not None and vacuum_retain_last < 1:
+        # validate the retention leg BEFORE any content action runs —
+        # surfacing this from vacuum() after a rebuild/sync already
+        # executed would lose the report of what ran (ADVICE r12)
+        raise ValueError(
+            "vacuum_retain_last must be >= 1 (or None to skip the "
+            f"retention leg), got {vacuum_retain_last}"
+        )
     cents, meta = load_ivf_index(spark, index_path)
     if not meta.get("base"):
         raise ValueError(
@@ -1366,10 +1374,13 @@ def maintain_ivf_index(
         fit_drift = ivf_fit_drift(
             spark, index_path, preloaded=(cents, meta)
         )["rel_drift"]
-    plan: list[str] = []
+    # exactly ONE content action per maintenance call — structural
+    # (VERDICT r12 #6): a plan that held both rebuild and sync would run
+    # them sequentially and sync a layout the rebuild just replaced
+    content: str | None = None
     reasons: list[str] = []
     if growth >= refit_staleness:
-        plan.append("rebuild")
+        content = "rebuild"
         reasons.append(
             f"collection moved {growth:.0%} since the quantizer fit "
             f"(>= {refit_staleness:.0%}) — sync cannot move centroids, "
@@ -1378,7 +1389,7 @@ def maintain_ivf_index(
                else "")
         )
     elif fit_drift is not None and fit_drift >= refit_fit_drift:
-        plan.append("rebuild")
+        content = "rebuild"
         reasons.append(
             f"mean assigned-centroid distance inflated {fit_drift:.0%} "
             f"since the fit (>= {refit_fit_drift:.0%}) with count drift "
@@ -1386,7 +1397,7 @@ def maintain_ivf_index(
             "count probe; refit"
         )
     elif st["kind"] != "unchanged":
-        plan.append("sync")
+        content = "sync"
         reasons.append(
             f"base {st['kind']} since v{st['built_at_base_version']} and "
             f"drift {growth:.0%} below the refit threshold — repair "
@@ -1410,7 +1421,8 @@ def maintain_ivf_index(
 
     depth, floor = frag(meta)
     if dry_run:
-        if "rebuild" not in plan and depth > floor:
+        plan: list[str] = [content] if content else []
+        if content != "rebuild" and depth > floor:
             plan.append("compact")
             reasons.append(
                 f"layout cell overlap depth {depth} > {floor} (max of "
@@ -1427,17 +1439,17 @@ def maintain_ivf_index(
                 "growth": growth, "fit_drift": fit_drift,
                 "frag_depth": depth, "frag_floor": floor, "dry_run": True}
     actions: list[str] = []
-    for a in plan:
-        if a == "rebuild":
-            rebuild_ivf_index(spark, index_path)
-            _c, meta = load_ivf_index(spark, index_path)  # new layout_dir
-        else:
-            sync_ivf_index(
-                spark, index_path, idempotency_token=idempotency_token
-            )
-        actions.append(a)
+    if content == "rebuild":
+        rebuild_ivf_index(spark, index_path)
+        _c, meta = load_ivf_index(spark, index_path)  # new layout_dir
+        actions.append("rebuild")
+    elif content == "sync":
+        sync_ivf_index(
+            spark, index_path, idempotency_token=idempotency_token
+        )
+        actions.append("sync")
     depth, floor = frag(meta)  # re-probe: the sync may have fragmented
-    if "rebuild" not in actions and depth > floor:
+    if content != "rebuild" and depth > floor:
         optimize_ivf_layout(spark, index_path)
         actions.append("compact")
         reasons.append(

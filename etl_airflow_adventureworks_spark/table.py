@@ -1538,9 +1538,13 @@ def replicate_table(
         # pin the snapshot to the stamped version: a concurrent source
         # commit between the manifest() above and this read would
         # otherwise yield a replica newer than its replica-of token
-        # (r11, ADVICE r10)
+        # (r11, ADVICE r10). op.source records WHICH table the token's
+        # version counts (r13, ADVICE r12): the bare token carries no
+        # source identity, so a consumer list naming a replica of some
+        # OTHER table would silently compute that table's vacuum floor
         return dst.commit(src.read(v_src), mode="overwrite",
-                          idempotency_token=token)
+                          idempotency_token=token,
+                          op_info={"op": "replica_sync", "source": src.path})
     from pyspark.sql import types as T
 
     want = {
@@ -1573,16 +1577,20 @@ def replicate_table(
                 json.loads(src_latest["schema"]))),
             mode="append",
             idempotency_token=f"replica-of:v{reflected}+schema-v{v_src}",
-            op_info={"op": "schema_widen"},  # a patch op — see _PATCH_OPS
+            # a patch op — see _PATCH_OPS; source recorded as on every
+            # replica commit (consumer identity, r13)
+            op_info={"op": "schema_widen", "source": src.path},
         )
     batch = collapse_row_changes(src.row_changes(reflected, v_src), key)
     if not batch.take(1):
         # e.g. only rowset-preserving OPTIMIZEs in the window: advance
         # the reflected version with a metadata-only append (no files)
         return dst.commit(
-            dst.read().limit(0), mode="append", idempotency_token=token
+            dst.read().limit(0), mode="append", idempotency_token=token,
+            op_info={"op": "replica_sync", "source": src.path},
         )
-    return dst.apply_cdc(batch, key=key, idempotency_token=token)
+    return dst.apply_cdc(batch, key=key, idempotency_token=token,
+                         op_extra={"source": src.path})
 
 
 def resolve_base_stamp(
@@ -1710,11 +1718,14 @@ def consumer_reflected_version(
     root, or an IVF index root whose ``centroids`` table carries the
     stamp). One manifest read per candidate — no data scanned.
 
-    Fails loud when the path records nothing, or when an index's stamp
-    names a DIFFERENT base table. Rollup/replica tokens carry no source
-    path, so passing a consumer of some other table is the caller's bug
-    (it would return that table's version) — associate consumers with
-    their source at the call site."""
+    Fails loud when the path records nothing, or when the consumer's
+    record names a DIFFERENT source table: index stamps carry the base
+    path, and since r13 (ADVICE r12) rollup/replica commits record
+    ``op.source`` alongside their token, so a consumer list naming a
+    rollup of some other table raises here instead of silently
+    computing that table's vacuum floor. Pre-r13 rollups/replicas
+    (no recorded source) are accepted unvalidated — refresh them once
+    to stamp the source."""
     import re as _re
 
     table_path = table_path.rstrip("/")
@@ -1726,6 +1737,13 @@ def consumer_reflected_version(
             continue
         m = _re.match(r"(?:rollup|replica)-of:v(\d+)", man.get("token") or "")
         if m:
+            src = (man.get("op") or {}).get("source")
+            if src is not None and src.rstrip("/") != table_path:
+                raise ValueError(
+                    f"consumer at {consumer_path} is derived from {src}, "
+                    f"not {table_path} — wrong consumer for this table's "
+                    "vacuum floor"
+                )
             return int(m.group(1))
         stamp = latest_base_stamp(vt)
         if stamp:

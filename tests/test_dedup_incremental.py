@@ -401,3 +401,41 @@ def test_dedup_index_recluster_after_scattered_syncs(spark, tmp_path):
     cvt.delete_where("doc_id = 63")
     sync_neardup_index(spark, ipath)
     assert snap(idx.read()) == snap(neardup_index_entries(cvt.read()))
+
+
+def test_batch_num_files_measures_the_batch_not_its_input_files(
+    spark, tmp_path, monkeypatch
+):
+    """r13 (ADVICE r12): sizing derives from the batch's MEASURED text
+    volume — a low-count batch of very large documents shards by bytes
+    (the old row cap collapsed it to one oversized key-spanning file),
+    and a filtered read of a big table sizes by the surviving rows, not
+    the scanned input files."""
+    import etl_airflow_adventureworks_spark.operators.dedup_incremental as di
+
+    monkeypatch.setattr(di, "_APPEND_TARGET_FILE_BYTES", 64 * 1024)
+    # 40 docs x ~4 KiB text: entry estimate ~40*(384 + 1.6*4096) ≈ 277 KiB
+    # -> several files despite the tiny row count
+    fat = spark.createDataFrame(
+        [(i, ("w%d " % i) * 1024) for i in range(40)],
+        "doc_id long, text string",
+    )
+    n = di._batch_num_files(spark, fat)
+    assert n >= 3
+    # filtered read of a bigger table: only the survivors count
+    pq = str(tmp_path / "big.parquet")
+    fat.write.parquet(pq)
+    assert di._batch_num_files(
+        spark, spark.read.parquet(pq).filter("doc_id = 7")
+    ) == 1
+    # the appended files actually cluster and carry stats at that count
+    idx = str(tmp_path / "idx")
+    build_neardup_index(spark, fat.filter("doc_id < 2"), idx, num_files=1)
+    append_to_neardup_index(spark, fat.filter("doc_id >= 2"), idx,
+                            idempotency_token="fat")
+    vt = VersionedTable(spark, idx)
+    man = vt.manifest()
+    new_files = [f for f in man["files"]
+                 if f not in set(vt.manifest(1)["files"])]
+    assert len(new_files) >= 3
+    assert all("doc_id" in (man["stats"].get(f) or {}) for f in new_files)

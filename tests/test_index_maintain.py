@@ -334,3 +334,66 @@ def test_maintain_index_subcommand(spark, tmp_path, capsys):
     assert main(["maintain-index", "--index", idx, "--kind", "dedup",
                  "--check-fit-drift"]) == 2
     assert "ivf only" in capsys.readouterr().out
+
+
+def test_maintain_validates_vacuum_retain_before_any_action(spark, tmp_path):
+    """ADVICE r12: --vacuum-retain 0 used to surface as an unhandled
+    vacuum() traceback AFTER the content actions already ran, losing the
+    report of what executed — both policies now refuse up front, before
+    touching anything."""
+    rng = random.Random(21)
+    cpath, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(_docs(spark, rng, range(30)))
+    build_neardup_index(spark, cvt.read(), idx, base_path=cpath,
+                        base_version=1, num_files=2)
+    cvt.upsert(_docs(spark, rng, [5]), key="doc_id")  # content action due
+    v_before = VersionedTable(spark, idx).manifest()["version"]
+    with pytest.raises(ValueError, match="vacuum_retain_last must be >= 1"):
+        maintain_neardup_index(spark, idx, vacuum_retain_last=0)
+    # nothing ran: the pending content action is still pending
+    assert VersionedTable(spark, idx).manifest()["version"] == v_before
+    assert maintain_neardup_index(spark, idx, dry_run=True)["actions"]
+
+    epath, ivf = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    evt = VersionedTable(spark, epath)
+    evt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, ivf, k_cells=4, base_path=epath)
+    with pytest.raises(ValueError, match="vacuum_retain_last must be >= 1"):
+        maintain_ivf_index(spark, ivf, vacuum_retain_last=-1)
+
+    # CLI arg refuses before any Spark work
+    from etl_airflow_adventureworks_spark.cli import main
+    assert main(["maintain-index", "--index", idx, "--kind", "dedup",
+                 "--vacuum-retain", "0"]) == 2
+
+
+def test_ivf_rebuild_never_also_syncs(spark, tmp_path):
+    """VERDICT r12 #6: one content action per maintenance call — a state
+    that mandates the refit (count drift over threshold AND pending
+    content repair) runs ONLY the rebuild; a sync of the layout the
+    rebuild just replaced can never follow it."""
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=4, base_path=cpath)
+    # rewrite (pending content repair) + append (count drift) together
+    cvt.upsert(
+        cvt.read().filter("vec_id = 3").withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(-x))")
+        ),
+        key="vec_id",
+    )
+    cvt.commit(
+        cvt.read().limit(5).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(700000)),
+        mode="append",
+    )
+    plan = maintain_ivf_index(spark, idx, refit_staleness=0.005,
+                              dry_run=True)
+    assert plan["actions"] == ["rebuild"]
+    rep = maintain_ivf_index(spark, idx, refit_staleness=0.005)
+    assert rep["actions"] == ["rebuild"]
+    assert "sync" not in rep["actions"]
+    # the rebuild subsumed the repair: base reads unchanged afterwards
+    assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"

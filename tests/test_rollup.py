@@ -1105,3 +1105,36 @@ def test_stream_cdc_with_rollups_continuous_and_restart_exact(spark, tmp_path):
     assert _snap(roll.read()) == _snap(_aggregate(t.read(), dims, measures))
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert got[10] == -5.0 and 900 not in got and 20 not in got
+
+
+def test_global_spec_with_nonretractable_measures_rebuilds(spark, tmp_path):
+    """ADVICE r12: a GLOBAL spec (dims=[]) with a non-retractable measure
+    used to die with TypeError inside the group-local join builder when a
+    rewrite landed in the window — it now takes the equivalent full
+    rebuild (one group IS the whole table), exact vs from-scratch."""
+    import warnings
+
+    ev, slices = _events_slices(spark)
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(slices[0])
+    args = (spark, str(tmp_path / "src"), str(tmp_path / "roll"),
+            [], MEASURES)
+    refresh_rollup(*args)
+    src.upsert(
+        slices[0].filter("event_id % 7 = 0").withColumn(
+            "value", F.col("value") + 1.0),
+        key="event_id",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        v = refresh_rollup(*args)
+    assert v > 1
+    roll = VersionedTable(spark, str(tmp_path / "roll"))
+    assert roll.manifest()["op"]["mode"] == "rebuild"
+    exact = src.read().agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts").alias("min_ts"),
+    )
+    assert _snap(roll.read()) == _snap(exact)

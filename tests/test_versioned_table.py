@@ -1264,3 +1264,45 @@ def test_vacuum_respects_lagging_consumers(spark, tmp_path):
     VersionedTable(spark, other_p).commit(_df(spark, [(7, "q")]))
     with pytest.raises(ValueError, match="records no reflected version"):
         t.safe_retain_floor([other_p])
+
+
+def test_consumer_source_identity_validated(spark, tmp_path):
+    """r13 (ADVICE r12): rollup/replica commits record op.source, so a
+    consumer list naming a rollup/replica of a DIFFERENT table raises
+    loud instead of silently returning that other table's reflected
+    version (which could compute a too-low floor and strand the real
+    consumer)."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        refresh_rollup,
+    )
+    from etl_airflow_adventureworks_spark.table import (
+        consumer_reflected_version,
+        replicate_table,
+    )
+
+    a_p, b_p = str(tmp_path / "a"), str(tmp_path / "b")
+    ta, tb = VersionedTable(spark, a_p), VersionedTable(spark, b_p)
+    ta.commit(_df(spark, [(1, "a"), (2, "b")]))
+    tb.commit(_df(spark, [(1, "x")]))
+
+    # replica of A: resolves against A, refuses against B
+    repl_p = str(tmp_path / "repl_a")
+    replicate_table(spark, a_p, repl_p, key="k")
+    assert consumer_reflected_version(spark, repl_p, a_p) == 1
+    with pytest.raises(ValueError, match="wrong consumer"):
+        consumer_reflected_version(spark, repl_p, b_p)
+    with pytest.raises(ValueError, match="wrong consumer"):
+        tb.safe_retain_floor([repl_p])
+
+    # rollup of A (every refresh mode stamps the source): same contract
+    roll_p = str(tmp_path / "roll_a")
+    refresh_rollup(spark, a_p, roll_p, ["v"], {"n": ("count", None)})
+    assert consumer_reflected_version(spark, roll_p, a_p) == 1
+    with pytest.raises(ValueError, match="wrong consumer"):
+        consumer_reflected_version(spark, roll_p, b_p)
+    # incremental refresh restamps too
+    ta.commit(_df(spark, [(3, "c")]), mode="append")
+    refresh_rollup(spark, a_p, roll_p, ["v"], {"n": ("count", None)})
+    assert consumer_reflected_version(spark, roll_p, a_p) == 2
+    with pytest.raises(ValueError, match="wrong consumer"):
+        consumer_reflected_version(spark, roll_p, b_p)
