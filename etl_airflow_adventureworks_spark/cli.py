@@ -240,7 +240,9 @@ def main(argv: list[str] | None = None) -> int:
                     "index derived from this table — its recorded sync "
                     "point computes a retention floor, and --retain "
                     "below it is clamped up loudly so the consumer can "
-                    "still catch up incrementally (r12)")
+                    "still catch up incrementally (r12); pass the single "
+                    "value 'auto' (r13) to use the table's self-"
+                    "registered consumer registry instead of enumerating")
 
     rt = sub.add_parser(
         "replicate-table",
@@ -380,6 +382,27 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --show: project every histogram measure to "
                     "these quantiles (r9 mergeable quantile sketch), e.g. "
                     "0.5,0.95")
+
+    mr = sub.add_parser(
+        "maintain-rollup",
+        help="one-call maintenance policy for a rollup (r13): classify "
+        "the refresh window from manifests alone and run the right verb "
+        "— rebuild below the measured size crossovers (or across an "
+        "unrecorded rewrite), incremental / group-local refresh above "
+        "them; --dry-run prints the plan and why without touching "
+        "anything",
+    )
+    mr.add_argument("--source", required=True,
+                    help="source VersionedTable root")
+    mr.add_argument("--rollup", required=True, help="rollup table root")
+    mr.add_argument("--spec", required=True,
+                    help="JSON file, same shape as refresh-rollup's plus "
+                    'optional "monotone_dims": {dim_string: inner_column} '
+                    "for expression-dim file pruning")
+    mr.add_argument("--dry-run", action="store_true")
+    mr.add_argument("--vacuum-retain", type=int, default=None, metavar="N",
+                    help="after the content action, sweep the rollup "
+                    "table's own versions to the newest N")
 
     va = sub.add_parser(
         "validate",
@@ -762,7 +785,9 @@ def main(argv: list[str] | None = None) -> int:
         # same floor, doubling per-consumer manifest reads
         retain = args.retain
         if args.respect_consumer:
-            floor = t.safe_retain_floor(args.respect_consumer)
+            consumers = ("auto" if args.respect_consumer == ["auto"]
+                         else args.respect_consumer)
+            floor = t.safe_retain_floor(consumers)
             if retain < floor:
                 print(f"--retain {retain} would strand a lagging consumer "
                       f"— clamped to the computed floor {floor}")
@@ -910,6 +935,29 @@ def main(argv: list[str] | None = None) -> int:
                 out = out.drop(*[n for n, (fn, _c) in measures.items()
                                  if fn == "histogram"])
             out.show(args.show, truncate=False)
+        return 0
+    if args.cmd == "maintain-rollup":
+        import json as _json
+
+        from .operators.rollup import maintain_rollup
+
+        if args.vacuum_retain is not None and args.vacuum_retain < 1:
+            print("--vacuum-retain must be >= 1")
+            return 2
+        with open(args.spec) as fh:
+            spec = _json.load(fh)
+        measures = {k: (v[0], v[1]) for k, v in spec["measures"].items()}
+        rep = maintain_rollup(
+            spark, args.source, args.rollup, spec["dims"], measures,
+            dry_run=args.dry_run,
+            monotone_dims=spec.get("monotone_dims"),
+            vacuum_retain_last=args.vacuum_retain,
+        )
+        verb = "would run" if args.dry_run else "ran"
+        print(f"rollup {args.rollup}: {verb} "
+              f"{rep['actions'] or ['nothing']} (mode {rep['mode']})")
+        for r in rep["reasons"]:
+            print(f"  - {r}")
         return 0
     if args.cmd == "validate":
         import json as _json

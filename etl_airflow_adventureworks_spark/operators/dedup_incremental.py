@@ -142,6 +142,10 @@ def build_neardup_index(
         if base_path is not None
         else None
     )
+    if base:
+        # self-register on the base (r13, VERDICT r12 #2): the corpus's
+        # vacuum(respect_consumers="auto") floor then covers this index
+        VersionedTable(spark, base["path"]).register_consumer(index_path)
     entries, stats = _cluster_entries(neardup_index_entries(docs), num_files)
     return VersionedTable(spark, index_path).commit(
         entries,
@@ -226,6 +230,8 @@ def append_to_neardup_index(
         if base_path is not None
         else None
     )
+    if base:
+        VersionedTable(spark, base["path"]).register_consumer(index_path)
     # batches cluster within themselves (byte-sized file count) and
     # record key stats, so appended files stay prunable by later syncs
     entries, stats = _cluster_entries(
@@ -359,6 +365,7 @@ def sync_neardup_index(
             "sync_neardup_index needs the recorded corpus sync point"
         )
     corpus = VersionedTable(spark, base["path"])
+    corpus.register_consumer(index_path)  # self-register (r13)
     v_now = corpus.manifest()["version"]
     if v_now <= base["version"]:
         return idx.manifest()["version"]  # already level

@@ -284,10 +284,146 @@ _RETRACTABLE = {"count", "sum", "histogram", "_nncount"}
 #: groups-sized) and the source read falls back to all files
 _GROUP_KEYS_COLLECT_MAX = 100_000
 
-#: a dim expression that is a BARE source column name — the only dim
-#: shape file-level min/max stats can prune on (an expression or alias
-#: has no per-file stats)
+#: a dim expression that is a BARE source column name — prunable
+#: directly against the column's per-file min/max stats
 _BARE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+#: trailing "AS alias" on a dim expression (what names the rollup's key
+#: column) — stripped before monotone-shape matching / bound evaluation
+_ALIAS_RE = re.compile(
+    r"^(?P<body>.+?)\s+as\s+[A-Za-z_][A-Za-z0-9_]*\s*$", re.I | re.S
+)
+
+#: dim shapes AUTO-RECOGNIZED as monotone non-decreasing transforms of
+#: one bare source column (r13, VERDICT r12 #1) — the canonical
+#: time-bucketing functions. A shape here lets the group-local refresh
+#: prune source files on the EXPRESSION dim itself by mapping each
+#: file's recorded [min, max] on the inner column through the
+#: transform. Deliberately conservative: every listed shape is monotone
+#: for every argument (``month()``/``hour()`` are NOT — they cycle);
+#: anything else needs an explicit ``monotone_dims`` declaration.
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_MONOTONE_AUTO = [
+    re.compile(rf"^date_trunc\(\s*'[^']+'\s*,\s*({_IDENT})\s*\)$", re.I),
+    re.compile(rf"^to_date\(\s*({_IDENT})\s*\)$", re.I),
+    re.compile(rf"^year\(\s*({_IDENT})\s*\)$", re.I),
+    re.compile(rf"^trunc\(\s*({_IDENT})\s*,\s*'[^']+'\s*\)$", re.I),
+    re.compile(
+        rf"^cast\(\s*({_IDENT})\s+as\s+"
+        r"(?:date|timestamp(?:_ntz)?|tinyint|smallint|int|bigint|long"
+        r"|float|double|decimal(?:\([^)]*\))?)\s*\)$",
+        re.I,
+    ),
+    re.compile(rf"^unix_timestamp\(\s*({_IDENT})\s*\)$", re.I),
+]
+
+
+def _strip_alias(dim: str) -> str:
+    m = _ALIAS_RE.match(dim.strip())
+    return (m.group("body") if m else dim).strip()
+
+
+def _monotone_map(dims: list[str], monotone_dims: dict | None) -> dict:
+    """{dim index -> inner source column} for every dim that is a
+    monotone transform of one column: explicit ``monotone_dims``
+    declarations (keyed by the dim string exactly as passed) first,
+    then the auto-recognized shapes (``_MONOTONE_AUTO``). Bare-column
+    dims prune directly and are skipped. Unknown declaration keys fail
+    loud — a silently ignored declaration would read as pruning."""
+    declared = dict(monotone_dims or {})
+    out: dict[int, str] = {}
+    for i, d in enumerate(dims):
+        body = _strip_alias(d)
+        if d in declared:
+            col = declared.pop(d)
+            if not _BARE_IDENT.match(col):
+                raise ValueError(
+                    f"monotone_dims[{d!r}]: {col!r} is not a bare source "
+                    "column name"
+                )
+            out[i] = col
+            continue
+        if _BARE_IDENT.match(body):
+            continue
+        for pat in _MONOTONE_AUTO:
+            m = pat.match(body)
+            if m:
+                out[i] = m.group(1)
+                break
+    if declared:
+        raise ValueError(
+            f"monotone_dims keys not found in dims: {sorted(declared)}"
+        )
+    return out
+
+
+def _monotone_file_bounds(
+    spark: SparkSession,
+    src_schema,
+    stats: dict,
+    files: list[str],
+    col: str,
+    expr_body: str,
+) -> dict | None:
+    """Per-file [lo, hi] of a monotone dim expression, computed by
+    evaluating the expression at each file's recorded bounds on the
+    inner column — one tiny LOCAL job over ≤ 2·files rows, never a
+    source read. Returns ``{file -> (lo, hi)}`` in the dim's encoded
+    value space (files without inner-column stats are absent, i.e.
+    unprunable), or ``None`` when the expression cannot be evaluated
+    against the inner column alone (it references other columns — then
+    no pruning happens, which is never wrong). Exact for any MONOTONE
+    transform, non-decreasing or non-increasing: the two endpoint
+    images are min/max'd, and every inner value in [lo, hi] maps
+    between them."""
+    from pyspark.sql import types as T
+
+    from ..table import _stats_decode, _stats_encode, _widen_float_bounds
+
+    field = next((f for f in src_schema.fields if f.name == col), None)
+    if field is None:
+        return None
+    rows = []
+    for f in files:
+        ent = stats.get(f) or {}
+        if col not in ent:
+            continue
+        lo, hi = _widen_float_bounds(*ent[col])
+        rows.append((f, _stats_decode(lo, field.dataType)))
+        rows.append((f, _stats_decode(hi, field.dataType)))
+    if not rows:
+        return {}
+    eval_schema = T.StructType(
+        [T.StructField("__gl_file", T.StringType()),
+         T.StructField(col, field.dataType)]
+    )
+    try:
+        imgs = (
+            spark.createDataFrame(rows, eval_schema)
+            .select("__gl_file", F.expr(expr_body).alias("__gl_img"))
+            .collect()
+        )
+    except Exception:
+        # unresolvable standalone (multi-column expression, bounds the
+        # inner type refuses to round-trip) — skip pruning on this dim
+        return None
+    raw: dict[str, list] = {}
+    null_img = set()
+    for r in imgs:
+        if r["__gl_img"] is None:
+            null_img.add(r["__gl_file"])
+        else:
+            raw.setdefault(r["__gl_file"], []).append(r["__gl_img"])
+    out = {}
+    for f, vs in raw.items():
+        if f in null_img or len(vs) != 2:
+            continue  # a NULL endpoint image: keep the file candidate
+        try:
+            enc = sorted(_stats_encode(v) for v in vs)
+        except (TypeError, ValueError):
+            enc = sorted(vs)  # e.g. string images — natural order
+        out[f] = (enc[0], enc[1])
+    return out
 
 
 def _group_local_state(
@@ -298,6 +434,7 @@ def _group_local_state(
     delta: DataFrame,
     dims: list[str],
     internal: dict,
+    monotone: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Recompute ONLY the groups the change window touched, from the
     source snapshot AT ``v_src``, and splice them into the untouched
@@ -329,7 +466,7 @@ def _group_local_state(
 
     from functools import reduce
 
-    from ..table import _widen_float_bounds
+    from ..table import _stats_decode, _stats_encode, _widen_float_bounds
 
     dim_tmp = [f"__gl_d{i}" for i in range(len(dims))]
     # output key-column names, schema-only (no job)
@@ -347,32 +484,70 @@ def _group_local_state(
     stats = man.get("stats") or {}
     src_schema = src.read(v_src).schema  # manifest schema, no data read
     src_cols = {f.name for f in src_schema.fields}
-    # bare-column dims with recorded stats are prunable; NULL touched
-    # keys disable pruning on that dim (file stats ignore NULLs, so any
-    # file could hold the NULL group's rows)
+    # bare-column dims with recorded stats are prunable directly; an
+    # expression dim declared/recognized as a MONOTONE transform of a
+    # stats-covered column (r13, VERDICT r12 #1) prunes by mapping each
+    # file's recorded [min, max] through the transform — what makes the
+    # canonical time-bucketed rollup (date_trunc('day', ts) on a
+    # ts-clustered source) read ∝ touched days instead of every file.
+    # NULL touched keys disable pruning on that dim (file stats ignore
+    # NULLs, so any file could hold the NULL group's rows).
     prunable = {
-        t: d.strip()
+        t: _strip_alias(d)
         for d, t in zip(dims, dim_tmp)
-        if _BARE_IDENT.match(d.strip()) and d.strip() in src_cols
+        if _BARE_IDENT.match(_strip_alias(d))
+        and _strip_alias(d) in src_cols
+    }
+    mono = {
+        dim_tmp[i]: (col, _strip_alias(dims[i]))
+        for i, col in (monotone or {}).items()
+        if col in src_cols and dim_tmp[i] not in prunable
     }
     pruned = files
-    if small and prunable and files:
-        key_rows = keys.select(*prunable).collect()
-        for t, col in prunable.items():
+    if small and (prunable or mono) and files:
+        key_rows = keys.collect()
+
+        def _prune_on(t: str, bounds_of):
+            """Keep only files whose [lo, hi] (from ``bounds_of``, in
+            the dim's VALUE space; None = unprunable) admit a touched
+            key of dim ``t`` — exact per-key bisect on the encoded
+            order (temporal values encode to epoch ints; anything the
+            encoding doesn't cover compares in its own natural order,
+            consistent on both sides)."""
+            nonlocal pruned
             vals = [r[t] for r in key_rows]
             if any(v is None for v in vals):
-                continue
-            vals = sorted(set(vals))
+                return
+            try:
+                vals = sorted({_stats_encode(v) for v in vals})
+            except (TypeError, ValueError):
+                vals = sorted({v for v in vals})
 
             def may_contain(f: str) -> bool:
-                ent = stats.get(f) or {}
-                if col not in ent:
-                    return True  # no stats: never wrongly skipped
-                lo, hi = _widen_float_bounds(*ent[col])
+                b = bounds_of(f)
+                if b is None:
+                    return True  # no stats / no image: never wrongly skipped
+                lo, hi = b
                 i = bisect.bisect_left(vals, lo)
                 return i < len(vals) and vals[i] <= hi
 
             pruned = [f for f in pruned if may_contain(f)]
+
+        for t, col in prunable.items():
+            def bare_bounds(f, col=col):
+                ent = stats.get(f) or {}
+                if col not in ent:
+                    return None
+                return _widen_float_bounds(*ent[col])
+
+            _prune_on(t, bare_bounds)
+        for t, (col, expr_body) in mono.items():
+            images = _monotone_file_bounds(
+                spark, src_schema, stats, pruned, col, expr_body
+            )
+            if images is None:
+                continue  # expression not evaluable standalone: no pruning
+            _prune_on(t, lambda f, images=images: images.get(f))
     if pruned:
         src_rows = spark.read.schema(src_schema).parquet(
             *[f"{src.path}/{f}" for f in pruned]
@@ -494,6 +669,7 @@ def refresh_rollup(
     measures: dict[str, tuple[str, str | None]],
     full_rebuild: bool = False,
     rebuild_advisory_bytes: int = REBUILD_ADVISORY_BYTES,
+    monotone_dims: dict[str, str] | None = None,
 ) -> int:
     """Bring the rollup at ``rollup_path`` up to the source's latest
     version and return the rollup version committed (or current).
@@ -528,6 +704,21 @@ def refresh_rollup(
     files_read, files_total}``. An UNRECORDED rewrite (plain
     overwrite, pre-r10 history) still fails loud — pass
     ``full_rebuild=True``.
+
+    Expression dims prune too (r13, VERDICT r12 #1): a dim that is a
+    MONOTONE transform of one stats-covered column — the canonical
+    ``date_trunc('day', ts)`` bucket on a ts-clustered source — maps
+    each file's recorded [min, max] through the transform and prunes
+    on the transformed bounds, so the time-bucketed rollup reads
+    ∝ touched buckets instead of every file. ``date_trunc`` /
+    ``to_date`` / ``year`` / ``trunc`` / monotone ``cast`` /
+    ``unix_timestamp`` shapes are auto-recognized; declare anything
+    else via ``monotone_dims={dim_string: inner_column}`` (the
+    CALLER asserts monotonicity — non-decreasing or non-increasing in
+    that single column; a false declaration can wrongly skip files).
+    Timestamp/date columns carry per-file stats since r13
+    (``table.numeric_stats_types``), so the inner column needs no
+    manual widening.
 
     NULL-sum exactness (r11, VERDICT r10 #1): each ``sum`` measure
     carries a hidden ``__nn_<name>`` counter of non-null source values
@@ -579,6 +770,12 @@ def refresh_rollup(
     # the measure set actually maintained: + hidden per-sum non-null
     # counters (r11 — NULL-sum exactness under retraction)
     internal = _expand_measures(measures)
+    # monotone expression dims (r13, VERDICT r12 #1): explicit
+    # declarations validate loudly up front; date_trunc/to_date/year/
+    # trunc/cast shapes auto-recognize — either way the group-local
+    # path can file-prune the source read on the EXPRESSION dim by
+    # mapping per-file stats through the transform
+    mono_map = _monotone_map(dims, monotone_dims)
     src = VersionedTable(spark, source_path)
     roll = VersionedTable(spark, rollup_path)
     src_latest = src.manifest()
@@ -586,6 +783,11 @@ def refresh_rollup(
         raise FileNotFoundError(f"no committed source at {source_path}")
     v_src = src_latest["version"]
     token = f"rollup-of:v{v_src}"
+    # self-register as a consumer of the source (r13, VERDICT r12 #2):
+    # one idempotent registry-file check per refresh, so the source's
+    # vacuum(respect_consumers="auto") floor covers this rollup without
+    # the operator enumerating it
+    src.register_consumer(roll.path)
 
     last_err: CommitConflict | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
@@ -672,7 +874,8 @@ def refresh_rollup(
                     )
                 delta = src.row_changes(reflected, v_src)
                 state, op_metrics = _group_local_state(
-                    spark, src, v_src, current, delta, dims, internal
+                    spark, src, v_src, current, delta, dims, internal,
+                    monotone=mono_map,
                 )
                 op_metrics["source"] = src.path
                 state = state.localCheckpoint(eager=True)  # derives from
@@ -745,3 +948,186 @@ def refresh_rollup(
         except CommitConflict as e:
             last_err = e
     raise last_err
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    source_path: str,
+    rollup_path: str,
+    dims: list[str],
+    measures: dict[str, tuple[str, str | None]],
+    dry_run: bool = False,
+    rebuild_below_bytes: int = REBUILD_ADVISORY_BYTES,
+    group_local_below_bytes: int = GROUP_LOCAL_ADVISORY_BYTES,
+    monotone_dims: dict[str, str] | None = None,
+    vacuum_retain_last: int | None = None,
+) -> dict:
+    """ONE maintenance call for a rollup (r13, VERDICT r12 #3 — the
+    policy peer of ``maintain_neardup_index`` / ``maintain_ivf_index``):
+    classify the refresh window from manifests alone and pick — then
+    run — the right verb, executing the measured SCALING.md decision
+    table that ``refresh_rollup`` previously only emitted as advisory
+    warnings the caller could ignore:
+
+    - rollup already reflects the source's latest version → no action;
+    - first refresh (no rollup yet) → rebuild (the bootstrap IS a full
+      aggregate);
+    - the stored rollup predates the hidden per-sum non-null counters
+      (pre-r11 schema) → rebuild once to migrate;
+    - a commit in the window replaced files WITHOUT recording change
+      rows (plain overwrite / pre-r10 history) → rebuild — the verb
+      ``refresh_rollup`` would fail loud on, auto-recovered here with
+      the reason recorded;
+    - a recorded rewrite window on a spec with non-retractable measures
+      (min/max/HLL) or no count measure → the GROUP-LOCAL shape:
+      rebuild below ``group_local_below_bytes`` (the measured ~20M-row
+      crossover where the path's fixed job chain loses to a plain
+      re-aggregate), group-local refresh above it;
+    - otherwise (insert-only, or retractable measures) → rebuild below
+      ``rebuild_below_bytes`` (the measured ~1M-row crossover, r9:
+      0.93x at sf1), incremental refresh above it.
+
+    ``vacuum_retain_last`` (optional, validated ≥ 1 up front) sweeps
+    the ROLLUP table's own versions after the content action — a
+    rollup is a derived artifact whose history has no consumers of its
+    own. ``monotone_dims`` passes through to the group-local path's
+    expression-dim file pruning. ``dry_run=True`` returns the plan +
+    reasons without touching anything. Returns ``{"actions",
+    "reasons", "mode", "dry_run"[, "rollup_version"]}`` where ``mode``
+    is the refresh mode the policy predicts (and, on a real run, the
+    mode the committed manifest actually recorded)."""
+    import json as _json
+
+    if vacuum_retain_last is not None and vacuum_retain_last < 1:
+        raise ValueError(
+            "vacuum_retain_last must be >= 1 (or None to skip the "
+            f"retention leg), got {vacuum_retain_last}"
+        )
+    src = VersionedTable(spark, source_path)
+    roll = VersionedTable(spark, rollup_path)
+    src_latest = src.manifest()
+    if src_latest is None:
+        raise FileNotFoundError(f"no committed source at {source_path}")
+    _monotone_map(dims, monotone_dims)  # validate declarations loudly
+    v_src = src_latest["version"]
+    reflected = _reflected_version(roll)
+
+    reasons: list[str] = []
+    choice: str | None = None  # "rebuild" | "refresh" | None
+    mode: str | None = None
+    if reflected is not None and reflected >= v_src:
+        reasons.append(
+            f"rollup reflects v{reflected} >= source v{v_src} — current, "
+            "no action"
+        )
+    elif reflected is None:
+        choice, mode = "rebuild", "rebuild"
+        reasons.append("no rollup yet — bootstrap aggregates the full "
+                       "snapshot")
+    else:
+        internal = _expand_measures(measures)
+        stored_cols = {
+            f["name"]
+            for f in _json.loads(roll.manifest()["schema"])["fields"]
+        }
+        retractions = False
+        unrecorded = False
+        prev = set(src.manifest(reflected)["files"])
+        for m in src._walk_range(reflected, v_src):
+            cur = set(m["files"])
+            if prev <= cur:
+                pass  # pure append
+            elif m.get("changes"):
+                retractions = True
+            elif (m.get("op") or {}).get("rowset_preserving"):
+                pass
+            else:
+                unrecorded = True
+            prev = cur
+        non_retract = sorted(
+            n for n, (fn, _c) in measures.items() if fn not in _RETRACTABLE
+        )
+        has_count = any(fn == "count" for fn, _c in measures.values())
+        if any(c not in stored_cols for c in internal):
+            choice, mode = "rebuild", "rebuild"
+            reasons.append(
+                "stored rollup predates the per-sum non-null counters "
+                "(pre-r11 schema) — one rebuild migrates it"
+            )
+        elif unrecorded:
+            choice, mode = "rebuild", "rebuild"
+            reasons.append(
+                "a commit in the window replaced files without recording "
+                "change rows (plain overwrite / pre-r10 history) — the "
+                "row delta is undefined, rebuild from the snapshot"
+            )
+        elif retractions and (non_retract or not has_count):
+            why = (f"non-retractable measures {non_retract}" if non_retract
+                   else "no count measure")
+            if src.visible_bytes(group_local_below_bytes) \
+                    < group_local_below_bytes:
+                choice, mode = "rebuild", "rebuild"
+                reasons.append(
+                    f"rewrite window with {why} and source < "
+                    f"{group_local_below_bytes >> 20} MiB — below the "
+                    "measured ~20M-row crossover the group-local path's "
+                    "fixed job chain loses to a plain re-aggregate "
+                    "(SCALING.md r12)"
+                )
+            else:
+                choice, mode = "refresh", "group_local"
+                reasons.append(
+                    f"rewrite window with {why} and source >= "
+                    f"{group_local_below_bytes >> 20} MiB — re-aggregate "
+                    "only the touched groups (stats-pruned, r12/r13)"
+                )
+        elif src.visible_bytes(rebuild_below_bytes) < rebuild_below_bytes:
+            choice, mode = "rebuild", "rebuild"
+            reasons.append(
+                f"source < {rebuild_below_bytes >> 20} MiB — below the "
+                "measured ~1M-row crossover a full rebuild beats the "
+                "incremental merge's fixed costs (SCALING.md r9: 0.93x "
+                "at sf1)"
+            )
+        else:
+            choice, mode = "refresh", "retract" if retractions \
+                else "incremental"
+            reasons.append(
+                f"{'recorded rewrites' if retractions else 'appends only'}"
+                f" in (v{reflected}, v{v_src}] and source >= "
+                f"{rebuild_below_bytes >> 20} MiB — "
+                f"{mode} refresh at delta cost"
+            )
+
+    if dry_run:
+        plan = [choice] if choice else []
+        if vacuum_retain_last is not None:
+            plan.append("vacuum")
+            reasons.append(
+                f"sweep rollup versions to the newest {vacuum_retain_last}"
+            )
+        return {"actions": plan, "reasons": reasons, "mode": mode,
+                "dry_run": True}
+    actions: list[str] = []
+    if choice:
+        v = refresh_rollup(
+            spark, source_path, rollup_path, dims, measures,
+            full_rebuild=(choice == "rebuild"),
+            rebuild_advisory_bytes=0,  # the policy IS the decision —
+            # the advisories it executes would be noise here
+            monotone_dims=monotone_dims,
+        )
+        actions.append(choice)
+        mode = (roll.manifest()["op"] or {}).get("mode", mode)
+    else:
+        man = roll.manifest()
+        v = man["version"] if man else None
+    if vacuum_retain_last is not None:
+        swept = roll.vacuum(retain_last=vacuum_retain_last)
+        actions.append("vacuum")
+        reasons.append(
+            f"swept {swept} unreferenced file(s), retaining the newest "
+            f"{vacuum_retain_last} rollup version(s)"
+        )
+    return {"actions": actions, "reasons": reasons, "mode": mode,
+            "dry_run": False, "rollup_version": v}

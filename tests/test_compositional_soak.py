@@ -166,7 +166,10 @@ def test_three_consumers_stay_exact_over_one_maintained_history(
         elif op == "optimize":
             emb.optimize(num_files=2)
         else:  # vacuum: the consumer-aware floor, never a hand-sized guess
-            emb.vacuum(retain_last=1, respect_consumers=[ivf_p])
+            # "auto" (r13): the IVF build self-registered on emb — no
+            # enumeration needed
+            assert emb.consumers() == [ivf_p]
+            emb.vacuum(retain_last=1, respect_consumers="auto")
 
     def check_ivf():
         maintain_ivf_index(spark, ivf_p)
@@ -212,12 +215,16 @@ def test_three_consumers_stay_exact_over_one_maintained_history(
             # (r12, VERDICT r11 #3) — the lagging index's recorded sync
             # point computes exactly the lag the old constant encoded
             assert lagging == 2
-            floor = src.safe_retain_floor([roll_p, repl_p, idx_p])
+            # r13 (VERDICT r12 #2): every consumer self-registered at
+            # its first reflect, so "auto" sees all three without the
+            # operator enumerating them — the forgotten-consumer strand
+            # the floor exists to prevent is now structurally closed
+            assert set(src.consumers()) == {roll_p, repl_p, idx_p}
+            floor = src.safe_retain_floor("auto")
             assert floor == lagging + 1
             # an under-sized request is clamped up, loudly
             with pytest.warns(RuntimeWarning, match="strand a lagging"):
-                src.vacuum(retain_last=1,
-                           respect_consumers=[roll_p, repl_p, idx_p])
+                src.vacuum(retain_last=1, respect_consumers="auto")
         if op in ("optimize", "upsert") and step in (3, 4):
             # let the index lag across steps 3-4, then vacuum at step 5
             # must retain its catch-up window

@@ -290,17 +290,20 @@ def test_fit_drift_probe_catches_upsert_blind_spot(spark, tmp_path):
     drift = ivf_fit_drift(spark, idx)["rel_drift"]
     assert drift > 0.25
 
-    # default policy: syncs (correct content, stale quantizer) — and the
-    # sync CARRIES the fit baseline forward so the probe still works
-    rep = maintain_ivf_index(spark, idx)
+    # scheduler disabled (pre-r13 behavior): syncs — correct content,
+    # stale quantizer — and the sync CARRIES the fit baseline forward
+    rep = maintain_ivf_index(spark, idx, fit_probe_churn=None)
     assert rep["actions"][0] == "sync" and rep["fit_drift"] is None
     _, meta = load_ivf_index(spark, idx)
-    assert meta["fit"] == {"mean_dist": pytest.approx(
-        d0["mean_dist_at_build"]), "sample_mod": d0["sample_mod"]}
+    assert meta["fit"]["mean_dist"] == pytest.approx(
+        d0["mean_dist_at_build"])
+    assert meta["fit"]["sample_mod"] == d0["sample_mod"]
+    assert meta["fit"]["base_version"] == 1  # the FIT point, not the sync
     assert ivf_fit_drift(spark, idx)["rel_drift"] > 0.25
 
     # opt-in fit probe: refits, after which the drift baseline resets
-    rep = maintain_ivf_index(spark, idx, check_fit_drift=True)
+    rep = maintain_ivf_index(spark, idx, check_fit_drift=True,
+                             fit_probe_churn=None)
     assert rep["actions"] == ["rebuild"]
     assert rep["fit_drift"] > 0.25
     assert abs(ivf_fit_drift(spark, idx)["rel_drift"]) < 1e-9
@@ -397,3 +400,69 @@ def test_ivf_rebuild_never_also_syncs(spark, tmp_path):
     assert "sync" not in rep["actions"]
     # the rebuild subsumed the repair: base reads unchanged afterwards
     assert ivf_index_rowset_staleness(spark, idx)["kind"] == "unchanged"
+
+
+def test_fit_probe_auto_scheduled_by_manifest_churn(spark, tmp_path):
+    """r13 (VERDICT r12 #7): the DEFAULT policy now catches the
+    upsert-heavy blind spot — when the manifest-only churn walk reads
+    >= 50% of the corpus rewritten since the fit, the fit-drift probe
+    runs (and refits) WITHOUT check_fit_drift=True; below the churn
+    threshold no data pass happens at all."""
+    from etl_airflow_adventureworks_spark.operators.similarity import (
+        ivf_base_churn_since_fit,
+        ivf_fit_drift,
+    )
+
+    cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
+    cvt = VersionedTable(spark, cpath)
+    cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
+    build_ivf_index(spark, SF_SMOKE, idx, k_cells=4, base_path=cpath)
+    _, meta = load_ivf_index(spark, idx)
+    assert ivf_base_churn_since_fit(spark, meta) == 0.0
+
+    # small rewrite: churn below the threshold -> plain sync, NO probe
+    cvt.upsert(
+        cvt.read().filter("vec_id = 5").withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(-x))")
+        ),
+        key="vec_id",
+    )
+    rep = maintain_ivf_index(spark, idx)
+    assert rep["actions"] == ["sync"]
+    assert rep["fit_drift"] is None
+    assert 0 < rep["churn_since_fit"] < 0.5
+
+    # blast upsert: every vector rewritten, count unchanged — churn
+    # crosses the threshold, the probe auto-runs, the policy refits
+    cvt.upsert(
+        cvt.read().withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> float(x * 50.0 + 25.0))"),
+        ),
+        key="vec_id",
+    )
+    _, meta = load_ivf_index(spark, idx)
+    assert ivf_base_churn_since_fit(spark, meta) >= 1.0
+    plan = maintain_ivf_index(spark, idx, dry_run=True)
+    assert plan["actions"] == ["rebuild"]
+    assert plan["fit_drift"] > 0.25 and plan["churn_since_fit"] >= 1.0
+    assert any("auto-scheduled" in r for r in plan["reasons"])
+    rep = maintain_ivf_index(spark, idx)
+    assert rep["actions"] == ["rebuild"]
+    # the refit reset both the fit baseline and the churn origin
+    assert abs(ivf_fit_drift(spark, idx)["rel_drift"]) < 1e-9
+    _, meta = load_ivf_index(spark, idx)
+    assert ivf_base_churn_since_fit(spark, meta) == 0.0
+    assert maintain_ivf_index(spark, idx)["actions"] == []
+
+    # unwalkable window (fit version vacuumed) reads as UNKNOWN churn
+    # (inf) — the probe must run, not silently skip
+    cvt.upsert(
+        cvt.read().filter("vec_id = 7").withColumn(
+            "embedding", F.expr("transform(embedding, x -> float(-x))")
+        ),
+        key="vec_id",
+    )
+    cvt.vacuum(retain_last=1)
+    _, meta = load_ivf_index(spark, idx)
+    assert ivf_base_churn_since_fit(spark, meta) == float("inf")

@@ -1062,7 +1062,11 @@ def test_stream_cdc_with_rollups_continuous_and_restart_exact(spark, tmp_path):
             spark.readStream.schema("op string, k long, v double")
             .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"),
             tpath, ckpt, key="k",
-            rollups=[{"path": rpath, "dims": dims, "measures": measures}],
+            # policy "auto" (r13): per-epoch the maintain_rollup policy
+            # picks the verb — the drained result must stay exact
+            # regardless of which side of the crossovers each epoch hit
+            rollups=[{"path": rpath, "dims": dims, "measures": measures,
+                      "policy": "auto"}],
         )
 
     q = start()
@@ -1138,3 +1142,220 @@ def test_global_spec_with_nonretractable_measures_rebuilds(spark, tmp_path):
         F.min("ts").alias("min_ts"),
     )
     assert _snap(roll.read()) == _snap(exact)
+
+
+def _ts_events(spark, n_days=16, per_day=200):
+    import datetime as dt
+
+    rows = []
+    for d in range(n_days):
+        for i in range(per_day):
+            rows.append((
+                d * per_day + i,
+                dt.datetime(2024, 1, 1 + d, i % 24, i % 60),
+                float((d * per_day + i) % 97),
+            ))
+    return spark.createDataFrame(rows, "k long, ts timestamp, v double")
+
+
+def test_group_local_prunes_on_monotone_expression_dim(spark, tmp_path):
+    """VERDICT r12 #1's done-gate: a rollup over date_trunc('day', ts)
+    on a ts-clustered source (timestamp stats, r13) refreshes a 1-day
+    upsert group-locally reading files ∝ touched days — pruning on the
+    EXPRESSION dim itself, no bare co-dim — bit-equal to rebuild."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    dims = ["date_trunc('day', ts) AS day"]
+    measures = {"n": ("count", None), "mx": ("max", "v")}
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    df = _ts_events(spark)
+    # one contiguous ts-range per file, per-file timestamp stats
+    t.commit(
+        df.repartitionByRange(8, "ts").sortWithinPartitions("ts"),
+        stats_cols=["ts"],
+    )
+    refresh_rollup(spark, tpath, rpath, dims, measures)
+
+    # touch exactly one day (day index 5): k in [1000, 1200)
+    t.upsert(
+        t.read().filter("k >= 1000 and k < 1050").withColumn(
+            "v", F.col("v") + 1000.0),
+        key="k",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        warnings.filterwarnings(
+            "ignore", message=".*full rebuild is typically faster.*")
+        refresh_rollup(spark, tpath, rpath, dims, measures)
+    roll = VersionedTable(spark, rpath)
+    op = roll.manifest()["op"]
+    assert op["mode"] == "group_local"
+    assert op["groups_touched"] == 1
+    # 16 days over 8 clustered files = 2 days/file; one touched day ->
+    # at most the one carried clustered file + the upsert's rewrite
+    # files, never the 6+ untouched clustered files
+    assert op["files_read"] <= op["files_total"] - 6
+    assert _snap(roll.read()) == _snap(_aggregate(t.read(), dims, measures))
+
+
+def test_monotone_dims_explicit_declaration_and_validation(spark, tmp_path):
+    """A non-auto-recognized shape prunes when DECLARED monotone of a
+    stats-covered column; unknown declaration keys fail loud (a silently
+    ignored declaration would read as pruning)."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    dims = ["CAST(date_format(ts, 'yyyyMMdd') AS INT) AS day_key"]
+    measures = {"n": ("count", None), "mx": ("max", "v")}
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    t.commit(
+        _ts_events(spark).repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts"),
+        stats_cols=["ts"],
+    )
+    mono = {dims[0]: "ts"}
+    refresh_rollup(spark, tpath, rpath, dims, measures,
+                   monotone_dims=mono)
+    t.upsert(
+        t.read().filter("k >= 1000 and k < 1050").withColumn(
+            "v", F.col("v") + 1000.0),
+        key="k",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, tpath, rpath, dims, measures,
+                       monotone_dims=mono)
+    roll = VersionedTable(spark, rpath)
+    op = roll.manifest()["op"]
+    assert op["mode"] == "group_local"
+    assert op["files_read"] <= op["files_total"] - 6
+    assert _snap(roll.read()) == _snap(_aggregate(t.read(), dims, measures))
+
+    # a declaration that names no dim fails loud
+    with pytest.raises(ValueError, match="monotone_dims keys not found"):
+        refresh_rollup(spark, tpath, rpath, dims, measures,
+                       monotone_dims={"no_such_dim": "ts"})
+    # a declaration whose inner is not a bare column fails loud
+    with pytest.raises(ValueError, match="not a bare source column"):
+        refresh_rollup(spark, tpath, rpath, dims, measures,
+                       monotone_dims={dims[0]: "ts + 1"})
+
+
+def test_maintain_rollup_policy_paths(spark, tmp_path):
+    """r13 (VERDICT r12 #3): the measured rebuild-vs-refresh crossovers
+    become an EXECUTED policy — bootstrap/small-source/unrecorded-
+    rewrite pick rebuild, large sources refresh (incremental or
+    group-local), dry_run plans without touching, and every executed
+    path leaves the rollup exact vs from-scratch."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        maintain_rollup,
+    )
+
+    ev, slices = _events_slices(spark)
+    spath, rpath = str(tmp_path / "src"), str(tmp_path / "roll")
+    src = VersionedTable(spark, spath)
+    src.commit(slices[0])
+    args = (spark, spath, rpath, DIMS, MEASURES)
+
+    # bootstrap: dry_run plans a rebuild and touches nothing
+    plan = maintain_rollup(*args, dry_run=True)
+    assert plan["actions"] == ["rebuild"] and plan["dry_run"]
+    assert VersionedTable(spark, rpath).manifest() is None
+    rep = maintain_rollup(*args)
+    assert rep["actions"] == ["rebuild"] and rep["mode"] == "rebuild"
+    roll = VersionedTable(spark, rpath)
+    assert _snap(roll.read()) == _snap(_full_agg(src.read()))
+
+    # current: no action
+    rep = maintain_rollup(*args)
+    assert rep["actions"] == [] and "current" in rep["reasons"][0]
+
+    # append window on a SMALL source: the measured crossover rebuilds
+    src.commit(slices[1], mode="append")
+    plan = maintain_rollup(*args, dry_run=True)
+    assert plan["actions"] == ["rebuild"] and "crossover" in \
+        " ".join(plan["reasons"])
+    rep = maintain_rollup(*args)
+    assert rep["mode"] == "rebuild"
+    assert roll.manifest()["op"]["mode"] == "rebuild"
+    assert _snap(roll.read()) == _snap(_full_agg(src.read()))
+
+    # append window with the crossover floored away: incremental
+    src.commit(slices[2], mode="append")
+    rep = maintain_rollup(*args, rebuild_below_bytes=0)
+    assert rep["actions"] == ["refresh"] and rep["mode"] == "incremental"
+    assert roll.manifest()["op"]["mode"] == "incremental"
+    assert _snap(roll.read()) == _snap(_full_agg(src.read()))
+
+    # recorded rewrite + non-retractable measures: group-local above
+    # the crossover, rebuild below it
+    src.upsert(
+        slices[0].filter("event_id % 5 = 0").withColumn(
+            "value", F.col("value") + 2.0),
+        key="event_id",
+    )
+    plan = maintain_rollup(*args, dry_run=True)
+    assert plan["actions"] == ["rebuild"]  # tiny corpus: below crossover
+    rep = maintain_rollup(*args, group_local_below_bytes=0)
+    assert rep["actions"] == ["refresh"] and rep["mode"] == "group_local"
+    assert roll.manifest()["op"]["mode"] == "group_local"
+    assert _snap(roll.read()) == _snap(_full_agg(src.read()))
+
+    # UNRECORDED rewrite: refresh_rollup fails loud; the policy rebuilds
+    # with the reason recorded
+    src.commit(src.read().filter("event_id % 11 != 3"), mode="overwrite")
+    with pytest.raises(ValueError, match="without recording change rows"):
+        refresh_rollup(*args)
+    plan = maintain_rollup(*args, dry_run=True)
+    assert plan["actions"] == ["rebuild"]
+    assert any("without recording change rows" in r for r in plan["reasons"])
+    rep = maintain_rollup(*args)
+    assert rep["mode"] == "rebuild"
+    assert _snap(roll.read()) == _snap(_full_agg(src.read()))
+
+    # vacuum leg sweeps the rollup's own history; retain<1 refuses first
+    with pytest.raises(ValueError, match="vacuum_retain_last"):
+        maintain_rollup(*args, vacuum_retain_last=0)
+    assert len(roll.versions()) > 1
+    rep = maintain_rollup(*args, vacuum_retain_last=1)
+    assert rep["actions"] == ["vacuum"]  # content already current
+    assert len(roll.versions()) == 1
+    assert _snap(roll.read()) == _snap(_full_agg(src.read()))
+
+
+def test_maintain_rollup_subcommand(spark, tmp_path, capsys):
+    """CLI verb: dry-run prints the plan + reasons; the real run
+    executes it and the rollup reads exact afterwards."""
+    import json as _json
+
+    from etl_airflow_adventureworks_spark.cli import main
+
+    ev, slices = _events_slices(spark)
+    spath, rpath = str(tmp_path / "src"), str(tmp_path / "roll")
+    VersionedTable(spark, spath).commit(slices[0])
+    spec = tmp_path / "spec.json"
+    spec.write_text(_json.dumps({
+        "dims": DIMS,
+        "measures": {k: list(v) for k, v in MEASURES.items()},
+    }))
+    assert main(["maintain-rollup", "--source", spath, "--rollup", rpath,
+                 "--spec", str(spec), "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "would run" in out and "rebuild" in out
+    assert VersionedTable(spark, rpath).manifest() is None
+    assert main(["maintain-rollup", "--source", spath, "--rollup", rpath,
+                 "--spec", str(spec)]) == 0
+    assert "ran" in capsys.readouterr().out
+    roll = VersionedTable(spark, rpath)
+    assert _snap(roll.read()) == _snap(_full_agg(
+        VersionedTable(spark, spath).read()))
+    assert main(["maintain-rollup", "--source", spath, "--rollup", rpath,
+                 "--spec", str(spec)]) == 0
+    assert "nothing" in capsys.readouterr().out
+    assert main(["maintain-rollup", "--source", spath, "--rollup", rpath,
+                 "--spec", str(spec), "--vacuum-retain", "0"]) == 2

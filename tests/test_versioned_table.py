@@ -356,7 +356,7 @@ def test_manifest_stats_and_read_where_skip_scan(spark, tmp_path):
     # non-numeric stats columns fail loud before any write becomes visible
     n_vers = len(t.versions())
     bad = ev.withColumn("s", F.lit("x"))
-    with pytest.raises(ValueError, match="numeric columns only"):
+    with pytest.raises(ValueError, match="columns only"):
         t.commit(bad, mode="append", stats_cols=["s"])
     assert len(t.versions()) == n_vers
 
@@ -1306,3 +1306,114 @@ def test_consumer_source_identity_validated(spark, tmp_path):
     assert consumer_reflected_version(spark, roll_p, a_p) == 2
     with pytest.raises(ValueError, match="wrong consumer"):
         consumer_reflected_version(spark, roll_p, b_p)
+
+
+def test_vacuum_auto_floor_from_self_registered_consumers(spark, tmp_path):
+    """r13 (VERDICT r12 #2): consumers register themselves on the source
+    at first reflect, so ``vacuum(respect_consumers="auto")`` clamps for
+    a lagging replica the operator never listed; dead registry entries
+    (artifact deleted without retirement) are skipped with a loud
+    warning, and ``retire_consumer`` silences them."""
+    import shutil
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        refresh_rollup,
+    )
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    src_p = str(tmp_path / "src")
+    repl_p, roll_p = str(tmp_path / "repl"), str(tmp_path / "roll")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a"), (2, "b")]))                       # v1
+    replicate_table(spark, src_p, repl_p, key="k")
+    refresh_rollup(spark, src_p, roll_p, ["v"], {"n": ("count", None)})
+    assert set(t.consumers()) == {repl_p, roll_p}
+
+    t.upsert(_df(spark, [(2, "B")]), key="k")                        # v2
+    t.commit(_df(spark, [(9, "z")]), mode="append")                  # v3
+    # the operator lists NOTHING — the self-registered replica/rollup
+    # still clamp the vacuum
+    assert t.safe_retain_floor("auto") == 3
+    with pytest.warns(RuntimeWarning, match="strand a lagging"):
+        t.vacuum(retain_last=1, respect_consumers="auto")
+    assert t.versions() == [1, 2, 3]
+
+    # catch up -> the auto floor drops and the vacuum proceeds silently
+    replicate_table(spark, src_p, repl_p, key="k")
+    refresh_rollup(spark, src_p, roll_p, ["v"], {"n": ("count", None)})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        t.vacuum(retain_last=1, respect_consumers="auto")
+    assert t.versions() == [3]
+
+    # dead entry: the replica's artifact vanishes without retirement —
+    # the floor warns, skips it, and still counts the live rollup
+    shutil.rmtree(repl_p)
+    t.commit(_df(spark, [(5, "e")]), mode="append")                  # v4
+    with pytest.warns(RuntimeWarning, match="records nothing"):
+        assert t.safe_retain_floor("auto") == 2  # rollup lags at v3
+    assert t.retire_consumer(repl_p) is True
+    assert t.retire_consumer(repl_p) is False    # idempotent
+    assert t.consumers() == [roll_p]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert t.safe_retain_floor("auto") == 2  # no more dead-entry noise
+    # re-reflecting re-registers
+    replicate_table(spark, src_p, str(tmp_path / "repl2"), key="k")
+    assert set(t.consumers()) == {roll_p, str(tmp_path / "repl2")}
+
+
+def test_temporal_stats_prune_keyed_rewrites_and_read_where(spark, tmp_path):
+    """r13: DATE/TIMESTAMP columns carry per-file min/max stats (encoded
+    as epoch ints in the manifest) — a ts-keyed upsert on a ts-clustered
+    table probes only the files whose time range admits the batch, and a
+    read_where box of datetimes prunes files while staying exact."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1 + d, h, 0), d * 24 + h, float(d))
+        for d in range(10) for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k long, v double")
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        df.repartitionByRange(5, "ts").sortWithinPartitions("ts"),
+        stats_cols=["ts"],
+    )
+    man = t.manifest()
+    # encoded bounds are JSON ints (epoch micros), two per file
+    ent = next(iter(man["stats"].values()))
+    assert isinstance(ent["ts"][0], int) and ent["ts"][1] > ent["ts"][0]
+
+    # ts-keyed upsert touching one day: probes ∝ overlapped files
+    batch = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 3, h, 0), 999, -1.0) for h in range(24)],
+        "ts timestamp, k long, v double",
+    )
+    t.upsert(batch, key="ts")
+    op = t.manifest()["op"]
+    assert op["rows_matched"] == 24
+    assert op["files_probed"] < 5  # pruned: 10 days over 5 files
+    got = {r["ts"]: r["k"] for r in t.read().collect()}
+    assert got[dt.datetime(2024, 1, 3, 5, 0)] == 999
+    assert len(got) == 240
+
+    # read_where with a datetime box prunes files and stays exact
+    box = {"ts": (dt.datetime(2024, 1, 8, 0, 0),
+                  dt.datetime(2024, 1, 9, 23, 0))}
+    sub = t.read_where(box)
+    assert sub.count() == 48
+    assert len(sub.inputFiles()) < len(t.read().inputFiles())
+
+    # DATE columns too
+    d2 = spark.createDataFrame(
+        [(dt.date(2024, 1, 1 + i), i) for i in range(12)],
+        "d date, k long",
+    )
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(d2.repartitionByRange(4, "d").sortWithinPartitions("d"),
+              stats_cols=["d"])
+    sub2 = t2.read_where({"d": (dt.date(2024, 1, 2), dt.date(2024, 1, 3))})
+    assert sub2.count() == 2
+    assert len(sub2.inputFiles()) < len(t2.read().inputFiles())
