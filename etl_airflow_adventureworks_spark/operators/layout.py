@@ -43,9 +43,22 @@ def _spread_bits(col: Column) -> Column:
 
 
 def _rank16(df: DataFrame, col: str, bits: int, mode: str) -> Column:
-    """Map ``col`` to an integer rank in [0, 2^bits) (bits ≤ 16)."""
+    """Map ``col`` to an integer rank in [0, 2^bits) (bits ≤ 16).
+    Temporal columns (date/timestamp — r13, stats-eligible since then)
+    rank through their epoch seconds: monotone, so the Z-curve locality
+    they buy is identical to ranking the raw values."""
+    from pyspark.sql import types as T
+
     n = 1 << bits
-    c = F.col(col).cast("double")
+    dtype = df.schema[col].dataType
+    ntz = getattr(T, "TimestampNTZType", ())
+    temporal = (T.DateType, T.TimestampType) + ((ntz,) if ntz else ())
+    if isinstance(dtype, temporal):
+        # date -> timestamp -> double (a date cannot cast to double
+        # directly); timestamp -> double = epoch seconds
+        c = F.col(col).cast("timestamp").cast("double")
+    else:
+        c = F.col(col).cast("double")
     if mode == "minmax":
         lo, hi = df.agg(F.min(c), F.max(c)).first()
         if lo is None or hi is None or hi == lo:
@@ -60,7 +73,9 @@ def _rank16(df: DataFrame, col: str, bits: int, mode: str) -> Column:
         # interpreted higher-order function allocating a filtered copy
         # per row: measured 5.5 s vs 1.7 s for the tree on 10M rows
         probs = [i / n for i in range(1, n)]
-        bounds = df.stat.approxQuantile(col, probs, 0.001)
+        bounds = df.select(c.alias("__zr")).stat.approxQuantile(
+            "__zr", probs, 0.001
+        )
 
         def upper_bound(lo: int, hi: int) -> Column:
             # count of boundaries ≤ x, by first-index-where-bound > x

@@ -466,7 +466,13 @@ def _group_local_state(
 
     from functools import reduce
 
-    from ..table import _stats_decode, _stats_encode, _widen_float_bounds
+    from ..table import (
+        _session_tz_fixed_offset,
+        _stats_decode,
+        _stats_encode,
+        _tz_sensitive_cols,
+        _widen_float_bounds,
+    )
 
     dim_tmp = [f"__gl_d{i}" for i in range(len(dims))]
     # output key-column names, schema-only (no job)
@@ -503,6 +509,14 @@ def _group_local_state(
         for i, col in (monotone or {}).items()
         if col in src_cols and dim_tmp[i] not in prunable
     }
+    # DST-session guard (see table._session_tz_fixed_offset): wall-clock
+    # comparisons on TIMESTAMP values are only instant-ordered under a
+    # fixed-offset zone — drop the affected dims from pruning (results
+    # stay exact; only the read is wider)
+    if not _session_tz_fixed_offset(spark):
+        ts_cols = _tz_sensitive_cols(src_schema)
+        prunable = {t: c for t, c in prunable.items() if c not in ts_cols}
+        mono = {}  # transformed images may themselves be timestamps
     pruned = files
     if small and (prunable or mono) and files:
         key_rows = keys.collect()

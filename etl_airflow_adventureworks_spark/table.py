@@ -128,6 +128,57 @@ def _stats_encode(v):
     return float(v)
 
 
+#: session-timezone fixed-offset checks, cached per tz string
+_TZ_FIXED_CACHE: dict[str, bool] = {}
+
+
+def _session_tz_fixed_offset(spark: SparkSession) -> bool:
+    """Whether the session timezone has ONE constant UTC offset (UTC,
+    Etc/GMT+N, fixed "+05:30", ...). Temporal stats compare naive
+    wall-clock values, and wall-clock order equals Spark's instant
+    order ONLY under a fixed offset — a DST zone folds an hour twice a
+    year, where a wall-clock comparison could wrongly SKIP a file that
+    does contain a key (a lost write). The engine's own sessions pin
+    UTC (`session.get_spark`); for foreign sessions every temporal
+    stats site checks this and degrades to no-pruning / no-stats
+    (never wrongly skipped) instead."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    hit = _TZ_FIXED_CACHE.get(tz)
+    if hit is not None:
+        return hit
+    import datetime as _dt
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        # offsets sampled across both hemispheres' DST seasons and two
+        # years — a fixed-offset zone yields one value everywhere
+        offs = {
+            _dt.datetime(y, m, 1, tzinfo=z).utcoffset()
+            for y in (2023, 2024)
+            for m in (1, 4, 7, 10)
+        }
+        ok = len(offs) == 1
+    except Exception:
+        ok = False  # unresolvable zone: assume unsafe
+    _TZ_FIXED_CACHE[tz] = ok
+    return ok
+
+
+def _tz_sensitive_cols(schema_or_fields) -> set:
+    """Column names whose stats comparisons depend on the session
+    timezone: TimestampType ONLY — DateType and TimestampNTZType are
+    wall-clock by definition (no instant), so they are safe in any
+    zone."""
+    from pyspark.sql import types as T
+
+    fields = getattr(schema_or_fields, "fields", schema_or_fields)
+    return {
+        f.name for f in fields if isinstance(f.dataType, T.TimestampType)
+    }
+
+
 def _stats_decode(v, dtype):
     """Inverse of ``_stats_encode`` for TEMPORAL columns (numeric stats
     decode to themselves): epoch days → ``date``, epoch micros → naive
@@ -383,8 +434,7 @@ class VersionedTable:
                 f"commit conflict: version {version} already exists at {self.path}"
             )
 
-    @staticmethod
-    def _validate_stats_cols(cols: list[str], schema) -> None:
+    def _validate_stats_cols(self, cols: list[str], schema) -> None:
         numeric = numeric_stats_types()
         by_name = {f.name: f.dataType for f in schema.fields}
         for c in cols:
@@ -396,6 +446,19 @@ class VersionedTable:
                     "per-file stats support numeric/date/timestamp "
                     "columns only"
                 )
+        tz_cols = _tz_sensitive_cols(schema) & set(cols)
+        if tz_cols and not _session_tz_fixed_offset(self.spark):
+            # see _session_tz_fixed_offset: under a DST zone, wall-clock
+            # bounds are not instant-ordered and a later pruner could
+            # wrongly SKIP a file (a lost write) — refuse to record the
+            # hazard at the source
+            raise ValueError(
+                f"stats_cols {sorted(tz_cols)}: timestamp stats need a "
+                "fixed-offset session timezone (got "
+                f"{self.spark.conf.get('spark.sql.session.timeZone')!r} "
+                "— DST folds wall-clock order); set "
+                "spark.sql.session.timeZone=UTC (session.get_spark does)"
+            )
 
     def _file_stats(
         self, rel_files: list[str], cols: list[str], schema
@@ -407,6 +470,23 @@ class VersionedTable:
         manifest stays JSON and pruning comparisons stay exact."""
         from pyspark.sql import functions as F
 
+        tz_cols = _tz_sensitive_cols(schema)
+        if tz_cols & set(cols) and not _session_tz_fixed_offset(self.spark):
+            import warnings
+
+            warnings.warn(
+                f"{self.path}: dropping timestamp stats "
+                f"{sorted(tz_cols & set(cols))} for this commit — the "
+                "session timezone has DST, so wall-clock bounds would "
+                "not be instant-ordered (files without stats are never "
+                "wrongly skipped; re-optimize under a fixed-offset zone "
+                "to restore pruning)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            cols = [c for c in cols if c not in tz_cols]
+            if not cols:
+                return {}
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
@@ -452,6 +532,13 @@ class VersionedTable:
         if man is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
         stats = man.get("stats") or {}
+        schema0 = T.StructType.fromJson(json.loads(man["schema"]))
+        unsafe = (
+            _tz_sensitive_cols(schema0) & set(box)
+            if not _session_tz_fixed_offset(self.spark)
+            else set()
+        )  # DST session: scan those columns' files (the filter below is
+        # exact either way), never wall-clock-skip them
         keep = []
         for f in man["files"]:
             ent = stats.get(f)
@@ -460,7 +547,7 @@ class VersionedTable:
                 continue
             ok = True
             for c, (lo, hi) in box.items():
-                if c not in ent:
+                if c not in ent or c in unsafe:
                     continue
                 slo, shi = _widen_float_bounds(*ent[c])
                 # encode the caller's bounds so temporal boxes compare
@@ -471,7 +558,7 @@ class VersionedTable:
                     break
             if ok:
                 keep.append(f)
-        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        schema = schema0
         if not keep:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -505,6 +592,10 @@ class VersionedTable:
 
         if not any(key in (old_stats.get(f) or {}) for f in files):
             return files
+        if key in _tz_sensitive_cols(batch.schema) and \
+                not _session_tz_fixed_offset(self.spark):
+            return files  # DST session: wall-clock pruning could wrongly
+            # skip a file containing a batch key — probe everything
         n = batch.count() if n_rows is None else n_rows
         if n <= _PRUNE_KEYS_COLLECT_MAX:
             import bisect
@@ -1370,9 +1461,19 @@ class VersionedTable:
             ).sortWithinPartitions(*cluster_by)
             if stats_cols is None:
                 by_name = {f.name: f.dataType for f in df.schema.fields}
+                # DEFAULT stats exclude timestamp cols under a DST
+                # session (explicitly-passed stats_cols still fail loud
+                # in validation) — pre-r13 those cols simply had no
+                # stats support, and a default must not turn into a
+                # refusal
+                drop = (
+                    set() if _session_tz_fixed_offset(self.spark)
+                    else _tz_sensitive_cols(df.schema)
+                )
                 stats_cols = [
                     c for c in cluster_by
                     if isinstance(by_name.get(c), numeric_stats_types())
+                    and c not in drop
                 ] or None
         else:
             df = df.coalesce(num_files)

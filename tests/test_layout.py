@@ -176,3 +176,34 @@ def test_bits_over_16_fail_loud(spark):
     ev = _events(spark).limit(100)
     with pytest.raises(ValueError, match="bits must be <= 16"):
         L.zorder_key(ev, ["user_id", "ts_us"], bits=24)
+
+
+def test_zorder_over_timestamp_column(spark, tmp_path):
+    """r13: temporal columns are stats-eligible, so a Z-order over
+    (ts, user) both computes (epoch-ranked, monotone) and records
+    prunable per-file stats through optimize(zorder=...); a time-boxed
+    read_where then skips files."""
+    import datetime as dt
+
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    rows = [
+        (dt.datetime(2024, 3, 1 + d, h, 0), (d * 24 + h) % 50,
+         float(d * 24 + h))
+        for d in range(20) for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user long, v double")
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df)
+    t.optimize(zorder=["ts", "user"], num_files=8)
+    man = t.manifest()
+    assert all("ts" in ent for ent in man["stats"].values())
+    box = {"ts": (dt.datetime(2024, 3, 5, 0, 0),
+                  dt.datetime(2024, 3, 6, 23, 0)),
+           "user": (10, 20)}
+    sub = t.read_where(box)
+    want = df.filter(
+        (F.col("ts").between(*box["ts"])) & (F.col("user").between(10, 20))
+    )
+    assert sub.count() == want.count() > 0
+    assert len(sub.inputFiles()) < 8

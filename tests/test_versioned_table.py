@@ -1417,3 +1417,61 @@ def test_temporal_stats_prune_keyed_rewrites_and_read_where(spark, tmp_path):
     sub2 = t2.read_where({"d": (dt.date(2024, 1, 2), dt.date(2024, 1, 3))})
     assert sub2.count() == 2
     assert len(sub2.inputFiles()) < len(t2.read().inputFiles())
+
+
+def test_temporal_stats_refuse_dst_session_timezones(spark, tmp_path):
+    """r13 hazard guard: under a DST session timezone, naive wall-clock
+    order diverges from Spark's instant order inside transition windows
+    — a wall-clock prune could wrongly SKIP a file (a lost write).
+    Writing timestamp stats refuses loudly there; pruning against
+    existing stats degrades to probe-everything; results stay exact."""
+    import datetime as dt
+
+    rows = [(dt.datetime(2024, 1, 1, h, 0), h) for h in range(24)]
+    df = spark.createDataFrame(rows, "ts timestamp, k long")
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(df.repartitionByRange(3, "ts").sortWithinPartitions("ts"),
+             stats_cols=["ts"])  # UTC session: fine
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # writing new timestamp stats refuses loud
+        with pytest.raises(ValueError, match="fixed-offset session"):
+            t.commit(df, mode="append", stats_cols=["ts"])
+        # keyed rewrite against the EXISTING stats: no pruning (probes
+        # every file), result exact
+        t.upsert(
+            spark.createDataFrame(
+                [(dt.datetime(2024, 1, 1, 5, 0), 999)],
+                "ts timestamp, k long",
+            ),
+            key="ts",
+        )
+        op = t.manifest()["op"]
+        assert op["files_probed"] == 3  # all files — never wrongly skipped
+        assert op["rows_matched"] == 1
+        # the rewrite's recomputed stats DROP the timestamp column with
+        # a warning instead of recording wall-clock bounds
+        new_files = [f for f in t.manifest()["files"]
+                     if f not in set(t.manifest(1)["files"])]
+        assert all(
+            "ts" not in (t.manifest()["stats"].get(f) or {})
+            for f in new_files
+        )
+        # boxed read: scans rather than wall-clock-skips; still exact
+        sub = t.read_where({"ts": (dt.datetime(2024, 1, 1, 3, 0),
+                                   dt.datetime(2024, 1, 1, 6, 0))})
+        assert sub.count() == 4
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    # DATE stats are wall-clock by definition — fine in any zone
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        d2 = spark.createDataFrame(
+            [(dt.date(2024, 1, 1 + i), i) for i in range(6)],
+            "d date, k long")
+        t2 = VersionedTable(spark, str(tmp_path / "t2"))
+        t2.commit(d2, stats_cols=["d"])
+        assert t2.manifest()["stats"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

@@ -32,6 +32,7 @@ def run_once(tree: Path, queries: str) -> dict[str, float]:
         "SPARK_GRAFT_QUERIES": queries,
         "SPARK_GRAFT_REPS": "3",
         "SPARK_GRAFT_WARMUP": "1",
+        "SPARK_GRAFT_PASSES": "1",  # each paired run IS a fresh JVM already
         "PATH": "/usr/bin:/bin:/usr/local/bin",
         "HOME": "/root",
         "JAVA_HOME": os.environ.get("JAVA_HOME", ""),
