@@ -315,6 +315,16 @@ _MONOTONE_AUTO = [
         re.I,
     ),
     re.compile(rf"^unix_timestamp\(\s*({_IDENT})\s*\)$", re.I),
+    # the reference's op-34 smart date key (functions.scalar.yyyymmdd_key
+    # as SQL): year*10000 + month*100 + day — lexicographic date order,
+    # monotone in the one date/timestamp argument
+    re.compile(
+        rf"^(?:cast\(\s*)?\(?\s*year\(\s*({_IDENT})\s*\)\s*\*\s*10000"
+        rf"\s*\+\s*month\(\s*\1\s*\)\s*\*\s*100"
+        rf"\s*\+\s*(?:day|dayofmonth)\(\s*\1\s*\)\s*\)?"
+        r"(?:\s*as\s+(?:tinyint|smallint|int|bigint|long)\s*\))?$",
+        re.I,
+    ),
 ]
 
 

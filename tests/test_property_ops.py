@@ -319,3 +319,52 @@ def test_histogram_quantile_bound_and_merge_identity(spark, vals, nbins, q, spli
     ref = clamped[idx]
     assert est is not None
     assert abs(est - ref) <= width + 1e-9, (est, ref, width, clamped, q)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1901, 1, 1),
+                max_value=__import__("datetime").datetime(2199, 12, 31),
+            ),
+            st.dates(),
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_stats_encode_is_order_preserving(vals):
+    """r13: `_stats_encode` must be a strict order-embedding WITHIN each
+    value type (stats bounds and pruning keys always share the column's
+    type) — any inversion or collapse could wrongly skip a file (a lost
+    write). Datetimes additionally round-trip through `_stats_decode`."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from etl_airflow_adventureworks_spark.table import (
+        _stats_decode,
+        _stats_encode,
+    )
+
+    by_type: dict[type, list] = {}
+    for v in vals:
+        by_type.setdefault(type(v), []).append(v)
+    for t, vs in by_type.items():
+        enc = [_stats_encode(v) for v in vs]
+        for a, b in zip(sorted(vs), sorted(vs)[1:]):
+            ea, eb = _stats_encode(a), _stats_encode(b)
+            assert ea <= eb
+            if a != b and not isinstance(a, float):
+                # exact types: strictly injective (floats may collide
+                # only through float()-identity, which is identity here)
+                assert ea < eb
+        for v, e in zip(vs, enc):
+            if isinstance(v, dt.datetime):
+                assert _stats_decode(e, T.TimestampType()) == v
+            elif isinstance(v, dt.date):
+                assert _stats_decode(e, T.DateType()) == v

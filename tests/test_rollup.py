@@ -1359,3 +1359,36 @@ def test_maintain_rollup_subcommand(spark, tmp_path, capsys):
     assert "nothing" in capsys.readouterr().out
     assert main(["maintain-rollup", "--source", spath, "--rollup", rpath,
                  "--spec", str(spec), "--vacuum-retain", "0"]) == 2
+
+
+def test_monotone_auto_shapes_unit():
+    """The auto-recognized monotone dim shapes (pure parsing, no Spark):
+    time-bucketing functions and the op-34 smart date key recognize and
+    extract the inner column; cyclic shapes (month/hour) never match."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _monotone_map,
+    )
+
+    auto = [
+        ("date_trunc('day', ts) AS day", "ts"),
+        ("to_date(ts)", "ts"),
+        ("year(ts) AS y", "ts"),
+        ("trunc(d, 'month') AS m", "d"),
+        ("CAST(ts AS DATE) AS d", "ts"),
+        ("unix_timestamp(ts)", "ts"),
+        ("CAST(year(ts)*10000 + month(ts)*100 + dayofmonth(ts) AS INT)"
+         " AS date_key", "ts"),
+        ("year(ts) * 10000 + month(ts) * 100 + day(ts) AS date_key", "ts"),
+    ]
+    for dim, inner in auto:
+        m = _monotone_map([dim], None)
+        assert m == {0: inner}, (dim, m)
+    cyclic = [
+        "month(ts) AS m",            # cycles yearly
+        "hour(ts)",                  # cycles daily
+        "pmod(k, 5) AS bucket",      # cycles, not even temporal
+        "year(ts)*100 + day(ts)",    # mixed significance: NOT monotone
+        "event_type",                # bare column: prunes directly
+    ]
+    for dim in cyclic:
+        assert _monotone_map([dim], None) == {}, dim
