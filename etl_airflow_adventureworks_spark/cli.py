@@ -244,6 +244,19 @@ def main(argv: list[str] | None = None) -> int:
                     "value 'auto' (r13) to use the table's self-"
                     "registered consumer registry instead of enumerating")
 
+    co = sub.add_parser(
+        "consumers",
+        help="list (default) or retire entries in a table's self-"
+        "registered consumer registry (r13) — the registry "
+        "vacuum --respect-consumer auto computes its retention floor "
+        "from; consumers re-register automatically at their next "
+        "reflect",
+    )
+    co.add_argument("--path", required=True, help="source table root")
+    co.add_argument("--retire", default=None, metavar="CONSUMER_PATH",
+                    help="remove this consumer's registry entry (e.g. a "
+                    "decommissioned replica whose artifact is gone)")
+
     rt = sub.add_parser(
         "replicate-table",
         help="maintain a downstream mirror of a keyed VersionedTable at "
@@ -798,6 +811,29 @@ def main(argv: list[str] | None = None) -> int:
              else f"deleted {n} file(s)")
             + f" (retaining the newest {retain} version(s))"
         )
+        return 0
+    if args.cmd == "consumers":
+        from .table import VersionedTable, consumer_reflected_version
+
+        t = VersionedTable(spark, args.path)
+        if args.retire:
+            gone = t.retire_consumer(args.retire)
+            print("retired" if gone else "no such registry entry")
+            return 0 if gone else 1
+        entries = t.consumers()
+        if not entries:
+            print("no registered consumers")
+            return 0
+        man = t.manifest()
+        latest = man["version"] if man else None
+        for c in entries:
+            try:
+                r = consumer_reflected_version(spark, c, t.path)
+                lag = f"reflects v{r}" + (
+                    f" (lag {latest - r})" if latest is not None else "")
+            except ValueError as e:
+                lag = f"DEAD? {e}"
+            print(f"{c}: {lag}")
         return 0
     if args.cmd == "replicate-table":
         from .table import VersionedTable, replicate_table

@@ -1475,3 +1475,25 @@ def test_temporal_stats_refuse_dst_session_timezones(spark, tmp_path):
         assert t2.manifest()["stats"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_consumers_subcommand(spark, tmp_path, capsys):
+    """CLI registry surface: list shows each consumer's reflected
+    version and lag; --retire removes an entry (exit 1 when absent)."""
+    from etl_airflow_adventureworks_spark.cli import main
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    src_p, repl_p = str(tmp_path / "src"), str(tmp_path / "repl")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a")]))
+    assert main(["consumers", "--path", src_p]) == 0
+    assert "no registered consumers" in capsys.readouterr().out
+    replicate_table(spark, src_p, repl_p, key="k")
+    t.commit(_df(spark, [(2, "b")]), mode="append")
+    assert main(["consumers", "--path", src_p]) == 0
+    out = capsys.readouterr().out
+    assert repl_p in out and "reflects v1 (lag 1)" in out
+    assert main(["consumers", "--path", src_p, "--retire", repl_p]) == 0
+    assert "retired" in capsys.readouterr().out
+    assert main(["consumers", "--path", src_p, "--retire", repl_p]) == 1
+    assert t.consumers() == []
