@@ -57,12 +57,17 @@ un-see a value): a rewrite window touching those measures takes the
 GROUP-LOCAL path (r12) — the affected group keys are extracted from
 the change rows and ONLY those groups are re-aggregated from the
 source snapshot (stats-pruned to the touched files when a dim is a
-bare clustered column), then spliced into the untouched rollup rows —
-cost ∝ the touched groups' source rows, never the table. An UNRECORDED
-rewrite
+bare clustered column OR, since r13, a MONOTONE transform of one —
+the canonical ``date_trunc('day', ts)`` bucket prunes by mapping each
+file's recorded ts [min, max] through the transform), then spliced
+into the untouched rollup rows — cost ∝ the touched groups' source
+rows, never the table. An UNRECORDED rewrite
 (plain overwrite, schema-drift upsert, pre-r10 history) still fails
 loud; pass ``full_rebuild=True`` to re-aggregate from the current
-snapshot (same result, full-scan cost). A pure COMPACTION
+snapshot (same result, full-scan cost) — or call ``maintain_rollup``
+(r13), the one-call policy that classifies the window from manifests
+and executes the measured rebuild-vs-incremental-vs-group-local
+decision table. A pure COMPACTION
 (`optimize`) is rowset-preserving and the feed skips it since r9, so
 continuous refresh survives periodic OPTIMIZE with no rebuild
 (tests/test_rollup.py::test_refresh_survives_optimize_reading_only_the_delta).
