@@ -658,6 +658,34 @@ def _merge(parts: DataFrame, dim_names: list[str], measures: dict) -> DataFrame:
     return parts.groupBy(*dim_names).agg(*aggs)
 
 
+def _classify_window(
+    src: VersionedTable, reflected: int, v_src: int
+) -> tuple[bool, bool]:
+    """(retractions, unrecorded) for the refresh window (reflected,
+    v_src] — ONE manifest walk, no data read. ``retractions``: some
+    commit recorded row-level change rows (a recorded rewrite);
+    ``unrecorded``: some commit replaced files with NO change rows and
+    no rowset-preserving mark (plain overwrite / pre-r10 history — the
+    row delta is undefined across it). Shared by ``refresh_rollup``'s
+    inline decision and ``maintain_rollup``'s policy probe so the two
+    can never classify a window differently."""
+    retractions = False
+    unrecorded = False
+    prev = set(src.manifest(reflected)["files"])
+    for m in src._walk_range(reflected, v_src):
+        cur = set(m["files"])
+        if prev <= cur:
+            pass  # pure append
+        elif m.get("changes"):
+            retractions = True
+        elif (m.get("op") or {}).get("rowset_preserving"):
+            pass
+        else:
+            unrecorded = True
+        prev = cur
+    return retractions, unrecorded
+
+
 def _reflected_version(rollup: VersionedTable) -> int | None:
     man = rollup.manifest()
     if man is None:
@@ -842,10 +870,9 @@ def refresh_rollup(
                     rebuild = True
             if not rebuild:
                 # manifest-only probe: did any commit in the window record
-                # row-level change rows (i.e. a rewrite)?
-                retractions = any(
-                    m.get("changes") for m in src._walk_range(reflected, v_src)
-                )
+                # row-level change rows (i.e. a rewrite)? (unrecorded
+                # rewrites keep failing loud inside row_changes below)
+                retractions, _unrec = _classify_window(src, reflected, v_src)
                 if retractions:
                     bad = sorted(
                         name
@@ -1059,20 +1086,7 @@ def maintain_rollup(
             f["name"]
             for f in _json.loads(roll.manifest()["schema"])["fields"]
         }
-        retractions = False
-        unrecorded = False
-        prev = set(src.manifest(reflected)["files"])
-        for m in src._walk_range(reflected, v_src):
-            cur = set(m["files"])
-            if prev <= cur:
-                pass  # pure append
-            elif m.get("changes"):
-                retractions = True
-            elif (m.get("op") or {}).get("rowset_preserving"):
-                pass
-            else:
-                unrecorded = True
-            prev = cur
+        retractions, unrecorded = _classify_window(src, reflected, v_src)
         non_retract = sorted(
             n for n, (fn, _c) in measures.items() if fn not in _RETRACTABLE
         )
