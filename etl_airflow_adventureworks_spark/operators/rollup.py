@@ -313,9 +313,16 @@ _MONOTONE_AUTO = [
     re.compile(rf"^to_date\(\s*({_IDENT})\s*\)$", re.I),
     re.compile(rf"^year\(\s*({_IDENT})\s*\)$", re.I),
     re.compile(rf"^trunc\(\s*({_IDENT})\s*,\s*'[^']+'\s*\)$", re.I),
+    # cast targets are limited to shapes that CANNOT wrap: temporal and
+    # float/decimal (a non-ANSI overflow there yields NULL — the bounds
+    # evaluator keeps NULL-image files candidate, never skips them).
+    # Integral targets are deliberately EXCLUDED: non-ANSI integral
+    # narrowing WRAPS (cast(2^31+500 AS INT) goes negative), which
+    # breaks monotonicity and could wrongly prune a file; declare such
+    # a dim via monotone_dims only if the value range provably fits.
     re.compile(
         rf"^cast\(\s*({_IDENT})\s+as\s+"
-        r"(?:date|timestamp(?:_ntz)?|tinyint|smallint|int|bigint|long"
+        r"(?:date|timestamp(?:_ntz)?"
         r"|float|double|decimal(?:\([^)]*\))?)\s*\)$",
         re.I,
     ),
@@ -1080,6 +1087,19 @@ def maintain_rollup(
         choice, mode = "rebuild", "rebuild"
         reasons.append("no rollup yet — bootstrap aggregates the full "
                        "snapshot")
+    elif reflected not in src.versions():
+        # the source history was vacuumed past the rollup's reflected
+        # version (the stranded-consumer case the registry exists to
+        # prevent, on a source that vacuumed without it): the window is
+        # unwalkable, the delta underivable — rebuild from the snapshot
+        # instead of crashing inside the classifier
+        choice, mode = "rebuild", "rebuild"
+        reasons.append(
+            f"source v{reflected} (the rollup's reflected version) was "
+            "vacuumed away — the catch-up window is unreadable; rebuild "
+            "from the current snapshot (size vacuum retention with "
+            'respect_consumers="auto" to avoid this)'
+        )
     else:
         internal = _expand_measures(measures)
         stored_cols = {
@@ -1107,7 +1127,16 @@ def maintain_rollup(
         elif retractions and (non_retract or not has_count):
             why = (f"non-retractable measures {non_retract}" if non_retract
                    else "no count measure")
-            if src.visible_bytes(group_local_below_bytes) \
+            if not dims:
+                # a GLOBAL spec's "group-local" IS the full rebuild
+                # (refresh_rollup's dims guard takes it internally) —
+                # predict what will actually execute
+                choice, mode = "rebuild", "rebuild"
+                reasons.append(
+                    f"rewrite window with {why} on a GLOBAL spec "
+                    "(dims=[]) — one group IS the whole table; rebuild"
+                )
+            elif src.visible_bytes(group_local_below_bytes) \
                     < group_local_below_bytes:
                 choice, mode = "rebuild", "rebuild"
                 reasons.append(

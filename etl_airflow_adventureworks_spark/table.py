@@ -133,36 +133,53 @@ _TZ_FIXED_CACHE: dict[str, bool] = {}
 
 
 def _session_tz_fixed_offset(spark: SparkSession) -> bool:
-    """Whether the session timezone has ONE constant UTC offset (UTC,
-    Etc/GMT+N, fixed "+05:30", ...). Temporal stats compare naive
-    wall-clock values, and wall-clock order equals Spark's instant
-    order ONLY under a fixed offset — a DST zone folds an hour twice a
-    year, where a wall-clock comparison could wrongly SKIP a file that
-    does contain a key (a lost write). The engine's own sessions pin
-    UTC (`session.get_spark`); for foreign sessions every temporal
-    stats site checks this and degrades to no-pruning / no-stats
-    (never wrongly skipped) instead."""
+    """Whether temporal wall-clock comparisons are SAFE in this process:
+    the session timezone has ONE constant UTC offset (UTC, Etc/GMT+N,
+    fixed "+05:30", ...), the DRIVER PROCESS zone does too, and the two
+    offsets AGREE. Temporal stats compare naive wall-clock values, and
+    wall-clock order equals Spark's instant order only under a fixed
+    offset — a DST zone folds an hour twice a year, where a wall-clock
+    comparison could wrongly SKIP a file that does contain a key (a
+    lost write). The PROCESS zone matters because non-Arrow ``collect``
+    converts TimestampType through ``datetime.fromtimestamp`` — the OS
+    zone, not the session zone — so the recorded bounds live in OS
+    wall-clock while a filter interprets the caller's values in SESSION
+    wall-clock; both must be the same fixed offset. The engine's own
+    sessions pin UTC (`session.get_spark`) and the test/bench/driver
+    environments run UTC processes; anything else degrades every
+    temporal stats site to no-pruning / no-stats (never wrongly
+    skipped)."""
+    import time as _time
+
     tz = spark.conf.get("spark.sql.session.timeZone")
-    hit = _TZ_FIXED_CACHE.get(tz)
+    # key the cache by (session tz, process tz): tzset() in tests — or a
+    # daemon reconfiguring TZ — must not read a stale verdict
+    key = f"{tz}|{getattr(_time, 'tzname', ('?',))!r}|{_time.timezone if hasattr(_time, 'timezone') else '?'}|{_time.daylight if hasattr(_time, 'daylight') else '?'}"
+    hit = _TZ_FIXED_CACHE.get(key)
     if hit is not None:
         return hit
     import datetime as _dt
 
+    samples = [
+        _dt.datetime(y, m, 1, 12, 0)
+        for y in (2023, 2024)
+        for m in (1, 4, 7, 10)
+    ]  # both hemispheres' DST seasons, two years
     try:
         from zoneinfo import ZoneInfo
 
         z = ZoneInfo(tz)
-        # offsets sampled across both hemispheres' DST seasons and two
-        # years — a fixed-offset zone yields one value everywhere
-        offs = {
-            _dt.datetime(y, m, 1, tzinfo=z).utcoffset()
-            for y in (2023, 2024)
-            for m in (1, 4, 7, 10)
-        }
-        ok = len(offs) == 1
+        session_offs = {d.replace(tzinfo=z).utcoffset() for d in samples}
+        # the process zone, as fromtimestamp/astimezone resolve it
+        proc_offs = {d.astimezone().utcoffset() for d in samples}
+        ok = (
+            len(session_offs) == 1
+            and len(proc_offs) == 1
+            and session_offs == proc_offs
+        )
     except Exception:
         ok = False  # unresolvable zone: assume unsafe
-    _TZ_FIXED_CACHE[tz] = ok
+    _TZ_FIXED_CACHE[key] = ok
     return ok
 
 
@@ -539,6 +556,12 @@ class VersionedTable:
             else set()
         )  # DST session: scan those columns' files (the filter below is
         # exact either way), never wall-clock-skip them
+        # the caller's bounds encode ONCE (temporal -> epoch ints, the
+        # manifest's stored form); the real filter below uses raw values
+        enc_box = {
+            c: (_stats_encode(lo), _stats_encode(hi))
+            for c, (lo, hi) in box.items()
+        }
         keep = []
         for f in man["files"]:
             ent = stats.get(f)
@@ -546,14 +569,11 @@ class VersionedTable:
                 keep.append(f)
                 continue
             ok = True
-            for c, (lo, hi) in box.items():
+            for c, (lo, hi) in enc_box.items():
                 if c not in ent or c in unsafe:
                     continue
                 slo, shi = _widen_float_bounds(*ent[c])
-                # encode the caller's bounds so temporal boxes compare
-                # against the manifest's epoch-encoded stats; the real
-                # filter below still uses the raw values
-                if shi < _stats_encode(lo) or slo > _stats_encode(hi):
+                if shi < lo or slo > hi:
                     ok = False
                     break
             if ok:
@@ -1534,9 +1554,18 @@ class VersionedTable:
             raise ValueError(f"{cp} cannot register as its own consumer")
         if self._fs.exists(hp):
             return
-        self._write_bytes(
-            hp, json.dumps({"path": cp}).encode(), overwrite=True
+        # tmp + rename, the manifest pattern: a crash mid-write must not
+        # leave a truncated entry that the exists() fast-path would then
+        # make permanent
+        tmp = self._HPath(
+            f"{self.path}/{_CONSUMERS_DIR}/.tmp-{uuid.uuid4().hex}.json"
         )
+        self._write_bytes(tmp, json.dumps({"path": cp}).encode(),
+                          overwrite=True)
+        if not self._fs.rename(tmp, hp):
+            # a concurrent registration of the SAME consumer won the
+            # rename — identical content, nothing to do but clean up
+            self._fs.delete(tmp, False)
 
     def retire_consumer(self, consumer_path: str) -> bool:
         """Remove ``consumer_path`` from the registry (the explicit
@@ -1558,8 +1587,21 @@ class VersionedTable:
             return []
         out = []
         for st in self._fs.listStatus(d):
-            if st.getPath().getName().endswith(".json"):
+            name = st.getPath().getName()
+            if not name.endswith(".json") or name.startswith(".tmp-"):
+                continue
+            try:
                 out.append(self._read_json(st.getPath())["path"])
+            except Exception:
+                import warnings
+
+                warnings.warn(
+                    f"{self.path}: unreadable consumer registry entry "
+                    f"{name} — skipping it (delete the file to silence; "
+                    "the consumer re-registers at its next reflect)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return sorted(out)
 
     def safe_retain_floor(self, consumers: "list[str] | str") -> int:
@@ -1584,6 +1626,12 @@ class VersionedTable:
         with a loud RuntimeWarning naming the retirement fix; an entry
         derived from a DIFFERENT table still fails loud (that is a
         registry corruption, not a dead consumer)."""
+        if isinstance(consumers, str) and consumers != "auto":
+            raise TypeError(
+                f"consumers must be a list of paths or the string "
+                f"'auto', got the string {consumers!r} — a bare path "
+                "would be iterated character by character"
+            )
         man = self.manifest()
         if man is None:
             return 1
@@ -1651,11 +1699,15 @@ class VersionedTable:
             import warnings
 
             floor = self.safe_retain_floor(respect_consumers)
+            n_consumers = (
+                len(self.consumers()) if respect_consumers == "auto"
+                else len(respect_consumers)
+            )
             if retain_last < floor:
                 warnings.warn(
                     f"vacuum({self.path}): retain_last={retain_last} would "
                     f"strand a lagging consumer (computed floor {floor} "
-                    f"from {len(respect_consumers)} consumer(s)) — "
+                    f"from {n_consumers} consumer(s)) — "
                     f"clamping to {floor}",
                     RuntimeWarning,
                     stacklevel=2,

@@ -1392,3 +1392,67 @@ def test_monotone_auto_shapes_unit():
     ]
     for dim in cyclic:
         assert _monotone_map([dim], None) == {}, dim
+
+
+def test_maintain_rollup_rebuilds_when_reflected_version_vacuumed(
+    spark, tmp_path
+):
+    """r13 review fix: a source vacuumed past the rollup's reflected
+    version makes the catch-up window unwalkable — the policy chooses
+    rebuild with the reason recorded instead of crashing in the
+    classifier; a GLOBAL spec (dims=[]) under a rewrite window
+    predicts rebuild (what refresh_rollup actually executes)."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        maintain_rollup,
+    )
+
+    ev, slices = _events_slices(spark)
+    spath, rpath = str(tmp_path / "src"), str(tmp_path / "roll")
+    src = VersionedTable(spark, spath)
+    src.commit(slices[0])
+    maintain_rollup(spark, spath, rpath, DIMS, MEASURES)
+    src.commit(slices[1], mode="append")
+    src.commit(slices[2], mode="append")
+    src.vacuum(retain_last=1)  # drops v1, the rollup's reflected version
+    plan = maintain_rollup(spark, spath, rpath, DIMS, MEASURES,
+                           dry_run=True)
+    assert plan["actions"] == ["rebuild"]
+    assert any("vacuumed away" in r for r in plan["reasons"])
+    rep = maintain_rollup(spark, spath, rpath, DIMS, MEASURES)
+    assert rep["mode"] == "rebuild"
+    roll = VersionedTable(spark, rpath)
+    assert _snap(roll.read()) == _snap(_full_agg(src.read()))
+
+    # GLOBAL spec + rewrite window: plan says rebuild (and matches the
+    # executed mode), never a phantom "group_local"
+    g_r = str(tmp_path / "groll")
+    maintain_rollup(spark, spath, g_r, [], MEASURES)
+    src.upsert(
+        src.read().filter("event_id % 7 = 0").withColumn(
+            "value", F.col("value") + 1.0),
+        key="event_id",
+    )
+    plan = maintain_rollup(spark, spath, g_r, [], MEASURES, dry_run=True,
+                           group_local_below_bytes=0)
+    assert plan["actions"] == ["rebuild"] and plan["mode"] == "rebuild"
+    rep = maintain_rollup(spark, spath, g_r, [], MEASURES,
+                          group_local_below_bytes=0)
+    assert rep["actions"] == ["rebuild"] and rep["mode"] == "rebuild"
+
+
+def test_integral_narrowing_cast_never_auto_monotone():
+    """r13 review fix: non-ANSI integral narrowing WRAPS (cast(2^31+k AS
+    INT) goes negative), so integral-target casts must never
+    auto-recognize as monotone — temporal/float/decimal targets (whose
+    overflow yields NULL, kept candidate) still do."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _monotone_map,
+    )
+
+    for dim in ["CAST(big_id AS INT)", "cast(x as bigint) AS b",
+                "CAST(x AS SMALLINT)", "cast(x as long)"]:
+        assert _monotone_map([dim], None) == {}, dim
+    for dim, inner in [("CAST(ts AS DATE)", "ts"),
+                       ("CAST(x AS DOUBLE)", "x"),
+                       ("CAST(x AS DECIMAL(10,2)) AS d", "x")]:
+        assert _monotone_map([dim], None) == {0: inner}, dim

@@ -1497,3 +1497,63 @@ def test_consumers_subcommand(spark, tmp_path, capsys):
     assert "retired" in capsys.readouterr().out
     assert main(["consumers", "--path", src_p, "--retire", repl_p]) == 1
     assert t.consumers() == []
+
+
+def test_review_fixes_registry_and_floor_guards(spark, tmp_path):
+    """r13 review fixes: a crash-truncated registry entry is skipped
+    (with a warning) instead of bricking consumers(); a bare string
+    consumer path raises instead of iterating characters; the auto
+    clamp warning counts the resolved registry."""
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    src_p, repl_p = str(tmp_path / "src"), str(tmp_path / "repl")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a")]))
+    replicate_table(spark, src_p, repl_p, key="k")
+    # plant a truncated (crash-simulating) registry entry
+    bad = tmp_path / "src" / "_consumers" / ("0" * 24 + ".json")
+    bad.write_text("")
+    with pytest.warns(RuntimeWarning, match="unreadable consumer"):
+        assert t.consumers() == [repl_p]
+    bad.unlink()
+    # a bare path string refuses loudly
+    with pytest.raises(TypeError, match="list of paths"):
+        t.safe_retain_floor(repl_p)
+    with pytest.raises(TypeError, match="list of paths"):
+        t.vacuum(retain_last=2, respect_consumers=repl_p)
+    # the auto clamp warning reports the REGISTRY's count, not len("auto")
+    t.commit(_df(spark, [(2, "b")]), mode="append")
+    t.commit(_df(spark, [(3, "c")]), mode="append")
+    with pytest.warns(RuntimeWarning, match="from 1 consumer"):
+        t.vacuum(retain_last=1, respect_consumers="auto")
+
+
+def test_tz_guard_checks_the_process_zone_too(spark, tmp_path):
+    """r13 review fix: non-Arrow collect() converts timestamps through
+    the DRIVER OS zone, so a DST OS zone is unsafe even with a UTC
+    session — the guard must refuse timestamp stats there."""
+    import os
+    import time as _time
+
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h, 0), h) for h in range(4)],
+        "ts timestamp, k long",
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    tz0 = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
+        with pytest.raises(ValueError, match="fixed-offset"):
+            t.commit(df, stats_cols=["ts"])
+    finally:
+        if tz0 is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = tz0
+        _time.tzset()
+    # back in a fixed-offset process zone: stats write fine
+    t.commit(df, stats_cols=["ts"])
+    assert t.manifest()["stats"]
