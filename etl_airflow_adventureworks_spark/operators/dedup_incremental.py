@@ -142,17 +142,22 @@ def build_neardup_index(
         if base_path is not None
         else None
     )
-    if base:
-        # self-register on the base (r13, VERDICT r12 #2): the corpus's
-        # vacuum(respect_consumers="auto") floor then covers this index
-        VersionedTable(spark, base["path"]).register_consumer(index_path)
     entries, stats = _cluster_entries(neardup_index_entries(docs), num_files)
-    return VersionedTable(spark, index_path).commit(
+    v = VersionedTable(spark, index_path).commit(
         entries,
         mode="overwrite",
         stats_cols=stats,
         op_info={"op": "neardup_index_build", "base": base} if base else None,
     )
+    if base:
+        # self-register on the base (r13, VERDICT r12 #2) AFTER the
+        # commit — a failed build must not leave a phantom registry
+        # entry; best-effort because the registry is advisory and the
+        # base may be read-only to this job
+        VersionedTable(spark, base["path"]).register_consumer(
+            index_path, best_effort=True
+        )
+    return v
 
 
 #: target bytes per appended index file — the same sizing rule as
@@ -230,8 +235,6 @@ def append_to_neardup_index(
         if base_path is not None
         else None
     )
-    if base:
-        VersionedTable(spark, base["path"]).register_consumer(index_path)
     # batches cluster within themselves (byte-sized file count) and
     # record key stats, so appended files stay prunable by later syncs
     entries, stats = _cluster_entries(
@@ -244,12 +247,17 @@ def append_to_neardup_index(
     op_info = {"op": "neardup_index_append"}
     if base:
         op_info["base"] = base
-    return VersionedTable(spark, index_path).commit(
+    v = VersionedTable(spark, index_path).commit(
         entries, mode="append",
         stats_cols=stats,
         idempotency_token=idempotency_token,
         op_info=op_info,
     )
+    if base:
+        VersionedTable(spark, base["path"]).register_consumer(
+            index_path, best_effort=True
+        )  # post-commit + best-effort: no phantoms, no write dependency
+    return v
 
 
 def neardup_index_staleness(
@@ -365,7 +373,9 @@ def sync_neardup_index(
             "sync_neardup_index needs the recorded corpus sync point"
         )
     corpus = VersionedTable(spark, base["path"])
-    corpus.register_consumer(index_path)  # self-register (r13)
+    # self-register (r13) — the index exists (it recorded the stamp), so
+    # this is also how pre-r13 artifacts adopt the registry; best-effort
+    corpus.register_consumer(index_path, best_effort=True)
     v_now = corpus.manifest()["version"]
     if v_now <= base["version"]:
         return idx.manifest()["version"]  # already level

@@ -847,11 +847,14 @@ def refresh_rollup(
         raise FileNotFoundError(f"no committed source at {source_path}")
     v_src = src_latest["version"]
     token = f"rollup-of:v{v_src}"
-    # self-register as a consumer of the source (r13, VERDICT r12 #2):
-    # one idempotent registry-file check per refresh, so the source's
-    # vacuum(respect_consumers="auto") floor covers this rollup without
-    # the operator enumerating it
-    src.register_consumer(roll.path)
+    if roll.manifest() is not None:
+        # self-register as a consumer of the source (r13, VERDICT r12
+        # #2): one idempotent registry check per refresh, best-effort
+        # (the registry is advisory — a read-only source must not break
+        # the refresh), and only once the rollup EXISTS so a failed
+        # bootstrap cannot leave a phantom entry (the rebuild branch
+        # registers after its commit)
+        src.register_consumer(roll.path, best_effort=True)
 
     last_err: CommitConflict | None = None
     for _ in range(_MAX_COMMIT_ATTEMPTS):
@@ -912,12 +915,14 @@ def refresh_rollup(
                 # otherwise aggregate rows the token does not reflect,
                 # and the next refresh would re-apply them (double count)
                 state = _aggregate(src.read(v_src), dims, internal)
-                return roll.commit(
+                v = roll.commit(
                     state, mode="overwrite", idempotency_token=token,
                     retry=False,
                     op_info={"op": "rollup_refresh", "mode": "rebuild",
                              "source": src.path},
                 )
+                src.register_consumer(roll.path, best_effort=True)
+                return v
             if group_local:
                 if (
                     rebuild_advisory_bytes > 0  # same silencing knob as

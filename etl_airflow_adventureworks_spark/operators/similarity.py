@@ -483,12 +483,6 @@ def build_ivf_index(
         if base_path is not None
         else None
     )
-    if base:
-        # self-register on the base (r13, VERDICT r12 #2): the base's
-        # vacuum(respect_consumers="auto") floor then covers this index
-        from ..table import VersionedTable as _VT
-
-        _VT(spark, base["path"]).register_consumer(index_path)
     cents = fit_ivf_centroids(spark, sf_dir, k_cells=k_cells, seed=seed)
     books = None
     if pq_m is not None:
@@ -498,7 +492,7 @@ def build_ivf_index(
             spark, sf_dir, m=pq_m, k=pq_k, seed=seed,
             centroids=cents if pq_residual else None,
         )
-    return _commit_ivf_index(
+    v = _commit_ivf_index(
         spark, index_path, cents,
         base=base,
         op_name="ivf_build",
@@ -510,6 +504,17 @@ def build_ivf_index(
         sf_dir=sf_dir,
         k_cells=k_cells,
     )
+    if base:
+        # self-register on the base (r13, VERDICT r12 #2) AFTER the
+        # commit — a failed build must not leave a phantom registry
+        # entry; best-effort (the registry is advisory, the base may be
+        # read-only to this job)
+        from ..table import VersionedTable as _VT
+
+        _VT(spark, base["path"]).register_consumer(
+            index_path, best_effort=True
+        )
+    return v
 
 
 #: target fit-probe sample size — the deterministic hash sample the
@@ -1012,7 +1017,9 @@ def sync_ivf_index(
         )
     cvt_cent = VersionedTable(spark, f"{index_path}/centroids")
     corpus = VersionedTable(spark, base["path"])
-    corpus.register_consumer(index_path)  # self-register (r13)
+    # self-register (r13): the index exists, pre-r13 artifacts adopt the
+    # registry here; best-effort (advisory, base may be read-only)
+    corpus.register_consumer(index_path, best_effort=True)
     v_now = corpus.manifest()["version"]
     if v_now <= base["version"]:
         return meta["version"]  # already level

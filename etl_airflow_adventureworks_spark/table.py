@@ -101,23 +101,46 @@ def numeric_stats_types() -> tuple:
     return tuple(types)
 
 
+def _process_utc_offset():
+    """The driver process's (fixed) UTC offset as a timedelta — the
+    constant ``_stats_encode`` subtracts to turn OS-wall-clock naive
+    datetimes (what non-Arrow ``collect`` hands back) into true epoch
+    instants. Only meaningful when ``_session_tz_fixed_offset`` already
+    passed (every temporal-stats site checks it first); sampled once per
+    observed process zone."""
+    import datetime as _dt
+    import time as _time
+
+    key = (getattr(_time, "tzname", None), getattr(_time, "timezone", None))
+    hit = _TZ_OFFSET_CACHE.get(key)
+    if hit is None:
+        hit = _dt.datetime(2024, 1, 1, 12).astimezone().utcoffset()
+        _TZ_OFFSET_CACHE[key] = hit
+    return hit
+
+
+_TZ_OFFSET_CACHE: dict = {}
+
+
 def _stats_encode(v):
     """Order-preserving, JSON-safe encoding of a stats bound or pruning
     key: ints pass through exact (JSON ints are arbitrary precision —
     a float cast rounds longs above 2^53), floats/Decimals as before,
-    ``datetime.date`` → epoch DAYS, ``datetime.datetime`` → epoch
-    MICROSECONDS of the naive wall-clock value. Writer (``_file_stats``)
-    and pruners (``_candidate_files``, ``read_where``, the rollup's
-    group-local key bisect) both collect through the same Spark session,
-    so the same naive wall-clock datetimes arrive on both sides and any
-    consistent monotone injection prunes exactly; timedelta division is
-    exact integer arithmetic (no float rounding at microsecond
-    precision)."""
+    ``datetime.date`` → epoch DAYS, naive ``datetime.datetime`` → true
+    epoch MICROSECONDS (the OS wall clock non-Arrow ``collect`` hands
+    back, minus the process's fixed UTC offset — so manifests written
+    on a UTC machine and pruned on a fixed "+05:00" one compare the
+    SAME instants; each process's own fixed-offset/zone-agreement
+    requirement is enforced by ``_session_tz_fixed_offset`` at every
+    temporal-stats site). Timedelta division is exact integer
+    arithmetic (no float rounding at microsecond precision)."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):  # before date: datetime IS a date
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        else:
+            v = v - _process_utc_offset()
         return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
             microseconds=1
         )
@@ -162,9 +185,14 @@ def _session_tz_fixed_offset(spark: SparkSession) -> bool:
 
     samples = [
         _dt.datetime(y, m, 1, 12, 0)
-        for y in (2023, 2024)
-        for m in (1, 4, 7, 10)
-    ]  # both hemispheres' DST seasons, two years
+        for y in range(1970, 2038, 1)
+        for m in (1, 7)
+    ]  # both hemispheres' DST seasons across the whole epoch range a
+    # 32-bit-era dataset can hold: a zone with ANY transition in-span
+    # (DST or historical re-offset — Volgograd 2020, Pyongyang 2015)
+    # classifies unsafe, because fromtimestamp applies the offset in
+    # force AT each value's epoch and no single constant linearizes a
+    # zone that moved. Cached per (session, process) zone pair.
     try:
         from zoneinfo import ZoneInfo
 
@@ -211,8 +239,11 @@ def _stats_decode(v, dtype):
         return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
     ntz = getattr(T, "TimestampNTZType", ())
     if isinstance(dtype, (T.TimestampType,) + ((ntz,) if ntz else ())):
-        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
-            microseconds=int(v)
+        return (
+            _dt.datetime(1970, 1, 1)
+            + _dt.timedelta(microseconds=int(v))
+            + _process_utc_offset()  # back to OS/session wall clock —
+            # the exact inverse of _stats_encode's naive branch
         )
     return v
 
@@ -1535,7 +1566,9 @@ class VersionedTable:
             f"{hashlib.sha256(cp.encode()).hexdigest()[:24]}.json"
         )
 
-    def register_consumer(self, consumer_path: str) -> None:
+    def register_consumer(
+        self, consumer_path: str, best_effort: bool = False
+    ) -> None:
         """Record ``consumer_path`` in this table's consumer registry
         (r13, VERDICT r12 #2). Rollup refreshes, replicas, and derived
         index builds/syncs call this on their SOURCE at every reflect,
@@ -1548,10 +1581,35 @@ class VersionedTable:
         distinct files; the same consumer writes the same content).
         The registry records PATHS, not liveness — a consumer whose
         artifact was deleted is skipped with a loud warning by the
-        floor computation until ``retire_consumer`` removes it."""
+        floor computation until ``retire_consumer`` removes it.
+
+        ``best_effort=True`` (what the AUTO-registration call sites in
+        refresh_rollup / replicate_table / the index builds+syncs pass)
+        downgrades a filesystem failure to a RuntimeWarning: the
+        registry is advisory, and a consumer job holding only READ
+        access to its source must keep working as it did pre-r13 —
+        its floor protection is simply absent, exactly as if it had
+        never registered."""
         cp, hp = self._consumer_entry(consumer_path)
         if cp == self.path:
             raise ValueError(f"{cp} cannot register as its own consumer")
+        if best_effort:
+            try:
+                return self.register_consumer(consumer_path)
+            except ValueError:
+                raise  # self-consumption is a caller bug, never soft
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"could not register {cp} as a consumer of "
+                    f"{self.path} ({e}) — the source's "
+                    'vacuum(respect_consumers="auto") will not see this '
+                    "consumer; pass it explicitly or fix write access",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return
         if self._fs.exists(hp):
             return
         # tmp + rename, the manifest pattern: a crash mid-write must not
@@ -1699,11 +1757,11 @@ class VersionedTable:
             import warnings
 
             floor = self.safe_retain_floor(respect_consumers)
-            n_consumers = (
-                len(self.consumers()) if respect_consumers == "auto"
-                else len(respect_consumers)
-            )
             if retain_last < floor:
+                n_consumers = (
+                    len(self.consumers()) if respect_consumers == "auto"
+                    else len(respect_consumers)
+                )  # re-listed only on the (rare) clamp — one extra read
                 warnings.warn(
                     f"vacuum({self.path}): retain_last={retain_last} would "
                     f"strand a lagging consumer (computed floor {floor} "
@@ -1748,11 +1806,12 @@ class VersionedTable:
         for v in vs:
             if v not in keep_vs:
                 self._fs.delete(self._manifest_path(v), False)
-        mdir = self._HPath(f"{self.path}/{_MANIFEST_DIR}")
-        if self._fs.exists(mdir):
-            for st in self._fs.listStatus(mdir):
-                if st.getPath().getName().startswith(".tmp-"):
-                    self._fs.delete(st.getPath(), False)
+        for tmpdir in (_MANIFEST_DIR, _CONSUMERS_DIR):
+            d = self._HPath(f"{self.path}/{tmpdir}")
+            if self._fs.exists(d):
+                for st in self._fs.listStatus(d):
+                    if st.getPath().getName().startswith(".tmp-"):
+                        self._fs.delete(st.getPath(), False)
         return deleted
 
 
@@ -1835,11 +1894,14 @@ def replicate_table(
         raise FileNotFoundError(f"no committed source at {src_path}")
     v_src = src_latest["version"]
     token = f"replica-of:v{v_src}"
-    # self-register as a consumer of the source (r13, VERDICT r12 #2) —
-    # idempotent; makes vacuum(respect_consumers="auto") on the source
-    # account for this replica's catch-up window automatically
-    src.register_consumer(dst.path)
     dst_man = dst.manifest()
+    if dst_man is not None:
+        # self-register as a consumer of the source (r13, VERDICT r12
+        # #2) — idempotent, best-effort (the registry is advisory; a
+        # read-only source must not break replication), and only once
+        # the replica EXISTS (a failed bootstrap must not leave a
+        # phantom entry; the bootstrap branch registers after commit)
+        src.register_consumer(dst.path, best_effort=True)
     reflected = None
     if dst_man is not None:
         t = dst_man.get("token") or ""
@@ -1861,9 +1923,11 @@ def replicate_table(
         # version counts (r13, ADVICE r12): the bare token carries no
         # source identity, so a consumer list naming a replica of some
         # OTHER table would silently compute that table's vacuum floor
-        return dst.commit(src.read(v_src), mode="overwrite",
-                          idempotency_token=token,
-                          op_info={"op": "replica_sync", "source": src.path})
+        v = dst.commit(src.read(v_src), mode="overwrite",
+                       idempotency_token=token,
+                       op_info={"op": "replica_sync", "source": src.path})
+        src.register_consumer(dst.path, best_effort=True)
+        return v
     from pyspark.sql import types as T
 
     want = {
@@ -2026,6 +2090,24 @@ def clustered_baseline_depth(vt: "VersionedTable", col: str) -> int:
     return stats_overlap_depth(vt.manifest(vs[0]), col)
 
 
+def _norm_table_path(p: str) -> str:
+    """Canonical string form for table-identity comparisons: strip a
+    local-filesystem scheme prefix (``file:///x``, ``file:/x``) and
+    trailing slashes, so the same location spelled as a URI by one
+    writer and a bare path by another still compares equal. Remote
+    schemes (s3a://, hdfs://) are kept — different stores ARE different
+    tables."""
+    q = p.strip()
+    low = q.lower()
+    if low.startswith("file://"):
+        q = q[7:]
+        if not q.startswith("/"):
+            q = "/" + q.lstrip("/")
+    elif low.startswith("file:"):
+        q = q[5:]
+    return q.rstrip("/")
+
+
 def consumer_reflected_version(
     spark: SparkSession, consumer_path: str, table_path: str
 ) -> int:
@@ -2047,7 +2129,7 @@ def consumer_reflected_version(
     to stamp the source."""
     import re as _re
 
-    table_path = table_path.rstrip("/")
+    table_path = _norm_table_path(table_path)
     for p in (consumer_path.rstrip("/"),
               f"{consumer_path.rstrip('/')}/centroids"):
         vt = VersionedTable(spark, p)
@@ -2057,16 +2139,18 @@ def consumer_reflected_version(
         m = _re.match(r"(?:rollup|replica)-of:v(\d+)", man.get("token") or "")
         if m:
             src = (man.get("op") or {}).get("source")
-            if src is not None and src.rstrip("/") != table_path:
+            if src is not None and _norm_table_path(src) != table_path:
                 raise ValueError(
                     f"consumer at {consumer_path} is derived from {src}, "
                     f"not {table_path} — wrong consumer for this table's "
-                    "vacuum floor"
+                    "vacuum floor (if these are the SAME location spelled "
+                    "differently, use one canonical spelling everywhere, "
+                    "or refresh the consumer once with it)"
                 )
             return int(m.group(1))
         stamp = latest_base_stamp(vt)
         if stamp:
-            if stamp["path"].rstrip("/") != table_path:
+            if _norm_table_path(stamp["path"]) != table_path:
                 raise ValueError(
                     f"consumer at {consumer_path} is derived from "
                     f"{stamp['path']}, not {table_path} — wrong consumer "

@@ -1557,3 +1557,71 @@ def test_tz_guard_checks_the_process_zone_too(spark, tmp_path):
     # back in a fixed-offset process zone: stats write fine
     t.commit(df, stats_cols=["ts"])
     assert t.manifest()["stats"]
+
+
+def test_registry_phantoms_best_effort_and_normalization(
+    spark, tmp_path, monkeypatch
+):
+    """r13 review fixes: a FAILED build/bootstrap leaves no phantom
+    registry entry (registration happens after the commit); a source
+    the consumer cannot write to degrades to a warning instead of
+    aborting the consumer's work (the registry is advisory); table
+    identity comparisons normalize file: spellings; vacuum sweeps
+    registry tmp debris."""
+    from etl_airflow_adventureworks_spark.operators.dedup_incremental import (
+        build_neardup_index,
+    )
+    from etl_airflow_adventureworks_spark.table import (
+        _norm_table_path,
+        replicate_table,
+    )
+
+    src_p = str(tmp_path / "src")
+    t = VersionedTable(spark, src_p)
+    t.commit(spark.createDataFrame([(1, "hello world")],
+                                   "doc_id long, text string"))
+
+    # failed build (bad doc frame): nothing registered
+    with pytest.raises(ValueError, match="doc_id, text"):
+        build_neardup_index(
+            spark,
+            t.read().withColumnRenamed("text", "body"),
+            str(tmp_path / "idx"),
+            base_path=src_p, base_version=1,
+        )
+    assert t.consumers() == []
+    # successful build registers (after the commit)
+    build_neardup_index(spark, t.read(), str(tmp_path / "idx"),
+                        base_path=src_p, base_version=1)
+    assert t.consumers() == [str(tmp_path / "idx")]
+
+    # an unwritable source: best-effort registration warns, work proceeds
+    def boom(self, hpath, data, overwrite):
+        raise IOError("read-only filesystem (simulated)")
+
+    monkeypatch.setattr(VersionedTable, "_write_bytes", boom)
+    with pytest.warns(RuntimeWarning, match="could not register"):
+        t.register_consumer(str(tmp_path / "other"), best_effort=True)
+    monkeypatch.undo()
+    assert str(tmp_path / "other") not in t.consumers()
+    # ...and the non-best-effort direct call still fails loud
+    monkeypatch.setattr(VersionedTable, "_write_bytes", boom)
+    with pytest.raises(IOError):
+        t.register_consumer(str(tmp_path / "other2"))
+    monkeypatch.undo()
+
+    # identity normalization: file: spellings compare equal, remote
+    # schemes stay distinct
+    assert _norm_table_path("file:///data/x/") == "/data/x"
+    assert _norm_table_path("file:/data/x") == "/data/x"
+    assert _norm_table_path("/data/x/") == "/data/x"
+    assert _norm_table_path("s3a://bucket/x") == "s3a://bucket/x"
+
+    # registry tmp debris (a crash between write and rename) is swept
+    repl_p = str(tmp_path / "repl")
+    replicate_table(spark, src_p, repl_p, key="doc_id")
+    debris = tmp_path / "src" / "_consumers" / ".tmp-deadbeef.json"
+    debris.write_text("{}")
+    t.vacuum(retain_last=1)
+    assert not debris.exists()
+    assert set(t.consumers()) == {str(tmp_path / "idx"), repl_p}
