@@ -1456,3 +1456,102 @@ def test_integral_narrowing_cast_never_auto_monotone():
                        ("CAST(x AS DOUBLE)", "x"),
                        ("CAST(x AS DECIMAL(10,2)) AS d", "x")]:
         assert _monotone_map([dim], None) == {0: inner}, dim
+
+
+def test_monotone_dim_random_maintenance_sequence(spark, tmp_path):
+    """r13 soak: a seeded random interleaving of appends, upserts,
+    keyed deletes and ts-clustered OPTIMIZEs on a TIMESTAMP-keyed
+    source, with the rollup bucketed ONLY by date_trunc('day', ts)
+    (non-retractable measures, so every rewrite window takes the
+    group-local path with monotone expression-dim pruning) and the
+    refresh driven through maintain_rollup's policy — the rollup must
+    equal the from-scratch aggregate after EVERY step, and at least one
+    step must have actually pruned files."""
+    import datetime as dt
+    import random
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _aggregate,
+        maintain_rollup,
+    )
+
+    rng = random.Random(13)
+    dims = ["date_trunc('day', ts) AS day"]
+    measures = {
+        "n": ("count", None),
+        "mx": ("max", "v"),
+        "mn": ("min", "v"),
+        "nd": ("approx_distinct", "u"),
+    }
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+
+    def ts_of(k):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(
+            days=k % 20, hours=(k // 20) % 24)
+
+    live = {k: (float(k % 13), k % 9) for k in range(600)}
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(k, ts_of(k), v, u) for k, (v, u) in sorted(d.items())],
+            "k long, ts timestamp, v double, u long",
+        )
+
+    t.commit(frame(live).repartitionByRange(6, "ts")
+             .sortWithinPartitions("ts"), stats_cols=["ts"])
+    next_k = 10_000
+    pruned_steps = 0
+
+    def do_refresh():
+        nonlocal pruned_steps
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            maintain_rollup(spark, tpath, rpath, dims, measures,
+                            group_local_below_bytes=0,
+                            rebuild_below_bytes=0)
+        roll = VersionedTable(spark, rpath)
+        op = roll.manifest()["op"] or {}
+        if op.get("mode") == "group_local" and \
+                op["files_read"] < op["files_total"]:
+            pruned_steps += 1
+        got = finalize_and_snap(roll.read())
+        want = finalize_and_snap(_aggregate(t.read(), dims, measures))
+        assert got == want, f"diverged after {op}"
+
+    def finalize_and_snap(df):
+        from etl_airflow_adventureworks_spark.operators.rollup import (
+            finalize_rollup,
+        )
+
+        return _snap(finalize_rollup(df, measures))
+
+    do_refresh()
+    for step in range(6):
+        op = rng.choice(["append", "upsert", "delete", "optimize"])
+        if op == "append":
+            rows = {next_k + i: (float(rng.randrange(40)), rng.randrange(9))
+                    for i in range(30)}
+            next_k += 30
+            live.update(rows)
+            t.commit(frame(rows), mode="append")
+        elif op == "upsert":
+            # mutate a few keys INSIDE one day (the pruning-friendly
+            # window) plus a couple of strays (the adversarial one)
+            day_keys = [k for k in live if k % 20 == step][:15]
+            muts = {k: (float(rng.randrange(40)), rng.randrange(9))
+                    for k in day_keys}
+            muts.update({k: (float(rng.randrange(40)), rng.randrange(9))
+                         for k in rng.sample(sorted(live), 3)})
+            live.update(muts)
+            t.upsert(frame(muts), key="k")
+        elif op == "delete":
+            doomed = rng.sample(sorted(live), 10)
+            for k in doomed:
+                live.pop(k)
+            t.delete_where(f"k IN ({','.join(map(str, doomed))})")
+        else:
+            t.optimize(cluster_by=["ts"], num_files=6)
+        do_refresh()
+    assert pruned_steps >= 1  # the monotone pruning actually engaged
