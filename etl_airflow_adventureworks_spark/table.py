@@ -93,12 +93,15 @@ def numeric_stats_types() -> tuple:
     comparisons stay exact."""
     from pyspark.sql import types as T
 
-    types = [T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-             T.FloatType, T.DoubleType, T.DecimalType,
-             T.DateType, T.TimestampType]
-    if hasattr(T, "TimestampNTZType"):
-        types.append(T.TimestampNTZType)
-    return tuple(types)
+    # TimestampNTZType is deliberately ABSENT: non-Arrow collect hands
+    # NTZ values back as zone-less naive datetimes while TimestampType
+    # arrives as OS-zone wall clock — `_stats_encode` cannot tell the
+    # two naive shapes apart, so supporting both would skew one of them
+    # by the process offset (a wrong-skip hazard). Cast NTZ to
+    # TIMESTAMP for a stats-clustered layout.
+    return (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+            T.DateType, T.TimestampType)
 
 
 def _process_utc_offset():
@@ -212,10 +215,10 @@ def _session_tz_fixed_offset(spark: SparkSession) -> bool:
 
 
 def _tz_sensitive_cols(schema_or_fields) -> set:
-    """Column names whose stats comparisons depend on the session
-    timezone: TimestampType ONLY — DateType and TimestampNTZType are
-    wall-clock by definition (no instant), so they are safe in any
-    zone."""
+    """Column names whose stats comparisons depend on the session /
+    process timezone: TimestampType ONLY — DateType is wall-clock by
+    definition, and TimestampNTZType carries no stats at all (see
+    ``numeric_stats_types``)."""
     from pyspark.sql import types as T
 
     fields = getattr(schema_or_fields, "fields", schema_or_fields)
@@ -237,8 +240,7 @@ def _stats_decode(v, dtype):
         return None
     if isinstance(dtype, T.DateType):
         return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
-    ntz = getattr(T, "TimestampNTZType", ())
-    if isinstance(dtype, (T.TimestampType,) + ((ntz,) if ntz else ())):
+    if isinstance(dtype, T.TimestampType):
         return (
             _dt.datetime(1970, 1, 1)
             + _dt.timedelta(microseconds=int(v))
@@ -1593,6 +1595,7 @@ class VersionedTable:
         cp, hp = self._consumer_entry(consumer_path)
         if cp == self.path:
             raise ValueError(f"{cp} cannot register as its own consumer")
+        payload = json.dumps({"path": cp}).encode()
         if best_effort:
             try:
                 return self.register_consumer(consumer_path)
@@ -1611,19 +1614,28 @@ class VersionedTable:
                 )
                 return
         if self._fs.exists(hp):
-            return
+            try:
+                self._read_json(hp)["path"]
+                return  # healthy entry: idempotent no-op
+            except Exception:
+                # a truncated/corrupt entry (pre-r13 direct write, or a
+                # torn copy) must SELF-HEAL, not become permanent — the
+                # consumers() warning promises re-registration fixes it
+                self._fs.delete(hp, False)
         # tmp + rename, the manifest pattern: a crash mid-write must not
-        # leave a truncated entry that the exists() fast-path would then
-        # make permanent
+        # leave a truncated entry
         tmp = self._HPath(
             f"{self.path}/{_CONSUMERS_DIR}/.tmp-{uuid.uuid4().hex}.json"
         )
-        self._write_bytes(tmp, json.dumps({"path": cp}).encode(),
-                          overwrite=True)
+        self._write_bytes(tmp, payload, overwrite=True)
         if not self._fs.rename(tmp, hp):
-            # a concurrent registration of the SAME consumer won the
-            # rename — identical content, nothing to do but clean up
             self._fs.delete(tmp, False)
+            if not self._fs.exists(hp):
+                # the tmp vanished under us (a concurrent vacuum's
+                # debris sweep) rather than a same-consumer duplicate
+                # winning the rename — land the entry directly (tiny
+                # write; a torn copy self-heals via the branch above)
+                self._write_bytes(hp, payload, overwrite=True)
 
     def retire_consumer(self, consumer_path: str) -> bool:
         """Remove ``consumer_path`` from the registry (the explicit
@@ -1806,12 +1818,25 @@ class VersionedTable:
         for v in vs:
             if v not in keep_vs:
                 self._fs.delete(self._manifest_path(v), False)
-        for tmpdir in (_MANIFEST_DIR, _CONSUMERS_DIR):
+        import time as _time
+
+        for tmpdir, min_age_s in ((_MANIFEST_DIR, 0),
+                                  (_CONSUMERS_DIR, 3600)):
+            # registry tmp files get an age window: a CONCURRENT
+            # register_consumer may be between write and rename, and
+            # sweeping its fresh tmp would drop the registration (it
+            # recovers via the rename-false fallback, but don't race it
+            # on purpose); crashed leftovers age past the hour and sweep
             d = self._HPath(f"{self.path}/{tmpdir}")
-            if self._fs.exists(d):
-                for st in self._fs.listStatus(d):
-                    if st.getPath().getName().startswith(".tmp-"):
-                        self._fs.delete(st.getPath(), False)
+            if not self._fs.exists(d):
+                continue
+            cutoff_ms = (_time.time() - min_age_s) * 1000.0
+            for st in self._fs.listStatus(d):
+                if st.getPath().getName().startswith(".tmp-") and (
+                    min_age_s == 0
+                    or st.getModificationTime() < cutoff_ms
+                ):
+                    self._fs.delete(st.getPath(), False)
         return deleted
 
 
@@ -1895,13 +1920,6 @@ def replicate_table(
     v_src = src_latest["version"]
     token = f"replica-of:v{v_src}"
     dst_man = dst.manifest()
-    if dst_man is not None:
-        # self-register as a consumer of the source (r13, VERDICT r12
-        # #2) — idempotent, best-effort (the registry is advisory; a
-        # read-only source must not break replication), and only once
-        # the replica EXISTS (a failed bootstrap must not leave a
-        # phantom entry; the bootstrap branch registers after commit)
-        src.register_consumer(dst.path, best_effort=True)
     reflected = None
     if dst_man is not None:
         t = dst_man.get("token") or ""
@@ -1913,6 +1931,14 @@ def replicate_table(
         # the token may carry a "+schema-v<N>" suffix (the widening
         # append below) — the reflected version is the leading integer
         reflected = int(t[len("replica-of:v"):].split("+", 1)[0])
+        # self-register as a consumer of the source (r13, VERDICT r12
+        # #2) — idempotent, best-effort (the registry is advisory; a
+        # read-only source must not break replication), and only AFTER
+        # the token validated this really is a replica of something
+        # (registering a mistaken target would leave a phantom entry
+        # that pins vacuum(auto) on a wrong-consumer error); the
+        # bootstrap branch registers after its commit
+        src.register_consumer(dst.path, best_effort=True)
         if reflected >= v_src:
             return dst_man["version"]
     if reflected is None or full_copy:
@@ -2102,7 +2128,9 @@ def _norm_table_path(p: str) -> str:
     if low.startswith("file://"):
         q = q[7:]
         if not q.startswith("/"):
-            q = "/" + q.lstrip("/")
+            # RFC 8089 authority form (file://localhost/x, file://host/x):
+            # the authority is not part of the local path — drop it
+            q = q[q.find("/"):] if "/" in q else "/"
     elif low.startswith("file:"):
         q = q[5:]
     return q.rstrip("/")

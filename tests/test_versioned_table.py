@@ -1617,11 +1617,33 @@ def test_registry_phantoms_best_effort_and_normalization(
     assert _norm_table_path("/data/x/") == "/data/x"
     assert _norm_table_path("s3a://bucket/x") == "s3a://bucket/x"
 
-    # registry tmp debris (a crash between write and rename) is swept
+    # registry tmp debris (a crash between write and rename) is swept —
+    # but only past the 1-hour age window, so a CONCURRENT registration
+    # mid write-then-rename is never raced on purpose
+    import os
+
     repl_p = str(tmp_path / "repl")
     replicate_table(spark, src_p, repl_p, key="doc_id")
     debris = tmp_path / "src" / "_consumers" / ".tmp-deadbeef.json"
     debris.write_text("{}")
     t.vacuum(retain_last=1)
+    assert debris.exists()  # fresh: inside the in-flight window
+    os.utime(debris, (1, 1))  # age it past the window
+    t.vacuum(retain_last=1)
     assert not debris.exists()
     assert set(t.consumers()) == {str(tmp_path / "idx"), repl_p}
+
+    # a corrupt FINAL entry self-heals on the consumer's next reflect
+    # (the exists() fast-path re-validates instead of trusting the file)
+    import hashlib
+
+    h = hashlib.sha256(repl_p.encode()).hexdigest()[:24]
+    entry = tmp_path / "src" / "_consumers" / f"{h}.json"
+    entry.write_text("")  # truncated, as a crashed pre-r13 write left it
+    with pytest.warns(RuntimeWarning, match="unreadable consumer"):
+        assert t.consumers() == [str(tmp_path / "idx")]
+    replicate_table(spark, src_p, repl_p, key="doc_id")  # next reflect
+    assert set(t.consumers()) == {str(tmp_path / "idx"), repl_p}
+
+    # file:// authority spellings fold to the local path
+    assert _norm_table_path("file://localhost/data/x") == "/data/x"
