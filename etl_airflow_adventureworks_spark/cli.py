@@ -256,6 +256,15 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--retire", default=None, metavar="CONSUMER_PATH",
                     help="remove this consumer's registry entry (e.g. a "
                     "decommissioned replica whose artifact is gone)")
+    co.add_argument("--prune", action="store_true",
+                    help="retire every entry that records no reflected "
+                    "version AND whose last-reflect heartbeat is older "
+                    "than the grace window (r14) — the stale-entry "
+                    "hygiene for consumers deleted without --retire")
+    co.add_argument("--grace-hours", type=float, default=None,
+                    help="override the prune grace window (default: "
+                    "CONSUMER_EMPTY_GRACE_SECONDS, 24h); entries newer "
+                    "than this are kept — they may be mid-rebuild")
 
     rt = sub.add_parser(
         "replicate-table",
@@ -820,6 +829,17 @@ def main(argv: list[str] | None = None) -> int:
             gone = t.retire_consumer(args.retire)
             print("retired" if gone else "no such registry entry")
             return 0 if gone else 1
+        if args.prune:
+            kw = {}
+            if args.grace_hours is not None:
+                kw["grace_sec"] = args.grace_hours * 3600
+            pruned = t.prune_consumers(**kw)
+            if pruned:
+                for c in pruned:
+                    print(f"pruned {c}")
+            else:
+                print("nothing to prune")
+            return 0
         entries = t.consumers()
         if not entries:
             print("no registered consumers")

@@ -56,6 +56,16 @@ _MANIFEST_DIR = "_manifests"
 #: ``vacuum(respect_consumers="auto")`` to compute the retention floor
 #: without a hand-maintained list
 _CONSUMERS_DIR = "_consumers"
+#: grace window (r14, VERDICT r13 #2) for a REGISTERED consumer that
+#: currently records no reflected version — e.g. a rollup/replica mid
+#: teardown-rebuild. Within it, ``safe_retain_floor("auto")`` pins the
+#: floor to ALL retained versions (a concurrent auto-vacuum cannot
+#: strand the rebuild window); past it the entry degrades to the loud
+#: skip and ``prune_consumers`` may retire it. Measured against the
+#: entry's last-reflect heartbeat (mtime, touched at every
+#: ``register_consumer``), so a healthy consumer's clock restarts at
+#: each refresh while a deleted-without-retire one ages out in a day.
+CONSUMER_EMPTY_GRACE_SECONDS = 24 * 3600
 _DATA_DIR = "data"
 #: row-level change files (Delta-CDF-style) recorded by rewrite commits
 #: (upsert / delete_where / apply_cdc) so `row_changes` can serve a
@@ -158,6 +168,52 @@ def _stats_encode(v):
 _TZ_FIXED_CACHE: dict[str, bool] = {}
 
 
+def _tz_probe_samples():
+    """Midday probes across both hemispheres' DST seasons over the whole
+    epoch range a 32-bit-era dataset can hold — shared by the session and
+    process fixed-offset checks so the two classify identically."""
+    import datetime as _dt
+
+    return [
+        _dt.datetime(y, m, 1, 12, 0)
+        for y in range(1970, 2038, 1)
+        for m in (1, 7)
+    ]
+
+
+def _process_tz_fixed_offset() -> bool:
+    """Whether the DRIVER PROCESS zone alone has ONE constant UTC offset
+    (the weaker half of ``_session_tz_fixed_offset``). What it buys
+    (r14, VERDICT r13 #1): non-Arrow ``collect`` converts TimestampType
+    through ``datetime.fromtimestamp`` — under a fixed process offset
+    that map is monotone and constant-invertible, so values computed and
+    compared WITHIN one process (the rollup's monotone-dim endpoint
+    images vs the touched keys, both collected here, both under the same
+    SESSION semantics) stay order-exact even when the SESSION zone has
+    DST. A DST process zone breaks the map's monotonicity at the fold
+    hour, so callers must then decline timestamp-image comparisons."""
+    import time as _time
+
+    key = (
+        getattr(_time, "tzname", None),
+        getattr(_time, "timezone", None),
+        getattr(_time, "daylight", None),
+    )
+    hit = _PROC_TZ_FIXED_CACHE.get(key)
+    if hit is None:
+        try:
+            hit = len(
+                {d.astimezone().utcoffset() for d in _tz_probe_samples()}
+            ) == 1
+        except Exception:
+            hit = False
+        _PROC_TZ_FIXED_CACHE[key] = hit
+    return hit
+
+
+_PROC_TZ_FIXED_CACHE: dict = {}
+
+
 def _session_tz_fixed_offset(spark: SparkSession) -> bool:
     """Whether temporal wall-clock comparisons are SAFE in this process:
     the session timezone has ONE constant UTC offset (UTC, Etc/GMT+N,
@@ -184,18 +240,12 @@ def _session_tz_fixed_offset(spark: SparkSession) -> bool:
     hit = _TZ_FIXED_CACHE.get(key)
     if hit is not None:
         return hit
-    import datetime as _dt
-
-    samples = [
-        _dt.datetime(y, m, 1, 12, 0)
-        for y in range(1970, 2038, 1)
-        for m in (1, 7)
-    ]  # both hemispheres' DST seasons across the whole epoch range a
-    # 32-bit-era dataset can hold: a zone with ANY transition in-span
-    # (DST or historical re-offset — Volgograd 2020, Pyongyang 2015)
-    # classifies unsafe, because fromtimestamp applies the offset in
-    # force AT each value's epoch and no single constant linearizes a
-    # zone that moved. Cached per (session, process) zone pair.
+    samples = _tz_probe_samples()
+    # a zone with ANY transition in-span (DST or historical re-offset —
+    # Volgograd 2020, Pyongyang 2015) classifies unsafe, because
+    # fromtimestamp applies the offset in force AT each value's epoch
+    # and no single constant linearizes a zone that moved. Cached per
+    # (session, process) zone pair.
     try:
         from zoneinfo import ZoneInfo
 
@@ -1616,6 +1666,19 @@ class VersionedTable:
         if self._fs.exists(hp):
             try:
                 self._read_json(hp)["path"]
+                # heartbeat (r14, VERDICT r13 #2): the entry's mtime is
+                # "last seen reflecting" — safe_retain_floor's grace pin
+                # reads it to tell a consumer mid-rebuild (recent beat,
+                # protect everything) from one deleted long ago (stale
+                # beat, loud skip + prune_consumers). One metadata op,
+                # best-effort: a store without setTimes keeps the
+                # registration time, which only shortens the grace.
+                try:
+                    import time as _time
+
+                    self._fs.setTimes(hp, int(_time.time() * 1000), -1)
+                except Exception:
+                    pass
                 return  # healthy entry: idempotent no-op
             except Exception:
                 # a truncated/corrupt entry (pre-r13 direct write, or a
@@ -1648,10 +1711,12 @@ class VersionedTable:
             return True
         return False
 
-    def consumers(self) -> list[str]:
-        """Registered consumer paths, sorted (empty for a table nothing
-        has reflected). One directory listing + one tiny JSON read per
-        entry — no manifests, no data."""
+    def _consumer_entries_meta(self) -> "list[tuple[str, object, int]]":
+        """(consumer_path, entry HPath, mtime_ms) per healthy registry
+        entry, sorted by path. The mtime is the consumer's last-reflect
+        heartbeat (``register_consumer`` touches it on every idempotent
+        re-registration) — what the grace window in ``safe_retain_floor``
+        and ``prune_consumers`` measures age against."""
         d = self._HPath(f"{self.path}/{_CONSUMERS_DIR}")
         if not self._fs.exists(d):
             return []
@@ -1661,7 +1726,11 @@ class VersionedTable:
             if not name.endswith(".json") or name.startswith(".tmp-"):
                 continue
             try:
-                out.append(self._read_json(st.getPath())["path"])
+                out.append((
+                    self._read_json(st.getPath())["path"],
+                    st.getPath(),
+                    int(st.getModificationTime()),
+                ))
             except Exception:
                 import warnings
 
@@ -1673,6 +1742,42 @@ class VersionedTable:
                     stacklevel=2,
                 )
         return sorted(out)
+
+    def consumers(self) -> list[str]:
+        """Registered consumer paths, sorted (empty for a table nothing
+        has reflected). One directory listing + one tiny JSON read per
+        entry — no manifests, no data."""
+        return [p for p, _hp, _mt in self._consumer_entries_meta()]
+
+    def prune_consumers(
+        self, grace_sec: "float" = None  # type: ignore[assignment]
+    ) -> list[str]:
+        """Retire registry entries that record no reflected version AND
+        whose last-reflect heartbeat (entry mtime) is older than
+        ``grace_sec`` (default ``CONSUMER_EMPTY_GRACE_SECONDS``) — the
+        stale-entry hygiene for consumers deleted without
+        ``retire_consumer`` (r14, VERDICT r13 #2). Entries inside the
+        grace window are kept: they may be a consumer mid-rebuild, which
+        ``safe_retain_floor("auto")`` is still pinning retention for.
+        Returns the pruned consumer paths. Manifest reads only."""
+        import time as _time
+
+        if grace_sec is None:
+            grace_sec = CONSUMER_EMPTY_GRACE_SECONDS
+        now_ms = _time.time() * 1000
+        pruned = []
+        for c, hp, mt in self._consumer_entries_meta():
+            if now_ms - mt <= grace_sec * 1000:
+                continue
+            try:
+                consumer_reflected_version(self.spark, c, self.path)
+            except ValueError as e:
+                if "records no reflected version" in str(e):
+                    self._fs.delete(hp, False)
+                    pruned.append(c)
+                # a wrong-source entry stays: that is registry corruption
+                # safe_retain_floor fails loud on, not a dead consumer
+        return pruned
 
     def safe_retain_floor(self, consumers: "list[str] | str") -> int:
         """The minimum ``retain_last`` that keeps every listed consumer's
@@ -1691,11 +1796,16 @@ class VersionedTable:
         REGISTERED registry (``register_consumer`` — every consumer
         records itself at first reflect), closing the only gap the
         explicit list left: the operator forgetting a consumer. A
-        registered entry whose artifact records nothing anymore (the
-        consumer was deleted without ``retire_consumer``) is skipped
-        with a loud RuntimeWarning naming the retirement fix; an entry
-        derived from a DIFFERENT table still fails loud (that is a
-        registry corruption, not a dead consumer)."""
+        registered entry whose artifact records nothing anymore is
+        handled by heartbeat age (r14, VERDICT r13 #2): within
+        ``CONSUMER_EMPTY_GRACE_SECONDS`` of its last reflect it is
+        treated as a consumer MID-REBUILD and the floor pins to ALL
+        retained versions (a concurrent auto-vacuum cannot strand the
+        recreate-in-place window); past the grace it is skipped with a
+        loud RuntimeWarning naming ``retire_consumer`` /
+        ``prune_consumers``. An entry derived from a DIFFERENT table
+        still fails loud (that is a registry corruption, not a dead
+        consumer)."""
         if isinstance(consumers, str) and consumers != "auto":
             raise TypeError(
                 f"consumers must be a list of paths or the string "
@@ -1706,7 +1816,13 @@ class VersionedTable:
         if man is None:
             return 1
         auto = consumers == "auto"
-        consumer_list = self.consumers() if auto else consumers
+        beats: dict = {}
+        if auto:
+            meta = self._consumer_entries_meta()
+            consumer_list = [p for p, _hp, _mt in meta]
+            beats = {p: mt for p, _hp, mt in meta}
+        else:
+            consumer_list = consumers
         latest = man["version"]
         floor = 1
         for c in consumer_list:
@@ -1714,13 +1830,32 @@ class VersionedTable:
                 r = consumer_reflected_version(self.spark, c, self.path)
             except ValueError as e:
                 if auto and "records no reflected version" in str(e):
+                    import time as _time
                     import warnings
 
+                    age_ms = _time.time() * 1000 - beats.get(c, 0)
+                    if age_ms <= CONSUMER_EMPTY_GRACE_SECONDS * 1000:
+                        vs = self.versions()
+                        floor = max(floor, latest - vs[0] + 1)
+                        warnings.warn(
+                            f"safe_retain_floor({self.path}): registered "
+                            f"consumer {c} records nothing but its last "
+                            f"reflect was {age_ms / 1000:.0f}s ago — "
+                            "treating it as mid-rebuild and pinning "
+                            "retention to ALL versions until it reflects "
+                            "again or the grace window "
+                            f"({CONSUMER_EMPTY_GRACE_SECONDS}s) expires; "
+                            "retire_consumer() releases it now",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
+                        continue
                     warnings.warn(
                         f"safe_retain_floor({self.path}): registered "
                         f"consumer {c} records nothing (deleted "
-                        "artifact?) — skipping it; retire_consumer() "
-                        "removes the stale entry",
+                        "artifact?) and its heartbeat is past the grace "
+                        "window — skipping it; retire_consumer() or "
+                        "prune_consumers() removes the stale entry",
                         RuntimeWarning,
                         stacklevel=2,
                     )

@@ -47,3 +47,21 @@ def test_names_are_stable_identifiers():
 def test_entry_uses_registered_query():
     # entry() must stay wired to a declared query (smoke + correctness agree)
     assert "kpi05_top5_products" in entrymod.queries()
+
+
+def test_bench_merge_records_min_and_median():
+    """r14 (VERDICT r13 #3): the bench JSON carries BOTH the min-of-
+    passes headline and the per-query median, so round-over-round
+    tables can compare like protocol with like (min-vs-min or
+    median-vs-median) instead of conflating protocol with code."""
+    import bench
+
+    passes = [
+        {"metric": "m", "queries": {"a": 1.0, "b": 5.0}, "value": 6.0},
+        {"metric": "m", "queries": {"a": 2.0, "b": 3.0}, "value": 5.0},
+    ]
+    out = bench._merge_passes(passes)
+    assert out["queries"] == {"a": 1.0, "b": 3.0}
+    assert out["queries_median"] == {"a": 1.5, "b": 4.0}
+    assert out["value"] == 4.0
+    assert out["passes"] == 2 and "min_over_2" in out["agg"]

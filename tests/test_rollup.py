@@ -1555,3 +1555,306 @@ def test_monotone_dim_random_maintenance_sequence(spark, tmp_path):
             t.optimize(cluster_by=["ts"], num_files=6)
         do_refresh()
     assert pruned_steps >= 1  # the monotone pruning actually engaged
+
+
+def test_refresh_rollup_validates_source_identity(spark, tmp_path):
+    """r14 (ADVICE r13): refreshing an existing rollup against the WRONG
+    source fails loud BEFORE registering — a mistaken call must not
+    plant a registry entry on that table (which would poison its
+    vacuum("auto") until a manual retire) or read a nonsense delta
+    window; maintain_rollup routes through the same check."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        maintain_rollup,
+    )
+
+    ev, slices = _events_slices(spark)
+    a_p, b_p, r_p = (str(tmp_path / n) for n in ("a", "b", "roll"))
+    VersionedTable(spark, a_p).commit(slices[0])
+    VersionedTable(spark, b_p).commit(slices[1])
+    refresh_rollup(spark, a_p, r_p, DIMS, MEASURES)
+
+    for call in (
+        lambda: refresh_rollup(spark, b_p, r_p, DIMS, MEASURES),
+        lambda: refresh_rollup(spark, b_p, r_p, DIMS, MEASURES,
+                               full_rebuild=True),
+        lambda: maintain_rollup(spark, b_p, r_p, DIMS, MEASURES),
+        lambda: maintain_rollup(spark, b_p, r_p, DIMS, MEASURES,
+                                dry_run=True),
+    ):
+        with pytest.raises(ValueError, match="derived from"):
+            call()
+    # no phantom registry entry landed on the wrong source
+    assert VersionedTable(spark, b_p).consumers() == []
+    # the right source still refreshes fine
+    VersionedTable(spark, a_p).commit(slices[2], mode="append")
+    refresh_rollup(spark, a_p, r_p, DIMS, MEASURES)
+    assert _snap(VersionedTable(spark, r_p).read()) == _snap(
+        _full_agg(slices[0].unionByName(slices[2])))
+
+
+def test_maintain_rollup_vacuum_respects_rollup_consumers(spark, tmp_path):
+    """r14 (ADVICE r13): the vacuum leg passes respect_consumers="auto"
+    — a replica OF THE ROLLUP (auto-registered by replicate_table) must
+    not be stranded by the rollup's own retention sweep."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        maintain_rollup,
+    )
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    dims = ["event_type"]  # unique key -> the rollup is replicable
+    measures = {"n": ("count", None), "sv": ("sum", "value")}
+    ev, slices = _events_slices(spark)
+    s_p, r_p = str(tmp_path / "src"), str(tmp_path / "roll")
+    repl_p = str(tmp_path / "roll_replica")
+    src = VersionedTable(spark, s_p)
+    src.commit(slices[0])
+    maintain_rollup(spark, s_p, r_p, dims, measures)        # rollup v1
+    replicate_table(spark, r_p, repl_p, key="event_type")   # reflects v1
+    src.commit(slices[1], mode="append")
+    maintain_rollup(spark, s_p, r_p, dims, measures)        # rollup v2
+    src.commit(slices[2], mode="append")
+    # refresh to v3 AND vacuum retain_last=1: the lagging replica (v1)
+    # clamps retention up loudly instead of being stranded
+    roll = VersionedTable(spark, r_p)
+    with pytest.warns(RuntimeWarning, match="strand a lagging"):
+        maintain_rollup(spark, s_p, r_p, dims, measures,
+                        vacuum_retain_last=1)
+    assert roll.versions() == [1, 2, 3]
+    # replica catches up (rollup refreshes are overwrite commits with
+    # no recorded change rows, so a replica re-seeds) -> sweep proceeds
+    replicate_table(spark, r_p, repl_p, key="event_type", full_copy=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        maintain_rollup(spark, s_p, r_p, dims, measures,
+                        vacuum_retain_last=1)
+    assert len(roll.versions()) == 1
+
+
+def test_maintain_rollup_tolerates_manifest_without_op(spark, tmp_path,
+                                                       monkeypatch):
+    """r14 (ADVICE r13): if the refresh returns via the already-current
+    / token-replay path onto a manifest committed WITHOUT op_info (a
+    concurrent legacy writer), maintain_rollup must not KeyError after
+    the content action already ran — .get("op") with the predicted mode
+    standing in."""
+    import etl_airflow_adventureworks_spark.operators.rollup as rmod
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _aggregate,
+        _expand_measures,
+        maintain_rollup,
+    )
+
+    ev, slices = _events_slices(spark)
+    s_p, r_p = str(tmp_path / "src"), str(tmp_path / "roll")
+    src = VersionedTable(spark, s_p)
+    src.commit(slices[0])
+    maintain_rollup(spark, s_p, r_p, DIMS, MEASURES)
+    src.commit(slices[1], mode="append")
+
+    def legacy_refresh(spark_, sp, rp, dims_, measures_, **kw):
+        # a concurrent pre-op_info writer wins the refresh: valid token,
+        # correct state, but NO "op" key in the manifest
+        v_src = VersionedTable(spark_, sp).manifest()["version"]
+        state = _aggregate(VersionedTable(spark_, sp).read(), dims_,
+                           _expand_measures(measures_))
+        return VersionedTable(spark_, rp).commit(
+            state, mode="overwrite",
+            idempotency_token=f"rollup-of:v{v_src}",
+        )
+
+    monkeypatch.setattr(rmod, "refresh_rollup", legacy_refresh)
+    rep = maintain_rollup(spark, s_p, r_p, DIMS, MEASURES,
+                          rebuild_below_bytes=0)
+    assert rep["actions"] == ["refresh"]
+    assert rep["mode"] == "incremental"  # the prediction stands in
+    roll = VersionedTable(spark, r_p)
+    assert "op" not in roll.manifest()
+    assert _snap(roll.read()) == _snap(_full_agg(src.read()))
+
+
+def test_maintain_dry_run_predicts_group_local_files_read(spark, tmp_path):
+    """r14 (VERDICT r13 #7): dry_run on a group-local window runs the
+    SAME pruning walk against the current delta (change rows + manifest
+    stats, never the source files) and its predicted files_read /
+    files_total / groups_touched equal what the real refresh records."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _aggregate,
+        maintain_rollup,
+    )
+
+    dims = ["date_trunc('day', ts) AS day"]
+    measures = {"n": ("count", None), "mx": ("max", "v")}
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    t.commit(
+        _ts_events(spark).repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts"),
+        stats_cols=["ts"],
+    )
+    refresh_rollup(spark, tpath, rpath, dims, measures)
+    t.upsert(
+        t.read().filter("k >= 1000 and k < 1050").withColumn(
+            "v", F.col("v") + 1000.0),
+        key="k",
+    )
+    plan = maintain_rollup(spark, tpath, rpath, dims, measures,
+                           dry_run=True, group_local_below_bytes=0)
+    assert plan["mode"] == "group_local" and plan["dry_run"]
+    pred = plan["predicted"]
+    assert pred["groups_touched"] == 1
+    assert pred["files_read"] <= pred["files_total"] - 6
+    assert any("would read" in r for r in plan["reasons"])
+    # dry-run touched nothing
+    roll = VersionedTable(spark, rpath)
+    assert roll.manifest()["op"]["mode"] == "rebuild"
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        rep = maintain_rollup(spark, tpath, rpath, dims, measures,
+                              group_local_below_bytes=0)
+    assert rep["mode"] == "group_local"
+    op = roll.manifest()["op"]
+    assert op["files_read"] == pred["files_read"]
+    assert op["files_total"] == pred["files_total"]
+    assert op["groups_touched"] == pred["groups_touched"]
+    assert _snap(roll.read()) == _snap(_aggregate(t.read(), dims, measures))
+
+
+def test_declared_non_increasing_monotone_dim_prunes(spark, tmp_path):
+    """r14 (VERDICT r13 #5): a declared NON-INCREASING transform
+    (0 - unix_timestamp(ts)) prunes via the sorted endpoint images —
+    this test fails if _monotone_file_bounds stops min/max'ing the two
+    endpoint images (rollup.py's exactness promise for monotone
+    transforms in EITHER direction)."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    dims = ["0 - unix_timestamp(ts) AS neg_ts"]
+    mono = {dims[0]: "ts"}
+    measures = {"n": ("count", None), "mx": ("max", "v")}
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    t.commit(
+        _ts_events(spark).repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts"),
+        stats_cols=["ts"],
+    )
+    refresh_rollup(spark, tpath, rpath, dims, measures, monotone_dims=mono)
+    t.upsert(
+        t.read().filter("k >= 1000 and k < 1050").withColumn(
+            "v", F.col("v") + 1000.0),
+        key="k",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, tpath, rpath, dims, measures,
+                       monotone_dims=mono)
+    roll = VersionedTable(spark, rpath)
+    op = roll.manifest()["op"]
+    assert op["mode"] == "group_local"
+    assert op["files_read"] <= op["files_total"] - 6
+    assert _snap(roll.read()) == _snap(_aggregate(t.read(), dims, measures))
+
+
+def test_unevaluable_declared_monotone_warns_and_reads_full(spark, tmp_path):
+    """r14 (VERDICT r13 #6): a declared transform that references a
+    SECOND column passes the bare-ident inner check but can never be
+    evaluated at the inner column's bounds alone — it must warn (naming
+    the expression) instead of silently reading everything forever, and
+    fall back to the full (exact) read."""
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    dims = ["unix_timestamp(ts) + k AS weird"]
+    mono = {dims[0]: "ts"}
+    measures = {"n": ("count", None), "mx": ("max", "v")}
+    tpath, rpath = str(tmp_path / "t"), str(tmp_path / "roll")
+    t = VersionedTable(spark, tpath)
+    t.commit(
+        _ts_events(spark).repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts"),
+        stats_cols=["ts"],
+    )
+    refresh_rollup(spark, tpath, rpath, dims, measures, monotone_dims=mono)
+    t.upsert(
+        t.read().filter("k >= 1000 and k < 1050").withColumn(
+            "v", F.col("v") + 1000.0),
+        key="k",
+    )
+    with pytest.warns(RuntimeWarning, match="could not be evaluated"):
+        refresh_rollup(spark, tpath, rpath, dims, measures,
+                       monotone_dims=mono)
+    roll = VersionedTable(spark, rpath)
+    op = roll.manifest()["op"]
+    assert op["mode"] == "group_local"
+    assert op["files_read"] == op["files_total"]  # fail-open: full read
+    assert _snap(roll.read()) == _snap(_aggregate(t.read(), dims, measures))
+
+
+def test_monotone_pruning_dst_session_zone_per_column(spark, tmp_path):
+    """r14 (VERDICT r13 #1): under a DST SESSION zone, only dims whose
+    INNER column is TimestampType decline pruning — a DATE inner column
+    decodes zone-free and both comparison sides are computed in this
+    (fixed-offset) process under the same session semantics, so the r13
+    flagship date-bucket pruning stays ON in non-UTC deployments."""
+    import datetime as dt
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    rows = []
+    for d in range(16):
+        for i in range(200):
+            k = d * 200 + i
+            rows.append((
+                k,
+                dt.date(2024, 1, 1 + d),
+                dt.datetime(2024, 1, 1 + d, i % 24, i % 60),
+                float(k % 97),
+            ))
+    df = spark.createDataFrame(
+        rows, "k long, d date, ts timestamp, v double")
+    tpath = str(tmp_path / "t")
+    rd_p, rt_p = str(tmp_path / "roll_d"), str(tmp_path / "roll_ts")
+    t = VersionedTable(spark, tpath)
+    # stats recorded under the (fixed-offset) default session zone
+    t.commit(df.repartitionByRange(8, "d").sortWithinPartitions("d"),
+             stats_cols=["d", "ts"])
+
+    dims_d = ["date_trunc('day', d) AS day"]       # DATE inner: prunes
+    dims_ts = ["date_trunc('day', ts) AS tday"]    # TIMESTAMP inner: no
+    measures = {"n": ("count", None), "mx": ("max", "v")}
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            refresh_rollup(spark, tpath, rd_p, dims_d, measures)
+            refresh_rollup(spark, tpath, rt_p, dims_ts, measures)
+            # touch one day (day index 5)
+            t.upsert(
+                t.read().filter("k >= 1000 and k < 1050").withColumn(
+                    "v", F.col("v") + 1000.0),
+                key="k",
+            )
+            refresh_rollup(spark, tpath, rd_p, dims_d, measures)
+            refresh_rollup(spark, tpath, rt_p, dims_ts, measures)
+
+        op_d = VersionedTable(spark, rd_p).manifest()["op"]
+        assert op_d["mode"] == "group_local"
+        assert op_d["files_read"] <= op_d["files_total"] - 6  # still prunes
+        assert _snap(VersionedTable(spark, rd_p).read()) == _snap(
+            _aggregate(t.read(), dims_d, measures))
+
+        op_ts = VersionedTable(spark, rt_p).manifest()["op"]
+        assert op_ts["mode"] == "group_local"
+        assert op_ts["files_read"] == op_ts["files_total"]  # declined
+        assert _snap(VersionedTable(spark, rt_p).read()) == _snap(
+            _aggregate(t.read(), dims_ts, measures))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

@@ -1647,3 +1647,116 @@ def test_registry_phantoms_best_effort_and_normalization(
 
     # file:// authority spellings fold to the local path
     assert _norm_table_path("file://localhost/data/x") == "/data/x"
+
+
+def test_empty_consumer_grace_pins_then_prunes(spark, tmp_path):
+    """r14 (VERDICT r13 #2): a REGISTERED consumer that records nothing
+    is protected, not stranded, during its teardown-rebuild gap — within
+    the heartbeat grace window safe_retain_floor("auto") pins retention
+    to ALL versions; past the grace it degrades to the loud skip and
+    prune_consumers() retires the stale entry."""
+    import os
+    import shutil
+    import time
+    import warnings
+
+    from etl_airflow_adventureworks_spark.table import (
+        _CONSUMERS_DIR,
+        replicate_table,
+    )
+
+    src_p, repl_p = str(tmp_path / "src"), str(tmp_path / "repl")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a")]))                                 # v1
+    replicate_table(spark, src_p, repl_p, key="k")
+    t.commit(_df(spark, [(2, "b")]), mode="append")                  # v2
+    t.commit(_df(spark, [(3, "c")]), mode="append")                  # v3
+
+    # teardown-rebuild gap: the replica's artifact is gone but its
+    # heartbeat is fresh -> floor pins to ALL versions, so a concurrent
+    # auto-vacuum cannot strand the rebuild window
+    shutil.rmtree(repl_p)
+    with pytest.warns(RuntimeWarning, match="mid-rebuild"):
+        assert t.safe_retain_floor("auto") == 3
+    with pytest.warns(RuntimeWarning, match="strand a lagging"):
+        t.vacuum(retain_last=1, respect_consumers="auto")
+    assert t.versions() == [1, 2, 3]  # nothing swept away
+
+    # the rebuild completes -> it re-registers and reflects again; the
+    # pin relaxes to the ordinary reflected-version floor
+    replicate_table(spark, src_p, repl_p, key="k")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert t.safe_retain_floor("auto") == 1
+
+    # a consumer deleted WITHOUT retirement ages past the grace: the
+    # floor downgrades to the loud skip, and prune_consumers retires it
+    shutil.rmtree(repl_p)
+    entry_dir = tmp_path / "src" / _CONSUMERS_DIR
+    old = time.time() - 10 * 24 * 3600
+    for f in os.listdir(entry_dir):
+        if f.endswith(".json"):
+            os.utime(entry_dir / f, (old, old))
+    with pytest.warns(RuntimeWarning, match="past the grace"):
+        assert t.safe_retain_floor("auto") == 1
+    # entries INSIDE the grace are kept by prune (may be mid-rebuild)
+    assert t.prune_consumers(grace_sec=30 * 24 * 3600) == []
+    assert t.consumers() == [repl_p]
+    assert t.prune_consumers() == [repl_p]
+    assert t.consumers() == []
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert t.safe_retain_floor("auto") == 1  # no more noise
+
+
+def test_register_consumer_heartbeat_touches_mtime(spark, tmp_path):
+    """The registry entry's mtime is a last-reflect heartbeat: an
+    idempotent re-registration refreshes it, so a long-lived consumer
+    that reflects regularly never ages into the prune window."""
+    import os
+    import time
+
+    from etl_airflow_adventureworks_spark.table import _CONSUMERS_DIR
+
+    src_p = str(tmp_path / "src")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a")]))
+    t.register_consumer(str(tmp_path / "roll"))
+    entry_dir = tmp_path / "src" / _CONSUMERS_DIR
+    entry = next(entry_dir / f for f in os.listdir(entry_dir)
+                 if f.endswith(".json"))
+    old = time.time() - 10 * 24 * 3600
+    os.utime(entry, (old, old))
+    assert os.path.getmtime(entry) < time.time() - 9 * 24 * 3600
+    t.register_consumer(str(tmp_path / "roll"))  # idempotent + heartbeat
+    assert os.path.getmtime(entry) > time.time() - 60
+    # and the refreshed heartbeat keeps it out of prune's reach
+    assert t.prune_consumers() == []
+
+
+def test_consumers_prune_subcommand(spark, tmp_path, capsys):
+    """CLI hygiene verb (r14): consumers --prune retires stale empty
+    entries past the grace window and reports them; fresh entries are
+    kept (nothing to prune)."""
+    import os
+    import time
+
+    from etl_airflow_adventureworks_spark.cli import main
+    from etl_airflow_adventureworks_spark.table import _CONSUMERS_DIR
+
+    src_p = str(tmp_path / "src")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a")]))
+    dead_p = str(tmp_path / "never_built")
+    t.register_consumer(dead_p)
+    assert main(["consumers", "--path", src_p, "--prune"]) == 0
+    assert "nothing to prune" in capsys.readouterr().out  # inside grace
+    entry_dir = tmp_path / "src" / _CONSUMERS_DIR
+    old = time.time() - 10 * 24 * 3600
+    for f in os.listdir(entry_dir):
+        if f.endswith(".json"):
+            os.utime(entry_dir / f, (old, old))
+    assert main(["consumers", "--path", src_p, "--prune",
+                 "--grace-hours", "24"]) == 0
+    assert f"pruned {dead_p}" in capsys.readouterr().out
+    assert t.consumers() == []
