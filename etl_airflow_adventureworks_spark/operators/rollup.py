@@ -728,6 +728,81 @@ def _signed_aggregate(
     return delta.groupBy(*[F.expr(d) for d in dims]).agg(*aggs)
 
 
+def _rollup_change_rows(
+    spark: SparkSession,
+    current: DataFrame,
+    new_state: DataFrame,
+    dim_names: list[str],
+    touched: "DataFrame | None",
+) -> DataFrame:
+    """Delta-CDF change rows for a refresh that rewrote ``current``
+    into ``new_state`` touching exactly the groups in ``touched``
+    (r14): update_preimage + update_postimage for groups present on
+    both sides, insert for new groups, delete for emptied ones. The
+    caller hands the result to ``commit(changes_df=...)`` so the
+    rollup's OWN refresh commits are walkable by ``row_changes`` —
+    what lets a replica OF the rollup and a rollup-of-a-rollup sync at
+    delta cost instead of failing loud / re-seeding per refresh. At
+    100 TB a high-cardinality rollup is itself a big table; without
+    this record every downstream sync re-reads it.
+
+    Cost shape: two rollup-side semi-joins against the touched keys
+    (outputs are touched-group-sized, checkpointed), then the four
+    classify joins run over those small frames only. Exactness: both
+    sides carry the FULL stored row (hidden ``__nn_*`` counters
+    included), and a group is emitted as changed whether or not its
+    aggregate value moved — over-reporting is harmless to both
+    consumer algebras (a CDC collapse upserts an equal value; a signed
+    re-aggregate nets zero). ``dim_names=[]`` (a GLOBAL spec) is one
+    group and one update: a global aggregate is always exactly one
+    row on each side."""
+    from functools import reduce
+
+    from ..table import CHANGE_TYPE_COL
+
+    if not dim_names:
+        pre = current.withColumn(
+            CHANGE_TYPE_COL, F.lit("update_preimage"))
+        post = new_state.withColumn(
+            CHANGE_TYPE_COL, F.lit("update_postimage"))
+        return pre.unionByName(post)
+    # renamed key frames: new_state derives from current, so joining
+    # raw same-named columns would hit self-join lineage ambiguity
+    tk = touched.select(
+        *[F.col(n).alias(f"__tk_{n}") for n in dim_names]
+    ).localCheckpoint(eager=True)
+
+    def _touched_rows(df):
+        cond = reduce(
+            lambda a, b: a & b,
+            [df[n].eqNullSafe(F.col(f"__tk_{n}")) for n in dim_names],
+        )
+        return df.join(tk, cond, "left_semi").localCheckpoint(eager=True)
+
+    old_t, new_t = _touched_rows(current), _touched_rows(new_state)
+
+    def _tag(side, other, both_type, only_type):
+        keys = other.select(
+            *[F.col(n).alias(f"__ok_{n}") for n in dim_names]
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [side[n].eqNullSafe(F.col(f"__ok_{n}")) for n in dim_names],
+        )
+        both = side.join(keys, cond, "left_semi").withColumn(
+            CHANGE_TYPE_COL, F.lit(both_type))
+        only = side.join(keys, cond, "left_anti").withColumn(
+            CHANGE_TYPE_COL, F.lit(only_type))
+        return both.unionByName(only)
+
+    out = _tag(old_t, new_t, "update_preimage", "delete").unionByName(
+        _tag(new_t, old_t, "update_postimage", "insert")
+    )
+    # one materialization: commit() both probes emptiness and writes
+    # the files — without the pin the 4-join union would compute twice
+    return out.localCheckpoint(eager=True)
+
+
 def _merge(parts: DataFrame, dim_names: list[str], measures: dict) -> DataFrame:
     aggs = [
         (
@@ -756,8 +831,10 @@ def _classify_window(
         cur = set(m["files"])
         if prev <= cur:
             pass  # pure append
-        elif m.get("changes"):
-            retractions = True
+        elif m.get("changes") is not None:
+            # "changes": [] = recorded ZERO delta (walkable, no rows)
+            if m["changes"]:
+                retractions = True
         elif (m.get("op") or {}).get("rowset_preserving"):
             pass
         else:
@@ -769,7 +846,13 @@ def _classify_window(
 def _reflected_version(
     rollup: VersionedTable, source_path: str | None = None
 ) -> int | None:
-    man = rollup.manifest()
+    from ..table import latest_maintainer_manifest
+
+    # walk back across rowset-preserving rewrites (r14): an operator may
+    # OPTIMIZE the rollup table for read layout (cluster its key
+    # columns) without bricking the refresh — the sync token sits one
+    # (or more) preserving commits below the latest manifest then
+    man = latest_maintainer_manifest(rollup, ("rollup-of:v",))
     if man is None:
         return None
     token = man.get("token") or ""
@@ -830,6 +913,7 @@ def refresh_rollup(
     full_rebuild: bool = False,
     rebuild_advisory_bytes: int = REBUILD_ADVISORY_BYTES,
     monotone_dims: dict[str, str] | None = None,
+    record_changes: "bool | str" = "auto",
 ) -> int:
     """Bring the rollup at ``rollup_path`` up to the source's latest
     version and return the rollup version committed (or current).
@@ -902,6 +986,26 @@ def refresh_rollup(
     with the source; SCALING.md r12); ``rebuild_advisory_bytes=0``
     silences both.
 
+    The rollup records its OWN change rows (r14): an incremental /
+    retract / group-local refresh commit can carry the Delta-CDF row
+    delta of the groups it touched (``commit(changes_df=...)``), so
+    the rollup table is itself a walkable change-feed source: a
+    replica OF the rollup (``replicate_table``) and a
+    rollup-of-a-rollup (this function with the rollup as source) sync
+    at delta cost across refreshes instead of failing loud /
+    re-seeding. ``record_changes="auto"`` (default) records exactly
+    when the rollup HAS registered consumers (one registry listing —
+    consumers self-register at first reflect, so the chain turns
+    itself on), sparing every consumer-less rollup the recording cost
+    (measured: two touched-key semi-scans of the stored rollup +
+    the change-file write — ``tools/measure_rollup_chain.py``); pass
+    ``True`` to force recording for a downstream that cannot
+    self-register (read-only registry access), ``False`` to suppress.
+    A REBUILD commit records no change rows (the delta is the whole
+    table) — downstream consumers classify it as an unrecorded
+    rewrite exactly like any overwrite, and ``maintain_rollup`` /
+    ``full_copy=True`` auto-recover.
+
     Concurrent refreshers (r9): the rollup commit passes ``retry=False``
     — a rollup state is derived from the rollup snapshot it read, so the
     table layer's blind OCC re-publish could overwrite a CONCURRENT
@@ -938,6 +1042,16 @@ def refresh_rollup(
     mono_map = _monotone_map(dims, monotone_dims)
     src = VersionedTable(spark, source_path)
     roll = VersionedTable(spark, rollup_path)
+    if record_changes not in (True, False, "auto"):
+        raise ValueError(
+            f"record_changes must be True, False or 'auto', got "
+            f"{record_changes!r}"
+        )
+    rec_changes = (
+        record_changes if isinstance(record_changes, bool)
+        else bool(roll.consumers())  # the chain turns itself on: every
+        # downstream (replica / second-level rollup) self-registers here
+    )
     src_latest = src.manifest()
     if src_latest is None:
         raise FileNotFoundError(f"no committed source at {source_path}")
@@ -1050,9 +1164,20 @@ def refresh_rollup(
                 op_metrics["source"] = src.path
                 state = state.localCheckpoint(eager=True)  # derives from
                 # the rollup version being replaced — pin before commit
+                changes_df = None
+                if rec_changes:
+                    # the rollup's OWN row delta (r14): downstream
+                    # consumers of the rollup stay incremental
+                    touched = delta.select(
+                        *[F.expr(d) for d in dims]
+                    ).distinct()
+                    changes_df = _rollup_change_rows(
+                        spark, current, state, touched.columns, touched
+                    )
                 return roll.commit(
                     state, mode="overwrite", idempotency_token=token,
                     retry=False, op_info=op_metrics,
+                    changes_df=changes_df,
                 )
             if (
                 rebuild_advisory_bytes > 0
@@ -1107,6 +1232,17 @@ def refresh_rollup(
                         "source version?); full_rebuild=True recovers"
                     )
                 merged = merged.filter(F.col(count_col) > 0)
+            changes_df = None
+            if rec_changes:
+                # the rollup's OWN row delta (r14): touched groups from
+                # the already-computed partial, classified against the
+                # pre-refresh state — delta-sized
+                touched = (
+                    partial.select(*dim_names).distinct() if dims else None
+                )
+                changes_df = _rollup_change_rows(
+                    spark, current, merged, dim_names, touched
+                )
             return roll.commit(
                 merged, mode="overwrite", idempotency_token=token, retry=False,
                 op_info={
@@ -1114,6 +1250,7 @@ def refresh_rollup(
                     "mode": "retract" if retractions else "incremental",
                     "source": src.path,
                 },
+                changes_df=changes_df,
             )
         except CommitConflict as e:
             last_err = e

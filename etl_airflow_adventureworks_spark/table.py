@@ -435,6 +435,7 @@ class VersionedTable:
         stats_cols: list[str] | None = None,
         op_info: dict | None = None,
         retry: bool = True,
+        changes_df: DataFrame | None = None,
     ) -> int:
         """Write ``df``'s files and atomically publish a new manifest.
 
@@ -463,9 +464,27 @@ class VersionedTable:
         bootstrap/fallback, optimize): their payload was computed
         against a snapshot, so a blind re-publish would drop the
         conflicting writer's rows — they propagate the conflict and
-        recompute the whole operation via ``_occ_retry`` instead."""
+        recompute the whole operation via ``_occ_retry`` instead.
+
+        ``changes_df`` (r14) records the Delta-CDF-style row delta of
+        an OVERWRITE the caller computed itself (schema: ``df``'s
+        columns + ``_change_type``) — what ``refresh_rollup`` passes so
+        a rollup's own refresh commits are walkable by ``row_changes``
+        and downstream consumers (a replica OF the rollup, a
+        rollup-of-a-rollup) sync at delta cost instead of failing loud
+        / full-copying. An empty ``changes_df`` records a ZERO row
+        delta (``"changes": []`` in the manifest), distinct from no
+        recording at all."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        if changes_df is not None:
+            want = set(df.columns) | {CHANGE_TYPE_COL}
+            if set(changes_df.columns) != want:
+                raise ValueError(
+                    "changes_df must carry exactly the committed columns "
+                    f"plus {CHANGE_TYPE_COL} — got {sorted(changes_df.columns)}, "
+                    f"want {sorted(want)}"
+                )
         latest = self.manifest()
         if (
             idempotency_token is not None
@@ -482,6 +501,14 @@ class VersionedTable:
         new_stats: dict[str, dict] = {}
         if stats_cols and new_files:
             new_stats = self._file_stats(new_files, stats_cols, df.schema)
+        change_files: list[str] | None = None
+        if changes_df is not None:
+            # an empty delta records "changes": [] (zero rows, walkable)
+            # rather than a 0-row part file
+            change_files = (
+                self._write_change_files(changes_df, version)
+                if changes_df.take(1) else []
+            )
         last_err: CommitConflict | None = None
         for _ in range(_MAX_COMMIT_ATTEMPTS if retry else 1):
             stats: dict[str, dict] = {}
@@ -500,6 +527,8 @@ class VersionedTable:
                 man["op"] = op_info
             if stats:
                 man["stats"] = stats
+            if change_files is not None:
+                man["changes"] = change_files
             try:
                 self._publish_manifest(man)
                 return version
@@ -1369,12 +1398,18 @@ class VersionedTable:
                         .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
                         .withColumn(CHANGE_VERSION_COL, F.lit(v).cast("long"))
                     )
-            elif man_v.get("changes"):
-                parts.append(
-                    self.spark.read.schema(ct_schema)
-                    .parquet(*[f"{self.path}/{f}" for f in man_v["changes"]])
-                    .withColumn(CHANGE_VERSION_COL, F.lit(v).cast("long"))
-                )
+            elif man_v.get("changes") is not None:
+                # "changes": [] is a RECORDED zero delta (e.g. a rollup
+                # refresh over an empty window, r14) — walkable, nothing
+                # to read; distinct from no recording at all (fails loud)
+                if man_v["changes"]:
+                    parts.append(
+                        self.spark.read.schema(ct_schema)
+                        .parquet(
+                            *[f"{self.path}/{f}" for f in man_v["changes"]]
+                        )
+                        .withColumn(CHANGE_VERSION_COL, F.lit(v).cast("long"))
+                    )
             elif (man_v.get("op") or {}).get("rowset_preserving"):
                 pass  # pure rewrite: zero row delta
             else:
@@ -2057,7 +2092,11 @@ def replicate_table(
     dst_man = dst.manifest()
     reflected = None
     if dst_man is not None:
-        t = dst_man.get("token") or ""
+        # the sync point may sit UNDER rowset-preserving rewrites (r14):
+        # an operator may OPTIMIZE the replica for read layout without
+        # bricking replication — walk back to the newest replica token
+        tok_man = latest_maintainer_manifest(dst, ("replica-of:v",))
+        t = (tok_man or {}).get("token") or ""
         if not t.startswith("replica-of:v"):
             raise ValueError(
                 f"{dst_path} is not a replica table (token {t!r}); "
@@ -2066,6 +2105,19 @@ def replicate_table(
         # the token may carry a "+schema-v<N>" suffix (the widening
         # append below) — the reflected version is the leading integer
         reflected = int(t[len("replica-of:v"):].split("+", 1)[0])
+        # source-identity check (r14, the rollup A1 fix's replica twin):
+        # a bare replica-of:vN token against the WRONG source would read
+        # that table's change feed from this replica's version counter —
+        # fail loud before registering or syncing
+        rec = (tok_man.get("op") or {}).get("source")
+        if rec is not None and \
+                _norm_table_path(rec) != _norm_table_path(src_path):
+            raise ValueError(
+                f"replica at {dst_path} is derived from {rec}, not "
+                f"{src_path} — refusing to sync or register it against "
+                "the wrong source (delete the replica directory to "
+                "repoint it deliberately)"
+            )
         # self-register as a consumer of the source (r13, VERDICT r12
         # #2) — idempotent, best-effort (the registry is advisory; a
         # read-only source must not break replication), and only AFTER
@@ -2271,6 +2323,35 @@ def _norm_table_path(p: str) -> str:
     return q.rstrip("/")
 
 
+def latest_maintainer_manifest(
+    vt: VersionedTable, prefixes: "tuple[str, ...]"
+) -> "dict | None":
+    """The newest manifest whose commit token starts with one of
+    ``prefixes`` (a rollup's ``rollup-of:v``, a replica's
+    ``replica-of:v``), walking back ONLY across rowset-preserving
+    rewrites (r14): an OPTIMIZE on a rollup/replica reclusters bytes
+    but preserves the logical rowset, so the maintainer's recorded sync
+    point is still valid underneath it — pre-r14 a compacted
+    rollup/replica bricked its own refresh/sync ("token None"). Any
+    OTHER foreign commit (content changed outside the maintainer) stops
+    the walk and returns THAT manifest, so the caller's existing token
+    validation fails loud exactly as before. Returns None for an empty
+    table; one manifest read per walked version (bounded by retained
+    history — a sync point vacuumed away is simply not found, the
+    retention contract)."""
+    vs = vt.versions()
+    if not vs:
+        return None
+    for v in reversed(vs):
+        man = vt.manifest(v)
+        token = man.get("token") or ""
+        if any(token.startswith(p) for p in prefixes):
+            return man
+        if not (man.get("op") or {}).get("rowset_preserving"):
+            return man  # foreign content commit: caller fails loud
+    return vt.manifest()  # all-preserving history with no token match
+
+
 def consumer_reflected_version(
     spark: SparkSession, consumer_path: str, table_path: str
 ) -> int:
@@ -2296,7 +2377,10 @@ def consumer_reflected_version(
     for p in (consumer_path.rstrip("/"),
               f"{consumer_path.rstrip('/')}/centroids"):
         vt = VersionedTable(spark, p)
-        man = vt.manifest()
+        # walk back across rowset-preserving rewrites (r14): an
+        # OPTIMIZEd rollup/replica still self-describes its sync point
+        man = latest_maintainer_manifest(
+            vt, ("rollup-of:v", "replica-of:v"))
         if man is None:
             continue
         m = _re.match(r"(?:rollup|replica)-of:v(\d+)", man.get("token") or "")

@@ -1622,8 +1622,10 @@ def test_maintain_rollup_vacuum_respects_rollup_consumers(spark, tmp_path):
         maintain_rollup(spark, s_p, r_p, dims, measures,
                         vacuum_retain_last=1)
     assert roll.versions() == [1, 2, 3]
-    # replica catches up (rollup refreshes are overwrite commits with
-    # no recorded change rows, so a replica re-seeds) -> sweep proceeds
+    # replica catches up; this rollup's window was REBUILT by the policy
+    # (small source), and rebuild commits record no change rows, so the
+    # replica re-seeds (incremental refreshes record their own changes
+    # since r14 — see test_rollup_records_own_changes_*) -> sweep proceeds
     replicate_table(spark, r_p, repl_p, key="event_type", full_copy=True)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
@@ -1858,3 +1860,271 @@ def test_monotone_pruning_dst_session_zone_per_column(spark, tmp_path):
             _aggregate(t.read(), dims_ts, measures))
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_rollup_records_own_changes_replica_syncs_incrementally(
+    spark, tmp_path
+):
+    """r14: incremental/retract refresh commits carry the rollup's OWN
+    Delta-CDF change rows (commit(changes_df=...)), so a replica OF the
+    rollup syncs at delta cost across refreshes — no full_copy, no fail
+    loud — including group inserts, value updates, and emptied-group
+    deletes; an empty refresh window records a ZERO delta ("changes":
+    []) that stays walkable."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    dims = ["event_type"]
+    measures = {"n": ("count", None), "sv": ("sum", "value")}
+    ev, slices = _events_slices(spark)
+    s_p, r_p = str(tmp_path / "src"), str(tmp_path / "roll")
+    repl_p = str(tmp_path / "repl")
+    src = VersionedTable(spark, s_p)
+    src.commit(slices[0].filter("event_type <> 'view'"))
+    refresh_rollup(spark, s_p, r_p, dims, measures)          # bootstrap
+    replicate_table(spark, r_p, repl_p, key="event_type")    # seed
+    roll = VersionedTable(spark, r_p)
+    repl = VersionedTable(spark, repl_p)
+
+    def assert_mirror():
+        assert _snap(repl.read()) == _snap(roll.read())
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        # append window (value updates + a NEW group appears): the
+        # replica consumes the rollup's recorded changes — no re-seed
+        src.commit(slices[1], mode="append")
+        refresh_rollup(spark, s_p, r_p, dims, measures)
+        assert roll.manifest()["op"]["mode"] == "incremental"
+        assert roll.manifest()["changes"]  # the delta was recorded
+        replicate_table(spark, r_p, repl_p, key="event_type")
+        assert_mirror()
+
+        # retraction window emptying one group entirely: the change
+        # rows carry the DELETE and the replica drops the group
+        src.delete_where("event_type = 'click'")
+        refresh_rollup(spark, s_p, r_p, dims, measures)
+        assert roll.manifest()["op"]["mode"] == "retract"
+        replicate_table(spark, r_p, repl_p, key="event_type")
+        assert_mirror()
+        assert repl.read().filter("event_type = 'click'").count() == 0
+
+        # empty refresh window: zero delta recorded, still walkable
+        src.commit(src.read().limit(0), mode="append")
+        refresh_rollup(spark, s_p, r_p, dims, measures)
+        assert roll.manifest()["changes"] == []
+        replicate_table(spark, r_p, repl_p, key="event_type")
+        assert_mirror()
+    assert _snap(roll.read()) == _snap(
+        src.read().groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"),
+        ))
+
+
+def test_rollup_of_rollup_refreshes_incrementally(spark, tmp_path):
+    """r14: with the rollup recording its own change rows, a SECOND
+    rollup built over the first refreshes via the retraction algebra
+    (mode 'retract', delta cost) across the first's refresh commits —
+    the continuous-aggregate chain base -> daily -> per-type stays
+    incremental end to end and exact vs from-scratch."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import _aggregate
+
+    daily_dims = ["event_type", "to_date(ts) AS day"]
+    daily_measures = {"n_events": ("count", None),
+                      "sum_value": ("sum", "value")}
+    top_dims = ["event_type"]
+    top_measures = {"days": ("count", None),
+                    "events": ("sum", "n_events"),
+                    "val": ("sum", "sum_value")}
+    ev, slices = _events_slices(spark)
+    s_p = str(tmp_path / "src")
+    d_p, t_p = str(tmp_path / "daily"), str(tmp_path / "per_type")
+    src = VersionedTable(spark, s_p)
+    src.commit(slices[0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, s_p, d_p, daily_dims, daily_measures)
+        refresh_rollup(spark, d_p, t_p, top_dims, top_measures)
+
+        # base append + upsert drive daily through incremental AND
+        # retract refreshes; the top rollup consumes daily's recorded
+        # changes each time — never a rebuild
+        src.commit(slices[1], mode="append")
+        refresh_rollup(spark, s_p, d_p, daily_dims, daily_measures)
+        assert VersionedTable(spark, d_p).manifest()["op"]["mode"] == \
+            "incremental"
+        refresh_rollup(spark, d_p, t_p, top_dims, top_measures)
+        top_man = VersionedTable(spark, t_p).manifest()
+        assert top_man["op"]["mode"] == "retract"
+
+        src.upsert(
+            slices[0].filter("event_id % 4 = 1").withColumn(
+                "value", F.col("value") + 5.0),
+            key="event_id",
+        )
+        refresh_rollup(spark, s_p, d_p, daily_dims, daily_measures)
+        assert VersionedTable(spark, d_p).manifest()["op"]["mode"] == \
+            "retract"
+        refresh_rollup(spark, d_p, t_p, top_dims, top_measures)
+        assert VersionedTable(spark, t_p).manifest()["op"]["mode"] == \
+            "retract"
+
+    # end-to-end exactness: per-type equals a from-scratch aggregate of
+    # the from-scratch daily aggregate of the base
+    daily_scratch = _aggregate(src.read(), daily_dims, daily_measures)
+    want = _snap(daily_scratch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("n_events").alias("events"),
+        F.sum("sum_value").alias("val"),
+    ))
+    assert _snap(VersionedTable(spark, t_p).read()) == want
+
+
+def test_global_rollup_change_rows_are_one_update(spark, tmp_path):
+    """r14 edge: a GLOBAL spec (dims=[]) is one group — each refresh
+    records exactly one preimage and one postimage, and row_changes on
+    the rollup reconstructs the value history."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.table import CHANGE_TYPE_COL
+
+    ev, slices = _events_slices(spark)
+    s_p, r_p = str(tmp_path / "src"), str(tmp_path / "roll")
+    src = VersionedTable(spark, s_p)
+    src.commit(slices[0])
+    measures = {"n": ("count", None), "sv": ("sum", "value")}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        # record_changes=True forced: this rollup has no registered
+        # consumer, so the "auto" default would (correctly) skip it
+        refresh_rollup(spark, s_p, r_p, [], measures, record_changes=True)
+        src.commit(slices[1], mode="append")
+        refresh_rollup(spark, s_p, r_p, [], measures, record_changes=True)
+    roll = VersionedTable(spark, r_p)
+    delta = roll.row_changes(1).collect()
+    kinds = sorted(r[CHANGE_TYPE_COL] for r in delta)
+    assert kinds == ["update_postimage", "update_preimage"]
+    post = next(r for r in delta
+                if r[CHANGE_TYPE_COL] == "update_postimage")
+    n_all = slices[0].count() + slices[1].count()
+    assert post["n"] == n_all
+
+
+def test_rollup_survives_its_own_optimize(spark, tmp_path):
+    """r14: OPTIMIZE on the ROLLUP table (read-layout clustering) no
+    longer bricks the refresh — the sync token is found under the
+    rowset-preserving commit, the next refresh stays incremental and
+    exact, and the consumer floor still resolves; a FOREIGN content
+    commit on the rollup still fails loud."""
+    import warnings
+
+    ev, slices = _events_slices(spark)
+    s_p, r_p = str(tmp_path / "src"), str(tmp_path / "roll")
+    src = VersionedTable(spark, s_p)
+    src.commit(slices[0])
+    refresh_rollup(spark, s_p, r_p, DIMS, MEASURES)
+    roll = VersionedTable(spark, r_p)
+    roll.optimize(cluster_by=["event_type"], num_files=2)
+    assert not (roll.manifest().get("token") or "").startswith("rollup")
+
+    src.commit(slices[1], mode="append")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, s_p, r_p, DIMS, MEASURES)
+    assert roll.manifest()["op"]["mode"] == "incremental"
+    assert _snap(roll.read()) == _snap(
+        _full_agg(slices[0].unionByName(slices[1])))
+    # the registry floor resolves through the optimize too
+    roll.optimize(cluster_by=["event_type"], num_files=2)
+    src.commit(slices[2], mode="append")
+    assert src.safe_retain_floor([r_p]) == 2  # rollup lags one version
+
+    # a foreign overwrite is NOT walked past — content changed outside
+    # the maintainer, so the refresh refuses exactly as before
+    roll.commit(roll.read().limit(1), mode="overwrite")
+    with pytest.raises(ValueError, match="not a rollup table"):
+        refresh_rollup(spark, s_p, r_p, DIMS, MEASURES)
+
+
+def test_replica_survives_its_own_optimize_and_validates_source(
+    spark, tmp_path
+):
+    """r14: OPTIMIZE on a REPLICA (read-layout clustering) no longer
+    bricks replication — the next sync finds the token under the
+    preserving commit and stays incremental; and a replica refuses to
+    sync against the WRONG source (the rollup A1 fix's replica twin),
+    planting no registry entry there."""
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    ev, slices = _events_slices(spark)
+    s_p, b_p = str(tmp_path / "src"), str(tmp_path / "other")
+    repl_p = str(tmp_path / "repl")
+    src = VersionedTable(spark, s_p)
+    src.commit(slices[0].select("event_id", "event_type", "value"))
+    VersionedTable(spark, b_p).commit(
+        slices[1].select("event_id", "event_type", "value"))
+    replicate_table(spark, s_p, repl_p, key="event_id")
+    repl = VersionedTable(spark, repl_p)
+    repl.optimize(cluster_by=["event_id"], num_files=2)
+
+    src.upsert(
+        slices[0].select("event_id", "event_type", "value")
+        .filter("event_id % 9 = 2").withColumn(
+            "value", F.col("value") + 3.0),
+        key="event_id",
+    )
+    v = replicate_table(spark, s_p, repl_p, key="event_id")  # no full_copy
+    assert _snap_kv(repl.read()) == _snap_kv(src.read())
+    assert v == repl.manifest()["version"]
+
+    with pytest.raises(ValueError, match="derived from"):
+        replicate_table(spark, b_p, repl_p, key="event_id")
+    assert VersionedTable(spark, b_p).consumers() == []
+
+
+def _snap_kv(df):
+    return {tuple(str(r[c]) for c in sorted(df.columns))
+            for r in df.collect()}
+
+
+def test_record_changes_auto_gates_on_registered_consumers(spark, tmp_path):
+    """r14: record_changes="auto" (the default) records the refresh's
+    change rows exactly when the rollup HAS registered consumers — a
+    consumer-less rollup pays nothing, and the chain turns itself on at
+    the consumer's first reflect (it self-registers)."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    ev, slices = _events_slices(spark)
+    s_p, r_p = str(tmp_path / "src"), str(tmp_path / "roll")
+    src = VersionedTable(spark, s_p)
+    src.commit(slices[0])
+    refresh_rollup(spark, s_p, r_p, ["event_type"],
+                   {"n": ("count", None)})
+    roll = VersionedTable(spark, r_p)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        # no consumers: the incremental refresh records NO change rows
+        src.commit(slices[1], mode="append")
+        refresh_rollup(spark, s_p, r_p, ["event_type"],
+                       {"n": ("count", None)})
+        assert "changes" not in roll.manifest()
+        # a replica seeds (and self-registers on the rollup): from the
+        # next refresh on, changes are recorded and the replica syncs
+        replicate_table(spark, r_p, str(tmp_path / "repl"),
+                        key="event_type")
+        src.commit(slices[2], mode="append")
+        refresh_rollup(spark, s_p, r_p, ["event_type"],
+                       {"n": ("count", None)})
+        assert roll.manifest().get("changes")
+        replicate_table(spark, r_p, str(tmp_path / "repl"),
+                        key="event_type")
+    assert _snap(VersionedTable(spark, str(tmp_path / "repl")).read()) == \
+        _snap(roll.read())
+    with pytest.raises(ValueError, match="record_changes"):
+        refresh_rollup(spark, s_p, r_p, ["event_type"],
+                       {"n": ("count", None)}, record_changes="yes")

@@ -105,25 +105,32 @@ def measure_shape(spark, shape, sf_dir, work) -> dict:
         "user_id",
     )
     n_rows = ev.count()
+    # pristine bytes restored INTO the same run paths each rep (r14:
+    # refresh_rollup validates the rollup's recorded source identity, so
+    # relocated per-rep copies of the pair would fail loud)
+    src = str(work / f"src_run_{shape}")
+    roll = str(work / f"roll_run_{shape}")
     src0 = str(work / f"src0_{shape}")
     roll0 = str(work / f"roll0_{shape}")
-    VersionedTable(spark, src0).commit(
+    VersionedTable(spark, src).commit(
         ev.repartitionByRange(32, *cfg["cluster"])
         .sortWithinPartitions(*cfg["cluster"]),
         stats_cols=cfg["stats"],
     )
-    refresh_rollup(spark, src0, roll0, cfg["dims"], MEASURES)  # bootstrap
+    refresh_rollup(spark, src, roll, cfg["dims"], MEASURES)  # bootstrap
+    shutil.copytree(src, src0)
+    shutil.copytree(roll, roll0)
 
     bf = cfg["batch_filter"]
     if bf is None:
         # expr shape: touch ONE day (the 3rd day present in the data)
-        day = spark.read.parquet(f"{src0}/data/*").selectExpr(
+        day = spark.read.parquet(f"{src}/data/*").selectExpr(
             "date_trunc('day', ts) AS d"
         ).distinct().orderBy("d").collect()[2]["d"]
         bf = (f"date_trunc('day', ts) = timestamp'{day}'"
               " AND pmod(event_id, 7) = 0")
     batch = (
-        spark.read.parquet(f"{src0}/data/*")
+        spark.read.parquet(f"{src}/data/*")
         .filter(bf)
         .withColumn("value", F.col("value") + F.lit(1000.0))
     ).localCheckpoint(eager=True)
@@ -133,8 +140,8 @@ def measure_shape(spark, shape, sf_dir, work) -> dict:
     for mode in ("group_local", "full_rebuild"):
         times = []
         for rep in range(3):
-            src = str(work / f"src_{shape}_{mode}_{rep}")
-            roll = str(work / f"roll_{shape}_{mode}_{rep}")
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(roll, ignore_errors=True)
             shutil.copytree(src0, src)
             shutil.copytree(roll0, roll)
             VersionedTable(spark, src).upsert(batch, key="event_id")

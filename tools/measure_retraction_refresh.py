@@ -98,17 +98,23 @@ def main() -> None:
     batch = mutated.unionByName(inserts).localCheckpoint(eager=True)
     n_batch = batch.count()
 
+    # pristine bytes restored INTO the same run paths each rep (r14:
+    # refresh_rollup validates the rollup's recorded source identity, so
+    # relocated per-rep copies of the pair would fail loud)
+    src, roll = str(work / "src_run"), str(work / "roll_run")
     src0, roll0 = str(work / "src0"), str(work / "roll0")
-    VersionedTable(spark, src0).commit(ev.repartition(32))
-    refresh_rollup(spark, src0, roll0, DIMS, MEASURES)  # bootstrap (untimed)
+    VersionedTable(spark, src).commit(ev.repartition(32))
+    refresh_rollup(spark, src, roll, DIMS, MEASURES)  # bootstrap (untimed)
+    shutil.copytree(src, src0)
+    shutil.copytree(roll, roll0)
 
     results: dict = {}
     upsert_times = []
     for mode in ("incremental", "full_rebuild"):
         times = []
         for rep in range(3):
-            src = str(work / f"src_{mode}_{rep}")
-            roll = str(work / f"roll_{mode}_{rep}")
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(roll, ignore_errors=True)
             shutil.copytree(src0, src)
             shutil.copytree(roll0, roll)
             t0 = time.perf_counter()

@@ -85,17 +85,26 @@ def main() -> None:
     delta = ev.filter("pmod(xxhash64(event_id), 10) = 0")
     n_base, n_delta = base.count(), delta.count()
 
+    # fresh state is restored INTO the same run paths each rep (r14: the
+    # rollup records its source identity, so a relocated copy of the
+    # pair would fail the refresh's wrong-source check — restoring the
+    # pristine bytes to the original absolute paths keeps every rep
+    # identical AND identity-consistent)
+    src = str(work / "src_run")
+    roll = str(work / "roll_run")
     src0 = str(work / "src0")
     roll0 = str(work / "roll0")
-    VersionedTable(spark, src0).commit(base.repartition(32))
-    refresh_rollup(spark, src0, roll0, DIMS, MEASURES)  # bootstrap (untimed)
+    VersionedTable(spark, src).commit(base.repartition(32))
+    refresh_rollup(spark, src, roll, DIMS, MEASURES)  # bootstrap (untimed)
+    shutil.copytree(src, src0)
+    shutil.copytree(roll, roll0)
 
     results = {}
     for mode in ("incremental", "full_rebuild"):
         times = []
         for rep in range(3):
-            src = str(work / f"src_{mode}_{rep}")
-            roll = str(work / f"roll_{mode}_{rep}")
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(roll, ignore_errors=True)
             shutil.copytree(src0, src)
             shutil.copytree(roll0, roll)
             VersionedTable(spark, src).commit(
