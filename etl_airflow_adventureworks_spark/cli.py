@@ -396,6 +396,13 @@ def main(argv: list[str] | None = None) -> int:
                     "pre-r10 history; recorded upserts/deletes refresh "
                     "incrementally, min/max/HLL specs via the r12 "
                     "group-local path)")
+    rr.add_argument("--record-changes", default="auto",
+                    choices=["auto", "true", "false"],
+                    help="record the refresh's own Delta-CDF change rows "
+                    "so downstream consumers of the ROLLUP (a replica, a "
+                    "rollup-of-a-rollup) sync at delta cost (r14); 'auto' "
+                    "records exactly when the rollup has registered "
+                    "consumers")
     rr.add_argument("--show", type=int, default=0, metavar="N",
                     help="after refreshing, print N finalized rollup rows "
                     "(HLL sketches as estimates; histogram measures as "
@@ -971,9 +978,13 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.spec) as fh:
             spec = _json.load(fh)
         measures = {k: (v[0], v[1]) for k, v in spec["measures"].items()}
+        rc = {"auto": "auto", "true": True, "false": False}[
+            args.record_changes]
         v = refresh_rollup(
             spark, args.source, args.rollup, spec["dims"], measures,
             full_rebuild=args.full_rebuild,
+            monotone_dims=spec.get("monotone_dims"),
+            record_changes=rc,
         )
         print(f"rollup at version {v} (reflects the source's latest commit)")
         if args.show:

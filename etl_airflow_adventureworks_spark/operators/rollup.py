@@ -755,7 +755,15 @@ def _rollup_change_rows(
     consumer algebras (a CDC collapse upserts an equal value; a signed
     re-aggregate nets zero). ``dim_names=[]`` (a GLOBAL spec) is one
     group and one update: a global aggregate is always exactly one
-    row on each side."""
+    row on each side.
+
+    HLL sketch columns: the refresh's merge may RE-SERIALIZE an
+    untouched group's stored sketch (same element content, different
+    slot order), which this delta does not report — so a delta-synced
+    replica is CONTENT-equal to the rollup (identical estimates
+    through ``finalize_rollup``, the documented read path) but not
+    byte-equal on sketch columns. Deterministic measures
+    (count/sum/min/max/histogram) are bit-equal."""
     from functools import reduce
 
     from ..table import CHANGE_TYPE_COL

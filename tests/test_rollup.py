@@ -1466,7 +1466,9 @@ def test_monotone_dim_random_maintenance_sequence(spark, tmp_path):
     group-local path with monotone expression-dim pruning) and the
     refresh driven through maintain_rollup's policy — the rollup must
     equal the from-scratch aggregate after EVERY step, and at least one
-    step must have actually pruned files."""
+    step must have actually pruned files. r14: a replica OF the rollup
+    follows every refresh from the recorded change rows and must mirror
+    it after every step (the chain under churn)."""
     import datetime as dt
     import random
     import warnings
@@ -1475,6 +1477,7 @@ def test_monotone_dim_random_maintenance_sequence(spark, tmp_path):
         _aggregate,
         maintain_rollup,
     )
+    from etl_airflow_adventureworks_spark.table import replicate_table
 
     rng = random.Random(13)
     dims = ["date_trunc('day', ts) AS day"]
@@ -1504,6 +1507,8 @@ def test_monotone_dim_random_maintenance_sequence(spark, tmp_path):
     next_k = 10_000
     pruned_steps = 0
 
+    repl_path = str(tmp_path / "roll_replica")
+
     def do_refresh():
         nonlocal pruned_steps
         with warnings.catch_warnings():
@@ -1519,6 +1524,24 @@ def test_monotone_dim_random_maintenance_sequence(spark, tmp_path):
         got = finalize_and_snap(roll.read())
         want = finalize_and_snap(_aggregate(t.read(), dims, measures))
         assert got == want, f"diverged after {op}"
+        # r14 chain: the replica consumes the refresh's recorded change
+        # rows each step (the bootstrap re-seeds; a rebuild in the
+        # window would fail loud -> full_copy recovers, same guidance
+        # as production)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            try:
+                replicate_table(spark, rpath, repl_path, key="day")
+            except ValueError:
+                replicate_table(spark, rpath, repl_path, key="day",
+                                full_copy=True)
+        # compare through finalize_rollup: the merge re-serializes HLL
+        # sketch bytes of untouched groups (same content, different slot
+        # order), so the replica is CONTENT-equal, not byte-equal — the
+        # documented read path is the honest comparison
+        assert finalize_and_snap(
+            VersionedTable(spark, repl_path).read()
+        ) == finalize_and_snap(roll.read()), f"replica diverged after {op}"
 
     def finalize_and_snap(df):
         from etl_airflow_adventureworks_spark.operators.rollup import (
