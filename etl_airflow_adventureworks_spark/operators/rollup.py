@@ -1276,6 +1276,7 @@ def maintain_rollup(
     group_local_below_bytes: int = GROUP_LOCAL_ADVISORY_BYTES,
     monotone_dims: dict[str, str] | None = None,
     vacuum_retain_last: int | None = None,
+    record_changes: "bool | str" = "auto",
 ) -> dict:
     """ONE maintenance call for a rollup (r13, VERDICT r12 #3 — the
     policy peer of ``maintain_neardup_index`` / ``maintain_ivf_index``):
@@ -1308,7 +1309,9 @@ def maintain_rollup(
     CAN have consumers of its own (e.g. a replica of the rollup, which
     ``replicate_table`` auto-registers): retention clamps up loudly
     when one is lagging. ``monotone_dims`` passes through to the
-    group-local path's expression-dim file pruning. ``dry_run=True``
+    group-local path's expression-dim file pruning;
+    ``record_changes`` to the refresh's own change-row recording (r14
+    — "auto" records when the rollup has registered consumers). ``dry_run=True``
     returns the plan + reasons without touching anything; when the
     predicted mode is ``group_local`` it also runs the manifest-level
     pruning walk against the CURRENT delta window (change rows + per-
@@ -1483,6 +1486,7 @@ def maintain_rollup(
             rebuild_advisory_bytes=0,  # the policy IS the decision —
             # the advisories it executes would be noise here
             monotone_dims=monotone_dims,
+            record_changes=record_changes,
         )
         actions.append(choice)
         # .get("op"): a token-replay / already-current return can land
