@@ -847,20 +847,24 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 print("nothing to prune")
             return 0
-        entries = t.consumers()
+        entries = t._consumer_entries_meta()
         if not entries:
             print("no registered consumers")
             return 0
+        import time as _time
+
         man = t.manifest()
         latest = man["version"] if man else None
-        for c in entries:
+        now_ms = _time.time() * 1000
+        for c, _hp, mt in entries:
+            beat = f"beat {max(now_ms - mt, 0) / 1000:.0f}s ago"
             try:
                 r = consumer_reflected_version(spark, c, t.path)
                 lag = f"reflects v{r}" + (
                     f" (lag {latest - r})" if latest is not None else "")
             except ValueError as e:
                 lag = f"DEAD? {e}"
-            print(f"{c}: {lag}")
+            print(f"{c}: {lag} [{beat}]")
         return 0
     if args.cmd == "replicate-table":
         from .table import VersionedTable, replicate_table

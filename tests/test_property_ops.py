@@ -368,3 +368,68 @@ def test_stats_encode_is_order_preserving(vals):
                 assert _stats_decode(e, T.TimestampType()) == v
             elif isinstance(v, dt.date):
                 assert _stats_decode(e, T.DateType()) == v
+
+
+# -- rollup change-row algebra (r14) ----------------------------------------
+
+# old/new keyed states as {key -> (n, v)}; keys drawn small so inserts,
+# deletes, updates and no-ops all occur; None keys exercise the
+# null-safe group identity
+_state_keys = st.one_of(st.none(), st.integers(0, 5))
+_states = st.dictionaries(
+    _state_keys,
+    st.tuples(st.integers(1, 9), st.integers(-5, 5)),
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(old=_states, new=_states, extra=st.sets(_state_keys, max_size=2))
+def test_rollup_change_rows_reconstruct_new_state(spark, old, new, extra):
+    """r14: applying _rollup_change_rows' Delta-CDF output to the OLD
+    state (CDC collapse semantics: post/insert upsert, delete drops)
+    reproduces the NEW state exactly, for ANY touched set that covers
+    the true diff — including over-reported untouched groups and NULL
+    group keys."""
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _rollup_change_rows,
+    )
+    from etl_airflow_adventureworks_spark.table import CHANGE_TYPE_COL
+
+    # the contract: touched must cover every differing key; extras are
+    # allowed (over-reporting is harmless)
+    diff = {k for k in set(old) | set(new) if old.get(k) != new.get(k)}
+    touched = diff | extra
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(k, n, v) for k, (n, v) in sorted(
+                d.items(), key=lambda kv: (kv[0] is None, kv[0]))],
+            "k int, n int, v int",
+        )
+
+    tdf = spark.createDataFrame(
+        [(k,) for k in sorted(touched, key=lambda x: (x is None, x))],
+        "k int",
+    )
+    changes = _rollup_change_rows(
+        spark, frame(old), frame(new), ["k"], tdf
+    ).collect()
+
+    applied = dict(old)
+    posts = {}
+    for r in changes:
+        ct = r[CHANGE_TYPE_COL]
+        if ct in ("update_postimage", "insert"):
+            posts[r["k"]] = (r["n"], r["v"])
+        elif ct == "delete":
+            applied.pop(r["k"], None)
+    applied.update(posts)
+    assert applied == new, (old, new, touched, changes)
+    # every change row's key is in the touched set, and each key appears
+    # at most once per side
+    for side in (("update_preimage", "delete"),
+                 ("update_postimage", "insert")):
+        ks = [r["k"] for r in changes if r[CHANGE_TYPE_COL] in side]
+        assert len(ks) == len(set(ks))
+        assert set(ks) <= touched
