@@ -1212,6 +1212,19 @@ def refresh_rollup(
                     internal,
                 )
             dim_names = partial.columns[: len(dims)]
+            # Merge shape note (r14, measured and kept classic): a
+            # "spliced" merge — broadcast anti/semi on the touched keys,
+            # re-merging only touched groups, the group-local shape —
+            # was prototyped and measured 1.47×/1.51× SLOWER than this
+            # single full merge at 1M/10M-group rollups
+            # (tools/measure_rollup_chain.py): the refresh's cost is
+            # dominated by the rollup-sized state WRITE that the
+            # overwrite contract requires, which no merge-shape change
+            # avoids, while the splice added a fixed job chain and a
+            # second rollup scan. The real scale fix is a copy-on-write
+            # keyed refresh (carry untouched FILES, the upsert
+            # discipline generalized to composite dims) — the recorded
+            # change rows below already provide exactly its delta.
             merged = _merge(current.unionByName(partial), dim_names, internal)
             # NULL-sum exactness (r11): a sum whose non-null counter hit
             # zero reads NULL — bit-equal to a from-scratch SQL SUM over

@@ -126,11 +126,19 @@ def main() -> None:
     ).localCheckpoint(eager=True)
     n_window = upsert.count() + append.count()
 
-    # C: refresh cost with vs without recording — identical pre-states
-    refresh_times: dict[str, list[float]] = {"with": [], "without": []}
+    # C: refresh cost — classic merge without vs with change recording;
+    # identical pre-states per rep. (A touched-group "spliced" merge was
+    # prototyped and measured 1.47x/1.51x SLOWER at 1M/10M groups — the
+    # rollup-sized state WRITE dominates, which no merge shape avoids —
+    # so the classic single merge stays; see rollup.py's merge note.)
+    legs = (
+        ("without", dict(record_changes=False)),
+        ("with", dict(record_changes=True)),  # last: the surviving state
+        # must carry recorded changes for the sync legs below
+    )
+    refresh_times: dict[str, list[float]] = {t: [] for t, _ in legs}
     for rep in range(3):
-        # "without" first so the LAST surviving state has changes recorded
-        for tag, rec in (("without", False), ("with", True)):
+        for tag, kw in legs:
             restore(src0, src)
             restore(roll0, roll)
             t = VersionedTable(spark, src)
@@ -139,8 +147,7 @@ def main() -> None:
             t0 = time.perf_counter()
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")  # size advisory, not timed
-                refresh_rollup(spark, src, roll, DIMS, MEASURES,
-                               record_changes=rec)
+                refresh_rollup(spark, src, roll, DIMS, MEASURES, **kw)
             refresh_times[tag].append(time.perf_counter() - t0)
 
     # the surviving roll state has the recorded delta the syncs consume
