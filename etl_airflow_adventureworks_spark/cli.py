@@ -265,6 +265,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="override the prune grace window (default: "
                     "CONSUMER_EMPTY_GRACE_SECONDS, 24h); entries newer "
                     "than this are kept — they may be mid-rebuild")
+    co.add_argument("--pin", default=None, metavar="CONSUMER_PATH",
+                    help="hold this consumer's retention pin for an "
+                    "unbounded teardown-rebuild (r15): while pinned, "
+                    "vacuum --respect-consumer auto keeps ALL versions "
+                    "even if the consumer records nothing and its "
+                    "heartbeat ages out; --unpin releases")
+    co.add_argument("--unpin", default=None, metavar="CONSUMER_PATH",
+                    help="release a --pin hold (the entry stays "
+                    "registered; --retire removes it outright)")
 
     rt = sub.add_parser(
         "replicate-table",
@@ -836,6 +845,15 @@ def main(argv: list[str] | None = None) -> int:
             gone = t.retire_consumer(args.retire)
             print("retired" if gone else "no such registry entry")
             return 0 if gone else 1
+        if args.pin:
+            t.pin_consumer(args.pin)
+            print(f"pinned {args.pin} (release with --unpin when the "
+                  "rebuild reflects again)")
+            return 0
+        if args.unpin:
+            was = t.unpin_consumer(args.unpin)
+            print("unpinned" if was else "entry was not pinned")
+            return 0 if was else 1
         if args.prune:
             kw = {}
             if args.grace_hours is not None:
@@ -856,8 +874,10 @@ def main(argv: list[str] | None = None) -> int:
         man = t.manifest()
         latest = man["version"] if man else None
         now_ms = _time.time() * 1000
-        for c, _hp, mt in entries:
+        for c, _hp, mt, ent in entries:
             beat = f"beat {max(now_ms - mt, 0) / 1000:.0f}s ago"
+            if ent.get("pinned"):
+                beat += ", PINNED"
             try:
                 r = consumer_reflected_version(spark, c, t.path)
                 lag = f"reflects v{r}" + (

@@ -1342,6 +1342,16 @@ def maintain_rollup(
             "vacuum_retain_last must be >= 1 (or None to skip the "
             f"retention leg), got {vacuum_retain_last}"
         )
+    if record_changes not in (True, False, "auto"):
+        # ADVICE r14: refresh_rollup validates this too, but only when
+        # the policy picks an action — an invalid value on an
+        # already-current rollup would otherwise pass silently here and
+        # explode on a later call; fail at the entry point like
+        # vacuum_retain_last does
+        raise ValueError(
+            f"record_changes must be True, False or 'auto', got "
+            f"{record_changes!r}"
+        )
     src = VersionedTable(spark, source_path)
     roll = VersionedTable(spark, rollup_path)
     src_latest = src.manifest()

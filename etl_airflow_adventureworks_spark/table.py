@@ -478,6 +478,17 @@ class VersionedTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         if changes_df is not None:
+            if mode == "append":
+                # ADVICE r14: row_changes classifies an append window by
+                # the file-set prev<=cur test FIRST, so recorded change
+                # rows on an append would be silently ignored — an append
+                # IS its own row delta; recording a different one is a
+                # caller bug, not something to drop on the floor
+                raise ValueError(
+                    "changes_df is only meaningful with mode='overwrite' "
+                    "(an append IS its own row delta — row_changes reads "
+                    "the appended files directly)"
+                )
             want = set(df.columns) | {CHANGE_TYPE_COL}
             if set(changes_df.columns) != want:
                 raise ValueError(
@@ -502,6 +513,7 @@ class VersionedTable:
         if stats_cols and new_files:
             new_stats = self._file_stats(new_files, stats_cols, df.schema)
         change_files: list[str] | None = None
+        changes_written_at = version
         if changes_df is not None:
             # an empty delta records "changes": [] (zero rows, walkable)
             # rather than a 0-row part file
@@ -511,6 +523,14 @@ class VersionedTable:
             )
         last_err: CommitConflict | None = None
         for _ in range(_MAX_COMMIT_ATTEMPTS if retry else 1):
+            if change_files and changes_written_at != version:
+                # ADVICE r14: an OCC retry bumped the target version —
+                # re-land the change files under a directory named for
+                # the version that will actually reference them (the
+                # stale-named originals become vacuum-swept orphans);
+                # forensics can then trust the c<version> prefix
+                change_files = self._write_change_files(changes_df, version)
+                changes_written_at = version
             stats: dict[str, dict] = {}
             files = new_files
             if mode == "append" and latest:
@@ -1700,20 +1720,34 @@ class VersionedTable:
                 return
         if self._fs.exists(hp):
             try:
-                self._read_json(hp)["path"]
+                existing = self._read_json(hp)
+                existing["path"]
                 # heartbeat (r14, VERDICT r13 #2): the entry's mtime is
                 # "last seen reflecting" — safe_retain_floor's grace pin
                 # reads it to tell a consumer mid-rebuild (recent beat,
                 # protect everything) from one deleted long ago (stale
-                # beat, loud skip + prune_consumers). One metadata op,
-                # best-effort: a store without setTimes keeps the
-                # registration time, which only shortens the grace.
+                # beat, loud skip + prune_consumers). One metadata op;
+                # on a store without setTimes (ADVICE r14: some
+                # object-store connectors) fall back to rewriting the
+                # entry with the same content — a fresh object carries a
+                # fresh mtime, so a healthy consumer mid teardown-rebuild
+                # keeps its grace pin there too.
                 try:
                     import time as _time
 
                     self._fs.setTimes(hp, int(_time.time() * 1000), -1)
                 except Exception:
-                    pass
+                    try:
+                        # rewrite the EXISTING content (it may carry
+                        # fields beyond path — e.g. a pin), not the bare
+                        # registration payload
+                        self._write_bytes(
+                            hp, json.dumps(existing).encode(),
+                            overwrite=True,
+                        )
+                    except Exception:
+                        pass  # heartbeat stays best-effort: a failed
+                        # touch only shortens the grace window
                 return  # healthy entry: idempotent no-op
             except Exception:
                 # a truncated/corrupt entry (pre-r13 direct write, or a
@@ -1746,12 +1780,62 @@ class VersionedTable:
             return True
         return False
 
-    def _consumer_entries_meta(self) -> "list[tuple[str, object, int]]":
-        """(consumer_path, entry HPath, mtime_ms) per healthy registry
-        entry, sorted by path. The mtime is the consumer's last-reflect
-        heartbeat (``register_consumer`` touches it on every idempotent
-        re-registration) — what the grace window in ``safe_retain_floor``
-        and ``prune_consumers`` measures age against."""
+    def pin_consumer(self, consumer_path: str) -> None:
+        """Hold this consumer's retention pin for an UNBOUNDED
+        teardown-rebuild (r15, VERDICT r14 #2): while pinned, a
+        registered consumer that currently records no reflected version
+        keeps ``safe_retain_floor("auto")`` pinned to ALL retained
+        versions regardless of heartbeat age, and ``prune_consumers``
+        never retires it — closing the >24 h rebuild window the
+        heartbeat grace alone leaves open. Call BEFORE deleting the
+        consumer's artifact; ``unpin_consumer`` (or the consumer's next
+        reflect plus an explicit unpin) releases the hold. Registers the
+        entry first if absent, so a pin can precede the first
+        bootstrap. For rebuilds shorter than the grace window a
+        periodic ``register_consumer`` heartbeat is enough — the pin is
+        for the long tail."""
+        cp, hp = self._consumer_entry(consumer_path)
+        if cp == self.path:
+            raise ValueError(f"{cp} cannot register as its own consumer")
+        ent = {"path": cp}
+        if self._fs.exists(hp):
+            try:
+                ent = self._read_json(hp)
+            except Exception:
+                pass  # corrupt entry: the rewrite below self-heals it
+        ent["pinned"] = True
+        # direct overwrite, not tmp+rename: the entry is tiny, a torn
+        # copy self-heals via register_consumer's corrupt-entry branch,
+        # and the pin is an operator action (no concurrent pinner race
+        # worth a rename dance)
+        self._write_bytes(hp, json.dumps(ent).encode(), overwrite=True)
+
+    def unpin_consumer(self, consumer_path: str) -> bool:
+        """Release a ``pin_consumer`` hold. Returns whether the entry
+        existed and was pinned. The entry itself stays registered (the
+        rebuilt consumer re-reflects into it); ``retire_consumer``
+        removes it outright."""
+        _cp, hp = self._consumer_entry(consumer_path)
+        if not self._fs.exists(hp):
+            return False
+        try:
+            ent = self._read_json(hp)
+        except Exception:
+            return False
+        was = bool(ent.pop("pinned", False))
+        if was:
+            self._write_bytes(hp, json.dumps(ent).encode(), overwrite=True)
+        return was
+
+    def _consumer_entries_meta(
+        self,
+    ) -> "list[tuple[str, object, int, dict]]":
+        """(consumer_path, entry HPath, mtime_ms, entry_dict) per healthy
+        registry entry, sorted by path. The mtime is the consumer's
+        last-reflect heartbeat (``register_consumer`` touches it on every
+        idempotent re-registration) — what the grace window in
+        ``safe_retain_floor`` and ``prune_consumers`` measures age
+        against; the dict carries any extra fields (``pinned``, r15)."""
         d = self._HPath(f"{self.path}/{_CONSUMERS_DIR}")
         if not self._fs.exists(d):
             return []
@@ -1761,10 +1845,12 @@ class VersionedTable:
             if not name.endswith(".json") or name.startswith(".tmp-"):
                 continue
             try:
+                ent = self._read_json(st.getPath())
                 out.append((
-                    self._read_json(st.getPath())["path"],
+                    ent["path"],
                     st.getPath(),
                     int(st.getModificationTime()),
+                    ent,
                 ))
             except Exception:
                 import warnings
@@ -1782,7 +1868,7 @@ class VersionedTable:
         """Registered consumer paths, sorted (empty for a table nothing
         has reflected). One directory listing + one tiny JSON read per
         entry — no manifests, no data."""
-        return [p for p, _hp, _mt in self._consumer_entries_meta()]
+        return [p for p, _hp, _mt, _e in self._consumer_entries_meta()]
 
     def prune_consumers(
         self, grace_sec: "float" = None  # type: ignore[assignment]
@@ -1801,7 +1887,10 @@ class VersionedTable:
             grace_sec = CONSUMER_EMPTY_GRACE_SECONDS
         now_ms = _time.time() * 1000
         pruned = []
-        for c, hp, mt in self._consumer_entries_meta():
+        for c, hp, mt, ent in self._consumer_entries_meta():
+            if ent.get("pinned"):
+                continue  # an explicit hold (pin_consumer, r15) outranks
+                # heartbeat age — unpin_consumer releases it
             if now_ms - mt <= grace_sec * 1000:
                 continue
             try:
@@ -1852,10 +1941,12 @@ class VersionedTable:
             return 1
         auto = consumers == "auto"
         beats: dict = {}
+        pins: dict = {}
         if auto:
             meta = self._consumer_entries_meta()
-            consumer_list = [p for p, _hp, _mt in meta]
-            beats = {p: mt for p, _hp, mt in meta}
+            consumer_list = [p for p, _hp, _mt, _e in meta]
+            beats = {p: mt for p, _hp, mt, _e in meta}
+            pins = {p: bool(e.get("pinned")) for p, _hp, _mt, e in meta}
         else:
             consumer_list = consumers
         latest = man["version"]
@@ -1868,6 +1959,22 @@ class VersionedTable:
                     import time as _time
                     import warnings
 
+                    if pins.get(c):
+                        # explicit hold (pin_consumer, r15, VERDICT r14
+                        # #2): a teardown-rebuild longer than the grace
+                        # window holds its pin until released — no
+                        # heartbeat needed
+                        vs = self.versions()
+                        floor = max(floor, latest - vs[0] + 1)
+                        warnings.warn(
+                            f"safe_retain_floor({self.path}): consumer "
+                            f"{c} records nothing but is PINNED — "
+                            "retention covers ALL versions until "
+                            "unpin_consumer() releases the hold",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
+                        continue
                     age_ms = _time.time() * 1000 - beats.get(c, 0)
                     if age_ms <= CONSUMER_EMPTY_GRACE_SECONDS * 1000:
                         vs = self.versions()
@@ -2344,6 +2451,12 @@ def latest_maintainer_manifest(
         return None
     for v in reversed(vs):
         man = vt.manifest(v)
+        if man is None:
+            # ADVICE r14: a concurrent vacuum between the versions()
+            # listing and this read removed the manifest — skip it (the
+            # walk continues to the next retained version, and callers'
+            # loud token validation still fires on whatever survives)
+            continue
         token = man.get("token") or ""
         if any(token.startswith(p) for p in prefixes):
             return man

@@ -2151,3 +2151,21 @@ def test_record_changes_auto_gates_on_registered_consumers(spark, tmp_path):
     with pytest.raises(ValueError, match="record_changes"):
         refresh_rollup(spark, s_p, r_p, ["event_type"],
                        {"n": ("count", None)}, record_changes="yes")
+
+
+def test_maintain_rollup_validates_record_changes_up_front(spark, tmp_path):
+    """ADVICE r14: an invalid record_changes fails at the entry point
+    even when the policy would pick NO action (already-current rollup) —
+    the vacuum_retain_last validation discipline."""
+    src_p, roll_p = str(tmp_path / "src"), str(tmp_path / "roll")
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        maintain_rollup,
+    )
+
+    vt = VersionedTable(spark, src_p)
+    vt.commit(spark.createDataFrame([(1, 10)], "g long, x long"))
+    measures = {"n": ("count", None)}
+    maintain_rollup(spark, src_p, roll_p, ["g"], measures)  # bootstrap
+    with pytest.raises(ValueError, match="record_changes"):
+        maintain_rollup(spark, src_p, roll_p, ["g"], measures,
+                        record_changes="yes")

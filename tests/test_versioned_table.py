@@ -1760,3 +1760,224 @@ def test_consumers_prune_subcommand(spark, tmp_path, capsys):
                  "--grace-hours", "24"]) == 0
     assert f"pruned {dead_p}" in capsys.readouterr().out
     assert t.consumers() == []
+
+
+def test_pin_consumer_holds_retention_past_grace(spark, tmp_path, capsys):
+    """r15 (VERDICT r14 #2): a teardown-rebuild LONGER than the heartbeat
+    grace window holds its retention pin via pin_consumer — the floor
+    stays pinned to ALL versions regardless of entry age, prune_consumers
+    never retires the entry, and unpin_consumer releases the hold."""
+    import os
+    import shutil
+    import time
+
+    from etl_airflow_adventureworks_spark.cli import main
+    from etl_airflow_adventureworks_spark.table import (
+        _CONSUMERS_DIR,
+        replicate_table,
+    )
+
+    src_p, repl_p = str(tmp_path / "src"), str(tmp_path / "repl")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a")]))                                 # v1
+    replicate_table(spark, src_p, repl_p, key="k")
+    t.commit(_df(spark, [(2, "b")]), mode="append")                  # v2
+    t.commit(_df(spark, [(3, "c")]), mode="append")                  # v3
+
+    # the operator pins BEFORE tearing the replica down, then the
+    # rebuild overruns the grace window (entry aged way past it)
+    t.pin_consumer(repl_p)
+    shutil.rmtree(repl_p)
+    entry_dir = tmp_path / "src" / _CONSUMERS_DIR
+    old = time.time() - 10 * 24 * 3600
+    for f in os.listdir(entry_dir):
+        if f.endswith(".json"):
+            os.utime(entry_dir / f, (old, old))
+
+    with pytest.warns(RuntimeWarning, match="PINNED"):
+        assert t.safe_retain_floor("auto") == 3  # all versions held
+    with pytest.warns(RuntimeWarning, match="strand a lagging"):
+        t.vacuum(retain_last=1, respect_consumers="auto")
+    assert t.versions() == [1, 2, 3]
+    assert t.prune_consumers() == []           # pinned: never retired
+    assert t.consumers() == [repl_p]
+
+    # listing shows the hold
+    assert main(["consumers", "--path", src_p]) == 0
+    assert "PINNED" in capsys.readouterr().out
+
+    # the rebuild completes and reflects again; re-registration
+    # preserves the pin (belt under the braces) until the explicit unpin
+    replicate_table(spark, src_p, repl_p, key="k")
+    assert t.unpin_consumer(repl_p) is True
+    assert t.unpin_consumer(repl_p) is False   # idempotent release
+    assert t.safe_retain_floor("auto") == 1    # ordinary reflected floor
+
+    # an unpinned stale-empty entry degrades exactly as before
+    shutil.rmtree(repl_p)
+    for f in os.listdir(entry_dir):
+        if f.endswith(".json"):
+            os.utime(entry_dir / f, (old, old))
+    with pytest.warns(RuntimeWarning, match="past the grace"):
+        assert t.safe_retain_floor("auto") == 1
+    assert t.prune_consumers() == [repl_p]
+
+    # CLI round-trip: pin, then unpin
+    other = str(tmp_path / "other_consumer")
+    assert main(["consumers", "--path", src_p, "--pin", other]) == 0
+    assert "pinned" in capsys.readouterr().out
+    assert t.consumers() == [other]
+    assert main(["consumers", "--path", src_p, "--unpin", other]) == 0
+    assert main(["consumers", "--path", src_p, "--unpin", other]) == 1
+
+
+def test_heartbeat_during_rebuild_keeps_pin_under_short_grace(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (VERDICT r14 #2 'Done' shape): with a SHRUNKEN grace window, a
+    rebuild loop that heartbeats (register_consumer re-registration)
+    keeps safe_retain_floor("auto") pinned past many grace lifetimes,
+    while a stale entry with no heartbeats still degrades and prunes."""
+    import shutil
+    import time
+
+    import etl_airflow_adventureworks_spark.table as table_mod
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    monkeypatch.setattr(table_mod, "CONSUMER_EMPTY_GRACE_SECONDS", 1)
+    src_p, repl_p = str(tmp_path / "src"), str(tmp_path / "repl")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a")]))                                 # v1
+    replicate_table(spark, src_p, repl_p, key="k")
+    t.commit(_df(spark, [(2, "b")]), mode="append")                  # v2
+
+    shutil.rmtree(repl_p)  # teardown: the consumer records nothing now
+    for _ in range(3):     # rebuild loop outlives the 1s grace 3x over,
+        time.sleep(1.1)    # heartbeating each iteration
+        t.register_consumer(repl_p)  # the heartbeat touch
+        with pytest.warns(RuntimeWarning, match="mid-rebuild"):
+            assert t.safe_retain_floor("auto") == 2  # still pinned
+
+    # no heartbeat -> the same entry ages out and degrades to the skip
+    time.sleep(1.2)
+    with pytest.warns(RuntimeWarning, match="past the grace"):
+        assert t.safe_retain_floor("auto") == 1
+    assert t.prune_consumers(grace_sec=1) == [repl_p]
+
+
+def test_register_consumer_heartbeat_survives_no_settimes(spark, tmp_path):
+    """ADVICE r14: on a store without FileSystem.setTimes the heartbeat
+    falls back to rewriting the entry (same content, fresh mtime), so a
+    rebuilding consumer keeps its grace pin — and the rewrite preserves
+    extra fields (the r15 pin)."""
+    import json
+    import os
+    import time
+
+    from etl_airflow_adventureworks_spark.table import _CONSUMERS_DIR
+
+    src_p, cons_p = str(tmp_path / "src"), str(tmp_path / "cons")
+    t = VersionedTable(spark, src_p)
+    t.commit(_df(spark, [(1, "a")]))
+    t.register_consumer(cons_p)
+    t.pin_consumer(cons_p)
+
+    class _NoSetTimes:
+        """Delegating FileSystem proxy whose setTimes always fails —
+        the object-store connector shape the fallback exists for."""
+
+        def __init__(self, fs):
+            self._inner = fs
+
+        def setTimes(self, *a):
+            raise RuntimeError("setTimes unsupported on this store")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    t._fs = _NoSetTimes(t._fs)
+    entry_dir = tmp_path / "src" / _CONSUMERS_DIR
+    entry = next(entry_dir / f for f in os.listdir(entry_dir)
+                 if f.endswith(".json"))
+    old = time.time() - 10 * 24 * 3600
+    os.utime(entry, (old, old))
+    t.register_consumer(cons_p)  # heartbeat via the rewrite fallback
+    assert os.path.getmtime(entry) > time.time() - 60
+    ent = json.loads(entry.read_text())
+    assert ent["path"] == cons_p and ent["pinned"] is True
+
+
+def test_commit_changes_df_append_guard_and_retry_relanding(
+    spark, tmp_path
+):
+    """ADVICE r14: changes_df with mode='append' fails loud (row_changes
+    would silently ignore the recorded rows); and when an OCC retry bumps
+    the commit's version, the change files are re-landed under a
+    directory named for the version that references them."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.table import (
+        CHANGE_TYPE_COL,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    b = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]))                                 # v1
+
+    payload = _df(spark, [(2, "b")])
+    ch = payload.withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+    with pytest.raises(ValueError, match="mode='overwrite'"):
+        t.commit(payload, mode="append", changes_df=ch)
+
+    # force one version conflict before the publish: an interloper lands
+    # v2 just before our overwrite's first attempt, so ours retries to v3
+    orig = VersionedTable._publish_manifest
+    armed = {"on": True}
+
+    def racing_publish(self_, man):
+        if armed["on"]:
+            armed["on"] = False
+            b.commit(_df(spark, [(9, "z")]), mode="append")
+        return orig(self_, man)
+
+    VersionedTable._publish_manifest = racing_publish
+    try:
+        v = t.commit(payload, mode="overwrite", changes_df=ch)
+    finally:
+        VersionedTable._publish_manifest = orig
+    assert v == 3
+    man = t.manifest(3)
+    assert man["changes"], "change rows should be recorded"
+    for f in man["changes"]:
+        assert f.startswith(f"_changes/c{3:08d}-"), f
+    # the stale-named first landing is an unreferenced orphan vacuum sweeps
+    assert t.vacuum(retain_last=1) > 0
+
+
+def test_latest_maintainer_manifest_skips_vanished_version(spark, tmp_path):
+    """ADVICE r14: a concurrent vacuum removing a manifest between the
+    versions() listing and the walk's read must be SKIPPED, not crash
+    with AttributeError on None."""
+    from etl_airflow_adventureworks_spark.table import (
+        VersionedTable,
+        latest_maintainer_manifest,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a")]), idempotency_token="rollup-of:v1")  # v1
+    t.commit(_df(spark, [(2, "b")]), idempotency_token="rollup-of:v2")  # v2
+
+    orig = VersionedTable.manifest
+
+    def vanishing(self_, version=None):
+        if version == 2:
+            return None  # vacuumed between listing and read
+        return orig(self_, version)
+
+    VersionedTable.manifest = vanishing
+    try:
+        man = latest_maintainer_manifest(t, ("rollup-of:v",))
+    finally:
+        VersionedTable.manifest = orig
+    assert man is not None and man["token"] == "rollup-of:v1"
