@@ -412,6 +412,13 @@ def main(argv: list[str] | None = None) -> int:
                     "rollup-of-a-rollup) sync at delta cost (r14); 'auto' "
                     "records exactly when the rollup has registered "
                     "consumers")
+    rr.add_argument("--cow", default="auto",
+                    choices=["auto", "true", "false"],
+                    help="commit via the copy-on-write keyed rewrite "
+                    "(r15): carry rollup files containing no touched "
+                    "group verbatim instead of rewriting the whole "
+                    "state; 'auto' switches on once the stored rollup "
+                    "exceeds the measured break-even size")
     rr.add_argument("--show", type=int, default=0, metavar="N",
                     help="after refreshing, print N finalized rollup rows "
                     "(HLL sketches as estimates; histogram measures as "
@@ -441,6 +448,23 @@ def main(argv: list[str] | None = None) -> int:
     mr.add_argument("--vacuum-retain", type=int, default=None, metavar="N",
                     help="after the content action, sweep the rollup "
                     "table's own versions to the newest N")
+    mr.add_argument("--cow", default="auto",
+                    choices=["auto", "true", "false"],
+                    help="copy-on-write commit for the refresh leg "
+                    "(r15, see refresh-rollup --cow)")
+
+    vr = sub.add_parser(
+        "verify-replica",
+        help="content-equality audit of a replica OF a rollup (r15): "
+        "compares FINALIZED frames (HLL sketches as estimates, "
+        "deterministic measures exactly) — the check to run instead of "
+        "diffing files/hashes, which always false-alarm between a "
+        "rollup and its replica",
+    )
+    vr.add_argument("--rollup", required=True, help="rollup table root")
+    vr.add_argument("--replica", required=True, help="replica table root")
+    vr.add_argument("--spec", required=True,
+                    help="JSON file, same shape as refresh-rollup's")
 
     va = sub.add_parser(
         "validate",
@@ -1002,13 +1026,13 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.spec) as fh:
             spec = _json.load(fh)
         measures = {k: (v[0], v[1]) for k, v in spec["measures"].items()}
-        rc = {"auto": "auto", "true": True, "false": False}[
-            args.record_changes]
+        tri = {"auto": "auto", "true": True, "false": False}
         v = refresh_rollup(
             spark, args.source, args.rollup, spec["dims"], measures,
             full_rebuild=args.full_rebuild,
             monotone_dims=spec.get("monotone_dims"),
-            record_changes=rc,
+            record_changes=tri[args.record_changes],
+            cow=tri[args.cow],
         )
         print(f"rollup at version {v} (reflects the source's latest commit)")
         if args.show:
@@ -1043,6 +1067,7 @@ def main(argv: list[str] | None = None) -> int:
             dry_run=args.dry_run,
             monotone_dims=spec.get("monotone_dims"),
             vacuum_retain_last=args.vacuum_retain,
+            cow={"auto": "auto", "true": True, "false": False}[args.cow],
         )
         verb = "would run" if args.dry_run else "ran"
         print(f"rollup {args.rollup}: {verb} "
@@ -1050,6 +1075,17 @@ def main(argv: list[str] | None = None) -> int:
         for r in rep["reasons"]:
             print(f"  - {r}")
         return 0
+    if args.cmd == "verify-replica":
+        import json as _json
+
+        from .operators.rollup import verify_replica
+
+        with open(args.spec) as fh:
+            spec = _json.load(fh)
+        measures = {k: (v[0], v[1]) for k, v in spec["measures"].items()}
+        rep = verify_replica(spark, args.rollup, args.replica, measures)
+        print(_json.dumps(rep))
+        return 0 if rep["equal"] else 1
     if args.cmd == "validate":
         import json as _json
 

@@ -67,7 +67,18 @@ loud; pass ``full_rebuild=True`` to re-aggregate from the current
 snapshot (same result, full-scan cost) — or call ``maintain_rollup``
 (r13), the one-call policy that classifies the window from manifests
 and executes the measured rebuild-vs-incremental-vs-group-local
-decision table. A pure COMPACTION
+decision table.
+
+The COMMIT side is copy-on-write too (r15, VERDICT r14 #1): every
+non-rebuild refresh can land through ``VersionedTable.merge_keyed``
+(``cow="auto"``) — only the rollup FILES containing touched groups
+are rewritten, the rest carried verbatim with their per-file dim
+stats, so the refresh writes O(touched groups) instead of the
+O(rollup) full-state overwrite that r14 measured as the dominant
+refresh cost ("Measured and rejected", SCALING.md). Dim stats are
+recorded at every rebuild/CoW commit, and candidacy above the
+touched-key collect cap is a distributed broadcast range-join of file
+bounds (exact at any key count). A pure COMPACTION
 (`optimize`) is rowset-preserving and the feed skips it since r9, so
 continuous refresh survives periodic OPTIMIZE with no rebuild
 (tests/test_rollup.py::test_refresh_survives_optimize_reading_only_the_delta).
@@ -478,6 +489,30 @@ def _monotone_file_bounds(
         return None  # not even naturally orderable: no pruning
 
 
+def _image_tz_sensitive(spark, src_schema, col: str, expr_body: str) -> bool:
+    """Whether a monotone dim's IMAGE type passes through the non-Arrow
+    collect's ``fromtimestamp`` (TimestampType) — the one conversion a
+    DST PROCESS zone can fold (r15, VERDICT r14 #6). Resolved from the
+    expression's analyzed schema over an empty frame: plan-only, no
+    job. Unresolvable expressions report sensitive (fail-closed — the
+    dim then declines pruning, which is never wrong, and the bounds
+    evaluator would have declined it anyway)."""
+    from pyspark.sql import types as T
+
+    field = next((f for f in src_schema.fields if f.name == col), None)
+    if field is None:
+        return True
+    try:
+        dtype = (
+            spark.createDataFrame([], T.StructType([field]))
+            .select(F.expr(expr_body))
+            .schema.fields[0].dataType
+        )
+    except Exception:
+        return True
+    return isinstance(dtype, T.TimestampType)
+
+
 def _prune_candidates(
     spark: SparkSession,
     src: VersionedTable,
@@ -548,7 +583,17 @@ def _prune_candidates(
         if _process_tz_fixed_offset():
             mono = {t: ce for t, ce in mono.items() if ce[0] not in ts_cols}
         else:
-            mono = {}
+            # r15 (VERDICT r14 #6): a DST process zone only corrupts
+            # values that pass through fromtimestamp — a dim whose
+            # INNER column (stats decode) and IMAGE type (endpoint
+            # images + touched keys, both collected here) are zone-free
+            # (date / numeric) never does; keep those pruning instead
+            # of declining wholesale
+            mono = {
+                t: ce for t, ce in mono.items()
+                if ce[0] not in ts_cols
+                and not _image_tz_sensitive(spark, src_schema, *ce)
+            }
     pruned = files
     if keys is not None and (prunable or mono) and files:
         key_rows = keys.collect()
@@ -640,7 +685,13 @@ def _group_local_state(
     ``_candidate_files`` discipline) — on a dim-clustered source a
     k-group window reads ~k files, not the table. The semi-joins are
     broadcast below ``_GROUP_KEYS_COLLECT_MAX`` keys. Returns
-    ``(state_df, op_metrics)``; the caller commits."""
+    ``(state_df, re_agg, keys_named, op_metrics)``: the full spliced
+    state (a lazy plan — the classic overwrite commit), the
+    re-aggregated TOUCHED groups alone, and the touched key frame under
+    the output dim names — what the copy-on-write commit path (r15)
+    hands to ``merge_keyed`` so only the rollup files containing
+    touched groups are rewritten. The caller commits one of the two
+    shapes."""
     from functools import reduce
 
     dim_tmp = [f"__gl_d{i}" for i in range(len(dims))]
@@ -687,7 +738,7 @@ def _group_local_state(
         "files_read": len(pruned),
         "files_total": len(files),
     }
-    return kept.unionByName(re_agg), metrics
+    return kept.unionByName(re_agg), re_agg, keys_named, metrics
 
 
 def _signed_aggregate(
@@ -734,6 +785,7 @@ def _rollup_change_rows(
     new_state: DataFrame,
     dim_names: list[str],
     touched: "DataFrame | None",
+    drop_unchanged: bool = False,
 ) -> DataFrame:
     """Delta-CDF change rows for a refresh that rewrote ``current``
     into ``new_state`` touching exactly the groups in ``touched``
@@ -763,17 +815,38 @@ def _rollup_change_rows(
     replica is CONTENT-equal to the rollup (identical estimates
     through ``finalize_rollup``, the documented read path) but not
     byte-equal on sketch columns. Deterministic measures
-    (count/sum/min/max/histogram) are bit-equal."""
+    (count/sum/min/max/histogram) are bit-equal.
+
+    ``drop_unchanged`` (r15, VERDICT r14 #7): drop update pairs whose
+    pre/post rows are row-identical — a touched group whose aggregate
+    value did not actually move (e.g. a wide refresh window brushing
+    many groups) adds nothing to either consumer algebra (a CDC
+    collapse would upsert an equal value; a signed re-aggregate nets
+    zero), so dropping the pair shrinks downstream sync work with no
+    semantic change. The CALLER may only enable this when every
+    measure is deterministic: an HLL sketch column can change content
+    while every other column stays equal, and a bytewise comparison on
+    re-serialized sketches would also false-positive — sketch-bearing
+    specs keep the documented over-reporting."""
     from functools import reduce
 
     from ..table import CHANGE_TYPE_COL
 
+    def _filter_unchanged(pre: DataFrame, post: DataFrame):
+        """Row-identical pre/post pairs vanish: rollup rows are unique
+        per dims, so a pre row multiset-equal to some post row IS its
+        own pair (exceptAll groups null-safe, SQL set-op semantics);
+        both frames are touched-group-sized."""
+        return pre.exceptAll(post), post.exceptAll(pre)
+
     if not dim_names:
-        pre = current.withColumn(
-            CHANGE_TYPE_COL, F.lit("update_preimage"))
-        post = new_state.withColumn(
+        pre, post = current, new_state
+        if drop_unchanged:
+            pre, post = _filter_unchanged(pre, post)
+        pre = pre.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+        post = post.withColumn(
             CHANGE_TYPE_COL, F.lit("update_postimage"))
-        return pre.unionByName(post)
+        return pre.unionByName(post).localCheckpoint(eager=True)
     # renamed key frames: new_state derives from current, so joining
     # raw same-named columns would hit self-join lineage ambiguity
     tk = touched.select(
@@ -806,6 +879,25 @@ def _rollup_change_rows(
     out = _tag(old_t, new_t, "update_preimage", "delete").unionByName(
         _tag(new_t, old_t, "update_postimage", "insert")
     )
+    if drop_unchanged:
+        pres = out.filter(
+            F.col(CHANGE_TYPE_COL) == "update_preimage"
+        ).drop(CHANGE_TYPE_COL)
+        posts = out.filter(
+            F.col(CHANGE_TYPE_COL) == "update_postimage"
+        ).drop(CHANGE_TYPE_COL)
+        keep_pre, keep_post = _filter_unchanged(pres, posts)
+        out = (
+            out.filter(F.col(CHANGE_TYPE_COL).isin("insert", "delete"))
+            .unionByName(
+                keep_pre.withColumn(
+                    CHANGE_TYPE_COL, F.lit("update_preimage"))
+            )
+            .unionByName(
+                keep_post.withColumn(
+                    CHANGE_TYPE_COL, F.lit("update_postimage"))
+            )
+        )
     # one materialization: commit() both probes emptiness and writes
     # the files — without the pin the 4-join union would compute twice
     return out.localCheckpoint(eager=True)
@@ -911,6 +1003,114 @@ REBUILD_ADVISORY_BYTES = 64 * 1024 * 1024
 #: wins on the flat-vs-linear trend, by touched-files ∝ touched groups.
 GROUP_LOCAL_ADVISORY_BYTES = 1024 * 1024 * 1024
 
+#: the copy-on-write commit path's "auto" threshold (r15, VERDICT r14
+#: #1): above this STORED-ROLLUP size a refresh commits via
+#: ``merge_keyed`` (rewrite only the rollup files containing touched
+#: groups) instead of the classic full-state overwrite — converting the
+#: last linear-in-state refresh cost, the O(rollup) write, into
+#: O(touched files). Below it the classic overwrite's single small write
+#: beats CoW's fixed probe/join chain (measured:
+#: tools/measure_rollup_chain.py, SCALING.md "Copy-on-write keyed
+#: refresh" — CoW won from the first multi-file rollup state we could
+#: build, ~8 MiB, and the probe chain costs ~0.5 s flat, so the
+#: threshold sits at the measured break-even, not a guess).
+COW_REFRESH_MIN_BYTES = 256 * 1024 * 1024
+
+#: "auto" CoW also requires the window to be FILE-LOCAL: if the
+#: touched keys' candidate files (manifest stats, computed before any
+#: data read) exceed this fraction of the rollup's files, a spread
+#: window is rewriting most of the state anyway and the classic single
+#: overwrite is cheaper than CoW's probe + per-file rewrite (measured
+#: 0.40-0.81x across every scale/spec — tools/measure_cow_refresh.py
+#: "spread"); an explicit cow=True skips the check (caller's policy)
+COW_AUTO_MAX_CANDIDATE_FRACTION = 0.5
+
+
+def _dim_stats_cols(spark: SparkSession, state_schema, dim_names) -> list:
+    """The rollup's dim OUTPUT columns eligible for per-file min/max
+    stats (numeric/date/timestamp — ``table.numeric_stats_types``;
+    timestamp only under a fixed-offset session zone, the
+    ``_validate_stats_cols`` rule). Recorded at every rebuild and CoW
+    commit so the NEXT refresh's ``merge_keyed`` can prune the rollup's
+    own files by touched group keys — the rollup-side twin of the
+    source-side monotone-dim pruning."""
+    from ..table import (
+        _session_tz_fixed_offset,
+        _tz_sensitive_cols,
+        numeric_stats_types,
+    )
+
+    numeric = numeric_stats_types()
+    by = {f.name: f.dataType for f in state_schema.fields}
+    out = [n for n in dim_names
+           if n in by and isinstance(by[n], numeric)]
+    if not _session_tz_fixed_offset(spark):
+        ts = _tz_sensitive_cols(state_schema)
+        out = [n for n in out if n not in ts]
+    return out
+
+
+def _rollup_touched_read(
+    spark: SparkSession, roll: VersionedTable, touched: DataFrame
+) -> "tuple[DataFrame, int, int]":
+    """Pruned read of ONLY the rollup files that may contain a touched
+    group (r15): the CoW refresh's last O(rollup) term was the full
+    ``roll.read()`` scan feeding the touched-groups semi-join — but a
+    touched group's current row can only live in a file whose recorded
+    dim stats admit its key, the same candidacy ``merge_keyed`` uses
+    for its write-side probe (exact bisect under the collect cap, the
+    distributed bounds range-join above it; files without stats stay
+    candidates). The semi-join downstream keeps exactness; this only
+    shrinks the READ. On a dims-clustered rollup the whole refresh is
+    then touched-sized: read ∝ touched files, write ∝ touched files.
+    Returns ``(df, n_candidates, n_files)`` — the counts feed the
+    "auto" CoW spread-window stand-down
+    (``COW_AUTO_MAX_CANDIDATE_FRACTION``)."""
+    from pyspark.sql import types as T
+
+    from ..table import _PRUNE_KEYS_COLLECT_MAX
+
+    man = roll.manifest()
+    files = man["files"]
+    stats = man.get("stats") or {}
+    import json as _json
+
+    schema = T.StructType.fromJson(_json.loads(man["schema"]))
+    key_rows = touched.limit(_PRUNE_KEYS_COLLECT_MAX + 1).collect()
+    if len(key_rows) > _PRUNE_KEYS_COLLECT_MAX:
+        key_rows = None
+    cand = roll._candidate_files_multi(
+        files, stats, list(touched.columns), key_rows, schema,
+        touch_keys=touched,
+    )
+    if not cand:
+        return spark.createDataFrame([], schema), 0, len(files)
+    df = spark.read.schema(schema).parquet(
+        *[f"{roll.path}/{f}" for f in cand]
+    )
+    return df, len(cand), len(files)
+
+
+def _semi_on_dims(
+    df: DataFrame, keys_named: DataFrame, dim_names: list[str],
+    broadcast: bool = True,
+) -> DataFrame:
+    """Null-safe LEFT SEMI of ``df`` against the touched key frame on
+    the dim columns (a NULL group key is a real group — SQL GROUP BY
+    semantics), with renamed probe columns so a current-state self-join
+    cannot hit lineage ambiguity."""
+    from functools import reduce
+
+    tk = keys_named.select(
+        *[F.col(n).alias(f"__ck_{n}") for n in dim_names]
+    )
+    probe = F.broadcast(tk) if broadcast else tk
+    cond = reduce(
+        lambda a, b: a & b,
+        [df[n].eqNullSafe(F.col(f"__ck_{n}")) for n in dim_names],
+    )
+    return df.join(probe, cond, "left_semi")
+
 
 def refresh_rollup(
     spark: SparkSession,
@@ -922,9 +1122,30 @@ def refresh_rollup(
     rebuild_advisory_bytes: int = REBUILD_ADVISORY_BYTES,
     monotone_dims: dict[str, str] | None = None,
     record_changes: "bool | str" = "auto",
+    cow: "bool | str" = "auto",
 ) -> int:
     """Bring the rollup at ``rollup_path`` up to the source's latest
     version and return the rollup version committed (or current).
+
+    Copy-on-write commit (r15, VERDICT r14 #1 — the last
+    linear-in-state refresh cost): every non-rebuild refresh mode
+    previously REWROTE the whole rollup state per commit even when one
+    group changed — measured to dominate refresh wall time at 1M/10M
+    groups (SCALING.md r14 "Measured and rejected"). With
+    ``cow=True`` (or ``"auto"``, which turns CoW on once the STORED
+    rollup exceeds ``COW_REFRESH_MIN_BYTES`` and the spec has dims) the
+    refresh computes only the TOUCHED groups' new rows and commits via
+    ``VersionedTable.merge_keyed``: rollup files containing no touched
+    group are carried verbatim, so the refresh writes O(touched
+    groups), not O(rollup). Dim columns that are stats-eligible
+    (numeric/date/timestamp) get per-file min/max recorded at every
+    rebuild and CoW commit, so the next refresh's file probe prunes by
+    touched keys — a dims-clustered rollup rewrites ~k files for a
+    k-group window. Results are bit-identical to the classic overwrite
+    for every deterministic measure (the merge algebra is unchanged —
+    only WHICH rows get rewritten differs); sketch columns keep their
+    stored bytes on untouched groups (strictly closer to from-scratch
+    than the classic path, which re-serializes them).
 
     ``dims`` are SQL expressions (aliased ones become the rollup's key
     columns — e.g. ``["event_type", "date_trunc('hour', ts) AS hour"]``);
@@ -1055,10 +1276,21 @@ def refresh_rollup(
             f"record_changes must be True, False or 'auto', got "
             f"{record_changes!r}"
         )
+    if cow not in (True, False, "auto"):
+        raise ValueError(
+            f"cow must be True, False or 'auto', got {cow!r}"
+        )
     rec_changes = (
         record_changes if isinstance(record_changes, bool)
         else bool(roll.consumers())  # the chain turns itself on: every
         # downstream (replica / second-level rollup) self-registers here
+    )
+    # change-row equality post-filter eligibility (r15, VERDICT r14 #7):
+    # only a spec whose measures are ALL deterministic can drop
+    # value-identical update pairs — an HLL sketch can change content
+    # while every other column stays equal (see _rollup_change_rows)
+    deterministic = all(
+        fn != "approx_distinct" for fn, _c in measures.values()
     )
     src_latest = src.manifest()
     if src_latest is None:
@@ -1091,7 +1323,12 @@ def refresh_rollup(
             rebuild = reflected is None or full_rebuild
             retractions = False
             group_local = False
+            base_v = None  # the rollup version this refresh's payload
+            # derives from — merge_keyed rejects if it moved (a keyed
+            # rewrite carries the latest files, so the full-overwrite
+            # path's version-collision detection doesn't cover it)
             if not rebuild:
+                base_v = roll.manifest()["version"]
                 current = roll.read()
                 if any(c not in current.columns for c in internal):
                     warnings.warn(
@@ -1133,6 +1370,16 @@ def refresh_rollup(
                             # (ADVICE r12: reduce() over an empty per-dim
                             # equality list raised TypeError here)
                             rebuild = True
+            # CoW commit decision (r15): explicit bool wins; "auto"
+            # turns CoW on once the STORED rollup clears the measured
+            # break-even — one capped manifest-stat probe, no data read.
+            # A GLOBAL spec (dims=[]) is one row; the overwrite IS
+            # optimal there, so CoW silently stands down.
+            use_cow = bool(dims) and not rebuild and (
+                cow if isinstance(cow, bool)
+                else roll.visible_bytes(COW_REFRESH_MIN_BYTES)
+                >= COW_REFRESH_MIN_BYTES
+            )
             if rebuild:
                 # pin the scan to the stamped version: a concurrent
                 # source commit between manifest() and this read would
@@ -1144,6 +1391,12 @@ def refresh_rollup(
                     retry=False,
                     op_info={"op": "rollup_refresh", "mode": "rebuild",
                              "source": src.path},
+                    # per-file min/max on stats-eligible dims (r15):
+                    # what the CoW path's next refresh prunes the
+                    # rollup's own files with
+                    stats_cols=_dim_stats_cols(
+                        spark, state.schema, state.columns[: len(dims)]
+                    ) or None,
                 )
                 src.register_consumer(roll.path, best_effort=True)
                 return v
@@ -1165,27 +1418,67 @@ def refresh_rollup(
                         stacklevel=2,
                     )
                 delta = src.row_changes(reflected, v_src)
-                state, op_metrics = _group_local_state(
+                state, re_agg, keys_named, op_metrics = _group_local_state(
                     spark, src, v_src, current, delta, dims, internal,
                     monotone=mono_map,
                 )
                 op_metrics["source"] = src.path
+                dim_names = keys_named.columns
+                if use_cow:
+                    cur_pruned, n_cand, n_files = _rollup_touched_read(
+                        spark, roll, keys_named
+                    )
+                    if cow == "auto" and n_files > 1 and \
+                            n_cand > n_files * COW_AUTO_MAX_CANDIDATE_FRACTION:
+                        # spread window: most files contain a touched
+                        # group, so CoW would rewrite nearly everything
+                        # PLUS its probe chain — measured 0.40-0.81x of
+                        # the classic overwrite; stand down for this
+                        # refresh (manifest-only check, no data read)
+                        use_cow = False
+                if use_cow:
+                    # CoW (r15): commit ONLY the touched groups' new
+                    # rows; untouched rollup FILES are carried verbatim
+                    # by merge_keyed — O(touched files) written, not
+                    # O(rollup); the change-row old side reads only the
+                    # rollup files whose stats admit a touched key
+                    re_agg = re_agg.localCheckpoint(eager=True)
+                    changes_df = None
+                    if rec_changes:
+                        changes_df = _rollup_change_rows(
+                            spark, cur_pruned, re_agg, dim_names,
+                            keys_named, drop_unchanged=deterministic,
+                        )
+                    op_metrics["cow"] = True
+                    return roll.merge_keyed(
+                        re_agg, dim_names, keys_named,
+                        idempotency_token=token, op_info=op_metrics,
+                        changes_df=changes_df,
+                        stats_cols=_dim_stats_cols(
+                            spark, re_agg.schema, dim_names
+                        ) or None,
+                        expect_version=base_v,
+                    )
                 state = state.localCheckpoint(eager=True)  # derives from
                 # the rollup version being replaced — pin before commit
                 changes_df = None
                 if rec_changes:
                     # the rollup's OWN row delta (r14): downstream
                     # consumers of the rollup stay incremental
-                    touched = delta.select(
-                        *[F.expr(d) for d in dims]
-                    ).distinct()
                     changes_df = _rollup_change_rows(
-                        spark, current, state, touched.columns, touched
+                        spark, current, state, dim_names, keys_named,
+                        drop_unchanged=deterministic,
                     )
                 return roll.commit(
                     state, mode="overwrite", idempotency_token=token,
                     retry=False, op_info=op_metrics,
                     changes_df=changes_df,
+                    # dim stats on classic commits too (r15): a later
+                    # refresh crossing the CoW size bar must not find a
+                    # stats-blind layout
+                    stats_cols=_dim_stats_cols(
+                        spark, state.schema, dim_names
+                    ) or None,
                 )
             if (
                 rebuild_advisory_bytes > 0
@@ -1212,20 +1505,45 @@ def refresh_rollup(
                     internal,
                 )
             dim_names = partial.columns[: len(dims)]
-            # Merge shape note (r14, measured and kept classic): a
-            # "spliced" merge — broadcast anti/semi on the touched keys,
-            # re-merging only touched groups, the group-local shape —
-            # was prototyped and measured 1.47×/1.51× SLOWER than this
-            # single full merge at 1M/10M-group rollups
-            # (tools/measure_rollup_chain.py): the refresh's cost is
-            # dominated by the rollup-sized state WRITE that the
-            # overwrite contract requires, which no merge-shape change
-            # avoids, while the splice added a fixed job chain and a
-            # second rollup scan. The real scale fix is a copy-on-write
-            # keyed refresh (carry untouched FILES, the upsert
-            # discipline generalized to composite dims) — the recorded
-            # change rows below already provide exactly its delta.
-            merged = _merge(current.unionByName(partial), dim_names, internal)
+            touched = (
+                partial.select(*dim_names)
+                .distinct()
+                .localCheckpoint(eager=True)
+                if dims and (use_cow or rec_changes)
+                else None
+            )
+            # Merge shape (r14 measured, r15 resolved): the r14
+            # "spliced" merge — touched-only re-merge with the classic
+            # full-state OVERWRITE — measured 1.47×/1.51× SLOWER at
+            # 1M/10M-group rollups because the rollup-sized state WRITE
+            # dominated (SCALING.md "Measured and rejected"). The CoW
+            # path below is that measurement's named fix: the SAME
+            # touched-only merge, but committed via merge_keyed so the
+            # write shrinks to the touched files too. The classic full
+            # merge+overwrite remains the small-rollup shape (below
+            # COW_REFRESH_MIN_BYTES the probe chain costs more than the
+            # small write it saves).
+            if use_cow:
+                # touched groups' current rows live ONLY in files whose
+                # dim stats admit a touched key — prune the read (r15):
+                # with this, every term of the CoW refresh is
+                # touched-sized (read, merge, change rows, write)
+                cur_pruned, n_cand, n_files = _rollup_touched_read(
+                    spark, roll, touched
+                )
+                if cow == "auto" and n_files > 1 and \
+                        n_cand > n_files * COW_AUTO_MAX_CANDIDATE_FRACTION:
+                    use_cow = False  # spread window: CoW rewrites most
+                    # files anyway and measured 0.40-0.81x of classic
+            if use_cow:
+                cur_touched = _semi_on_dims(cur_pruned, touched, dim_names)
+                merged = _merge(
+                    cur_touched.unionByName(partial), dim_names, internal
+                )
+            else:
+                merged = _merge(
+                    current.unionByName(partial), dim_names, internal
+                )
             # NULL-sum exactness (r11): a sum whose non-null counter hit
             # zero reads NULL — bit-equal to a from-scratch SQL SUM over
             # the surviving (all-NULL or empty) group
@@ -1257,21 +1575,36 @@ def refresh_rollup(
             if rec_changes:
                 # the rollup's OWN row delta (r14): touched groups from
                 # the already-computed partial, classified against the
-                # pre-refresh state — delta-sized
-                touched = (
-                    partial.select(*dim_names).distinct() if dims else None
-                )
+                # pre-refresh state — delta-sized (old side pruned to
+                # the touched files under CoW)
                 changes_df = _rollup_change_rows(
-                    spark, current, merged, dim_names, touched
+                    spark, cur_touched if use_cow else current,
+                    merged, dim_names, touched,
+                    drop_unchanged=deterministic,
+                )
+            op_info = {
+                "op": "rollup_refresh",
+                "mode": "retract" if retractions else "incremental",
+                "source": src.path,
+            }
+            if use_cow:
+                op_info["cow"] = True
+                return roll.merge_keyed(
+                    merged, dim_names, touched,
+                    idempotency_token=token, op_info=op_info,
+                    changes_df=changes_df,
+                    stats_cols=_dim_stats_cols(
+                        spark, merged.schema, dim_names
+                    ) or None,
+                    expect_version=base_v,
                 )
             return roll.commit(
                 merged, mode="overwrite", idempotency_token=token, retry=False,
-                op_info={
-                    "op": "rollup_refresh",
-                    "mode": "retract" if retractions else "incremental",
-                    "source": src.path,
-                },
+                op_info=op_info,
                 changes_df=changes_df,
+                stats_cols=_dim_stats_cols(
+                    spark, merged.schema, dim_names
+                ) or None,
             )
         except CommitConflict as e:
             last_err = e
@@ -1290,6 +1623,7 @@ def maintain_rollup(
     monotone_dims: dict[str, str] | None = None,
     vacuum_retain_last: int | None = None,
     record_changes: "bool | str" = "auto",
+    cow: "bool | str" = "auto",
 ) -> dict:
     """ONE maintenance call for a rollup (r13, VERDICT r12 #3 — the
     policy peer of ``maintain_neardup_index`` / ``maintain_ivf_index``):
@@ -1324,7 +1658,10 @@ def maintain_rollup(
     when one is lagging. ``monotone_dims`` passes through to the
     group-local path's expression-dim file pruning;
     ``record_changes`` to the refresh's own change-row recording (r14
-    — "auto" records when the rollup has registered consumers). ``dry_run=True``
+    — "auto" records when the rollup has registered consumers);
+    ``cow`` to the copy-on-write commit path (r15 — "auto" switches to
+    ``merge_keyed`` once the stored rollup exceeds the measured
+    break-even). ``dry_run=True``
     returns the plan + reasons without touching anything; when the
     predicted mode is ``group_local`` it also runs the manifest-level
     pruning walk against the CURRENT delta window (change rows + per-
@@ -1352,6 +1689,8 @@ def maintain_rollup(
             f"record_changes must be True, False or 'auto', got "
             f"{record_changes!r}"
         )
+    if cow not in (True, False, "auto"):
+        raise ValueError(f"cow must be True, False or 'auto', got {cow!r}")
     src = VersionedTable(spark, source_path)
     roll = VersionedTable(spark, rollup_path)
     src_latest = src.manifest()
@@ -1510,6 +1849,7 @@ def maintain_rollup(
             # the advisories it executes would be noise here
             monotone_dims=monotone_dims,
             record_changes=record_changes,
+            cow=cow,
         )
         actions.append(choice)
         # .get("op"): a token-replay / already-current return can land
@@ -1534,3 +1874,50 @@ def maintain_rollup(
         )
     return {"actions": actions, "reasons": reasons, "mode": mode,
             "dry_run": False, "rollup_version": v}
+
+
+def verify_replica(
+    spark: SparkSession,
+    rollup_path: str,
+    replica_path: str,
+    measures: dict,
+) -> dict:
+    """CONTENT-equality verifier for a replica of a rollup (r15, VERDICT
+    r14 #5): compares the two tables' FINALIZED frames — HLL sketch
+    columns through their point estimates (``finalize_rollup``, the
+    documented read path), every deterministic measure exactly — so the
+    delta-sync contract ("content-equal, not necessarily byte-equal on
+    sketch columns; file sets always differ") is operator-checkable.
+    An operator diffing parquet files or file hashes between a rollup
+    and its replica will ALWAYS false-alarm (a replica's files are its
+    own commits); this is the check to run instead.
+
+    Returns ``{"equal", "rows_rollup", "rows_replica",
+    "only_in_rollup", "only_in_replica"}`` where the ``only_*`` counts
+    are finalized rows present on one side and not the other
+    (multiset ``exceptAll`` — NULL-safe, duplicate-aware). Cost shape:
+    two rollup-sized scans + one exceptAll shuffle each way — a
+    verifier's cost, run it like a consistency audit, not per sync."""
+    a = finalize_rollup(VersionedTable(spark, rollup_path).read(), measures)
+    b = finalize_rollup(VersionedTable(spark, replica_path).read(), measures)
+    if set(a.columns) != set(b.columns):
+        return {
+            "equal": False,
+            "rows_rollup": a.count(),
+            "rows_replica": b.count(),
+            "only_in_rollup": -1,
+            "only_in_replica": -1,
+            "schema_mismatch": sorted(
+                set(a.columns) ^ set(b.columns)
+            ),
+        }
+    b = b.select(*a.columns)
+    only_roll = a.exceptAll(b).count()
+    only_repl = b.exceptAll(a).count()
+    return {
+        "equal": only_roll == 0 and only_repl == 0,
+        "rows_rollup": a.count(),
+        "rows_replica": b.count(),
+        "only_in_rollup": only_roll,
+        "only_in_replica": only_repl,
+    }

@@ -1130,6 +1130,367 @@ class VersionedTable:
         self._publish_manifest(man)
         return version
 
+    def _candidate_files_multi(
+        self,
+        files: list[str],
+        old_stats: dict,
+        key_cols: list[str],
+        key_rows: "list | None",
+        schema,
+        touch_keys: "DataFrame | None" = None,
+    ) -> list[str]:
+        """Composite-key stats pruning for ``merge_keyed``: keep every
+        file whose recorded per-file [min, max] admits some touch-key
+        value on EVERY stats-covered key column — per-column exact
+        bisect, the ``_candidate_files`` discipline applied
+        independently per column (conservative: a file passing each
+        column separately may not hold any full tuple, but is never
+        wrongly skipped; the semi-join probe stays the source of
+        truth). ``key_rows=None`` (collect cap exceeded) switches to the
+        DISTRIBUTED exact form (``_candidate_files_joined``): the file
+        bounds — manifest-sized, a few thousand rows — broadcast-join
+        against the touch keys on range containment, so candidacy stays
+        per-key exact at ANY key count with no driver collect (r15
+        measured: a 102k-key contiguous window at sf10 blew the collect
+        cap, degraded to whole-batch [min, max] overlap, and the 2000
+        appended high-range keys stretched the range over 20/32 files —
+        the join form prunes it back to the true ~2). A column with any
+        NULL touch value cannot prune (file stats ignore NULLs)."""
+        import bisect
+
+        tz_unsafe = (
+            _tz_sensitive_cols(schema)
+            if not _session_tz_fixed_offset(self.spark)
+            else set()
+        )
+        usable = [k for k in key_cols if k not in tz_unsafe]
+        if key_rows is None:
+            if touch_keys is None or not usable:
+                return files
+            return self._candidate_files_joined(
+                files, old_stats, usable, touch_keys, schema
+            )
+        cand = files
+        for k in usable:
+            if not cand:
+                break
+            vals = [r[k] for r in key_rows]
+            if any(v is None for v in vals):
+                continue
+            try:
+                vals = sorted({_stats_encode(v) for v in vals})
+            except (TypeError, ValueError):
+                continue  # e.g. string keys: no recorded stats anyway
+
+            def may(f: str, k=k, vals=vals) -> bool:
+                ent = old_stats.get(f) or {}
+                if k not in ent:
+                    return True
+                lo, hi = _widen_float_bounds(*ent[k])
+                i = bisect.bisect_left(vals, lo)
+                return i < len(vals) and vals[i] <= hi
+
+            cand = [f for f in cand if may(f)]
+        return cand
+
+    def _candidate_files_joined(
+        self,
+        files: list[str],
+        old_stats: dict,
+        key_cols: list[str],
+        touch_keys: DataFrame,
+        schema,
+    ) -> list[str]:
+        """Distributed EXACT per-key candidacy for touch-key sets above
+        the driver collect cap (r15): the per-file [min, max] bounds —
+        manifest-sized, thousands of rows, never data — broadcast-join
+        against the touch keys on range containment, and the distinct
+        hit files (≤ files rows) come back to the driver. Candidacy
+        stays per-key exact at ANY key count: a window mixing a
+        contiguous update range with far-away inserts prunes to exactly
+        the overlapped files, where a whole-batch [min, max] fallback
+        would keep everything in between. NULL key values pass every
+        bound (file stats ignore NULLs — such a tuple may live
+        anywhere), per column, which is exact: the tuple's OTHER
+        columns still prune. Files whose bounds fail to round-trip
+        into a DataFrame keep candidate status (never wrongly
+        skipped)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        by_name = {f.name: f.dataType for f in schema.fields}
+        cols = [
+            k for k in key_cols
+            if any(k in (old_stats.get(f) or {}) for f in files)
+        ]
+        if not cols:
+            return files
+        always: list[str] = []
+        rows = []
+        for f in files:
+            ent = old_stats.get(f) or {}
+            vals: list = [f]
+            has_any = False
+            for k in cols:
+                if k in ent:
+                    lo, hi = _widen_float_bounds(*ent[k])
+                    try:
+                        lo_d = _stats_decode(lo, by_name[k])
+                        hi_d = _stats_decode(hi, by_name[k])
+                        has_any = True
+                    except Exception:
+                        lo_d = hi_d = None
+                    vals += [lo_d, hi_d]
+                else:
+                    vals += [None, None]
+            if has_any:
+                rows.append(tuple(vals))
+            else:
+                always.append(f)
+        if not rows:
+            return files
+        bschema = T.StructType(
+            [T.StructField("__cfj_f", T.StringType())]
+            + [
+                fld
+                for k in cols
+                for fld in (
+                    T.StructField(f"__cfj_lo_{k}", by_name[k]),
+                    T.StructField(f"__cfj_hi_{k}", by_name[k]),
+                )
+            ]
+        )
+        try:
+            bdf = self.spark.createDataFrame(rows, bschema)
+        except Exception:
+            return files  # bounds refuse to round-trip: no pruning
+        cond = None
+        for k in cols:
+            c = (
+                F.col(k).isNull()
+                | F.col(f"__cfj_lo_{k}").isNull()
+                | (
+                    (F.col(k) >= F.col(f"__cfj_lo_{k}"))
+                    & (F.col(k) <= F.col(f"__cfj_hi_{k}"))
+                )
+            )
+            cond = c if cond is None else (cond & c)
+        hits = {
+            r["__cfj_f"]
+            for r in touch_keys.join(F.broadcast(bdf), cond, "inner")
+            .select("__cfj_f")
+            .distinct()
+            .collect()
+        }
+        keep = set(always) | hits
+        return [f for f in files if f in keep]
+
+    def merge_keyed(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        touch_keys: DataFrame,
+        idempotency_token: str | None = None,
+        op_info: dict | None = None,
+        changes_df: DataFrame | None = None,
+        stats_cols: list[str] | None = None,
+        expect_version: int | None = None,
+    ) -> int:
+        """Copy-on-write keyed rewrite with COMPOSITE, null-safe keys
+        (r15, VERDICT r14 #1): publish a new version whose rowset is
+
+            (current rows whose key tuple ∉ touch_keys)  ∪  updates
+
+        rewriting ONLY the files that contain a touched key — the
+        ``upsert`` discipline generalized from one key column to a key
+        tuple, with removals (a touched key absent from ``updates`` is
+        deleted). This is the commit primitive ``refresh_rollup`` needs
+        to stop paying O(rollup state write) per refresh: the rollup is
+        keyed by its dims, a refresh touches few groups, so the new
+        version carries every untouched file verbatim (stats included)
+        and writes only touched-group-sized data.
+
+        ``updates`` must match the table schema exactly (names+types —
+        the caller owns both sides); ``touch_keys`` must carry exactly
+        the ``keys`` columns and be a SUPERSET of ``updates``' key
+        tuples. Keys compare null-safe (``eqNullSafe`` — a NULL group
+        key is a real group, SQL GROUP BY semantics), unlike ``upsert``
+        whose single join key follows SQL join NULL semantics.
+
+        SNAPSHOT-DEPENDENT, single attempt: the payload was computed
+        against the version this call reads, so a concurrent-writer
+        conflict propagates ``CommitConflict`` to the caller, which
+        must recompute everything (the ``refresh_rollup`` retry loop) —
+        the ``retry=False`` discipline of the rollup's classic
+        overwrite. Pass ``expect_version`` = the version the payload
+        was COMPUTED from: unlike a full overwrite (whose version
+        collision detects any concurrent commit), a keyed rewrite
+        CARRIES the latest files, so a commit that landed between the
+        caller's read and this call would otherwise be silently merged
+        over — the check turns that into the same loud
+        ``CommitConflict``. Token replay is a no-op. ``changes_df`` records the
+        caller's row delta exactly as in ``commit``; ``stats_cols``
+        adds per-file stats on the NEW files for those columns (plus
+        whatever columns the carried stats already track), which is
+        what makes the NEXT refresh's file pruning possible.
+
+        Cost shape: candidate files are stats-pruned per key column
+        (exact bisect vs collected touch keys when ≤
+        ``_PRUNE_KEYS_COLLECT_MAX``); one probe scan of candidates
+        finds the files actually containing a touched key; only those
+        are read again for survivors. On a dims-clustered rollup a
+        k-group refresh probes ~k files and rewrites only them."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if not keys:
+            raise ValueError(
+                "merge_keyed needs at least one key column (a global "
+                "single-row table is a plain overwrite)"
+            )
+        if sorted(touch_keys.columns) != sorted(keys):
+            raise ValueError(
+                f"touch_keys must carry exactly the key columns {keys}, "
+                f"got {touch_keys.columns}"
+            )
+        latest = self.manifest()
+        if latest is None:
+            raise FileNotFoundError(
+                f"no committed version at {self.path} — merge_keyed "
+                "patches an existing table; bootstrap with commit()"
+            )
+        if (
+            idempotency_token is not None
+            and latest.get("token") == idempotency_token
+        ):
+            return latest["version"]
+        if expect_version is not None and latest["version"] != expect_version:
+            raise CommitConflict(
+                f"merge_keyed at {self.path}: payload was computed "
+                f"against v{expect_version} but the table is now at "
+                f"v{latest['version']} — a concurrent commit landed; "
+                "recompute against the new snapshot"
+            )
+        schema = T.StructType.fromJson(json.loads(latest["schema"]))
+        want = {f.name: f.dataType.simpleString() for f in schema}
+        have = {f.name: f.dataType.simpleString() for f in updates.schema}
+        if want != have:
+            raise ValueError(
+                "merge_keyed: updates must match the table schema exactly "
+                f"(table {sorted(want.items())}, updates "
+                f"{sorted(have.items())})"
+            )
+        missing = [k for k in keys if k not in want]
+        if missing:
+            raise ValueError(f"merge_keyed: no such key column(s) {missing}")
+        if changes_df is not None:
+            want_ch = set(want) | {CHANGE_TYPE_COL}
+            if set(changes_df.columns) != want_ch:
+                raise ValueError(
+                    "changes_df must carry exactly the table columns plus "
+                    f"{CHANGE_TYPE_COL} — got {sorted(changes_df.columns)}"
+                )
+        if stats_cols:
+            self._validate_stats_cols(stats_cols, schema)
+        files = latest["files"]
+        old_stats = latest.get("stats") or {}
+        # one job, not count-then-collect: fetch cap+1 rows — under the
+        # cap that IS the key set (and its count); over it, fall back to
+        # range pruning and pay the exact count only for op metrics
+        key_rows = touch_keys.limit(
+            _PRUNE_KEYS_COLLECT_MAX + 1
+        ).collect()
+        if len(key_rows) > _PRUNE_KEYS_COLLECT_MAX:
+            n_touch = touch_keys.count()
+            key_rows = None
+        else:
+            n_touch = len(key_rows)
+        cand = self._candidate_files_multi(
+            files, old_stats, keys, key_rows, schema, touch_keys=touch_keys
+        )
+        # renamed probe frame: null-safe equality per key column, no
+        # name collision with the scanned table columns
+        tk = touch_keys.select(
+            *[F.col(k).alias(f"__mk_{k}") for k in keys]
+        )
+        probe = F.broadcast(tk) if key_rows is not None else tk
+        touched: dict[str, int] = {}
+        if cand:
+
+            def rel(uri: str) -> str:
+                tail = uri.rsplit("/" + _DATA_DIR + "/", 1)[1]
+                return f"{_DATA_DIR}/{tail}"
+
+            scan = (
+                self.spark.read.schema(schema)
+                .parquet(*[f"{self.path}/{f}" for f in cand])
+                .select(*keys, F.input_file_name().alias("__mk_f"))
+            )
+            cond = None
+            for k in keys:
+                c = scan[k].eqNullSafe(F.col(f"__mk_{k}"))
+                cond = c if cond is None else (cond & c)
+            hits = (
+                scan.join(probe, cond, "left_semi")
+                .groupBy("__mk_f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )  # one row per TOUCHED file
+            touched = {rel(r["__mk_f"]): r["n"] for r in hits}
+        carried = [f for f in files if f not in touched]
+        new_data = updates
+        if touched:
+            old_touched = self.spark.read.schema(schema).parquet(
+                *[f"{self.path}/{f}" for f in touched]
+            )
+            cond = None
+            for k in keys:
+                c = old_touched[k].eqNullSafe(F.col(f"__mk_{k}"))
+                cond = c if cond is None else (cond & c)
+            survivors = old_touched.join(probe, cond, "left_anti")
+            new_data = updates.unionByName(survivors)
+        version = latest["version"] + 1
+        change_files: list[str] | None = None
+        if changes_df is not None:
+            change_files = (
+                self._write_change_files(changes_df, version)
+                if changes_df.take(1) else []
+            )
+        # skip the data write entirely for a pure token-advance (no
+        # touched files, empty updates): the manifest still publishes —
+        # the new version/token must land even when the rowset didn't move
+        if touched or updates.take(1):
+            new_files = self._write_data_files(new_data, version)
+        else:
+            new_files = []
+        stats = {f: old_stats[f] for f in carried if f in old_stats}
+        stat_cols = sorted(
+            {c for ent in old_stats.values() for c in ent}
+            | set(stats_cols or [])
+        )
+        if stat_cols and new_files:
+            stats.update(self._file_stats(new_files, stat_cols, schema))
+        man = {
+            "version": version,
+            "files": carried + new_files,
+            "schema": latest["schema"],
+            "token": idempotency_token,
+            "op": {
+                "op": "merge_keyed",
+                "keys_touched": n_touch,
+                "files_probed": len(cand),
+                "files_rewritten": len(touched),
+                "files_carried": len(carried),
+                **(op_info or {}),
+            },
+        }
+        if change_files is not None:
+            man["changes"] = change_files
+        if stats:
+            man["stats"] = stats
+        self._publish_manifest(man)
+        return version
+
     def delete_where(
         self, predicate, idempotency_token: str | None = None
     ) -> int:

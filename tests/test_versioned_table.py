@@ -1981,3 +1981,57 @@ def test_latest_maintainer_manifest_skips_vanished_version(spark, tmp_path):
     finally:
         VersionedTable.manifest = orig
     assert man is not None and man["token"] == "rollup-of:v1"
+
+
+def test_candidate_files_joined_exact_above_collect_cap(spark, tmp_path):
+    """r15: above the driver collect cap, merge_keyed's candidacy comes
+    from a distributed broadcast range-join of file bounds vs touch
+    keys — per-key EXACT (a window mixing a contiguous range with
+    far-away inserts keeps only the overlapped files, not everything in
+    between), NULL keys pass every bound (a NULL-keyed tuple may live
+    anywhere), files without stats stay unconditional candidates."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 1.0)], "k long, x double")
+    t.commit(df, stats_cols=["k"])
+    schema = df.schema
+    files = ["f1", "f2", "f3", "f4"]
+    stats = {"f1": {"k": [0, 9]}, "f2": {"k": [10, 19]},
+             "f3": {"k": [20, 29]}, "f4": {"k": [30, 39]}}
+
+    tk = spark.createDataFrame([(12,), (13,), (35,)], "k long")
+    assert t._candidate_files_joined(files, stats, ["k"], tk, schema) \
+        == ["f2", "f4"]  # f3 pruned — a [12, 35] range overlap keeps it
+
+    tk_null = spark.createDataFrame([(12,), (None,)], "k long")
+    assert t._candidate_files_joined(
+        files, stats, ["k"], tk_null, schema) == files
+
+    stats2 = dict(stats)
+    stats2["f5"] = {}
+    assert t._candidate_files_joined(
+        files + ["f5"], stats2, ["k"], tk, schema) == ["f2", "f4", "f5"]
+
+    # end-to-end: a touch-key set above the (monkeypatched) cap takes
+    # the joined path inside merge_keyed and still rewrites only the
+    # files containing touched keys
+    import etl_airflow_adventureworks_spark.table as table_mod
+
+    big = VersionedTable(spark, str(tmp_path / "big"))
+    rows = [(k, float(k)) for k in range(200)]
+    big.commit(
+        spark.createDataFrame(rows, "k long, x double")
+        .repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    ups = spark.createDataFrame([(5, 555.0)], "k long, x double")
+    touch = spark.createDataFrame([(5,), (6,), (7,)], "k long")
+    orig_cap = table_mod._PRUNE_KEYS_COLLECT_MAX
+    table_mod._PRUNE_KEYS_COLLECT_MAX = 2  # force the joined path
+    try:
+        big.merge_keyed(ups, ["k"], touch)
+    finally:
+        table_mod._PRUNE_KEYS_COLLECT_MAX = orig_cap
+    op = big.manifest()["op"]
+    assert op["files_probed"] == 1 and op["files_rewritten"] == 1
+    assert big.read().filter("k in (6, 7)").count() == 0  # removed
+    assert big.read().filter("k = 5").first()["x"] == 555.0
