@@ -1003,18 +1003,21 @@ REBUILD_ADVISORY_BYTES = 64 * 1024 * 1024
 #: wins on the flat-vs-linear trend, by touched-files ∝ touched groups.
 GROUP_LOCAL_ADVISORY_BYTES = 1024 * 1024 * 1024
 
-#: the copy-on-write commit path's "auto" threshold (r15, VERDICT r14
-#: #1): above this STORED-ROLLUP size a refresh commits via
-#: ``merge_keyed`` (rewrite only the rollup files containing touched
-#: groups) instead of the classic full-state overwrite — converting the
-#: last linear-in-state refresh cost, the O(rollup) write, into
-#: O(touched files). Below it the classic overwrite's single small write
-#: beats CoW's fixed probe/join chain (measured:
-#: tools/measure_rollup_chain.py, SCALING.md "Copy-on-write keyed
-#: refresh" — CoW won from the first multi-file rollup state we could
-#: build, ~8 MiB, and the probe chain costs ~0.5 s flat, so the
-#: threshold sits at the measured break-even, not a guess).
-COW_REFRESH_MIN_BYTES = 256 * 1024 * 1024
+#: the copy-on-write commit path's "auto" size threshold (r15, VERDICT
+#: r14 #1): above this STORED-ROLLUP size a file-local refresh commits
+#: via ``merge_keyed`` (rewrite only the rollup files containing
+#: touched groups) instead of the classic full-state overwrite —
+#: converting the last linear-in-state refresh cost, the O(rollup)
+#: write, into O(touched files). Measured
+#: (tools/measure_cow_refresh.py, fixed ~2000-group window): classic
+#: grows with state (1.65 -> 3.58 s narrow / 3.17 -> 9.47 s wide as the
+#: rollup grows 0.9 -> 61 / 48 -> 296 MB) while CoW stays ~flat; the
+#: local break-even for file-local windows sits between 8 and 61 MB
+#: (1.00x at 7.6 MB, 1.47x at 61 MB, 1.88x at 296 MB). 64 MiB is the
+#: measured crossover on local NVMe where write bandwidth ≈ read; on
+#: object storage (writes far costlier than manifest math) a LOWER
+#: threshold is better — tune per deployment.
+COW_REFRESH_MIN_BYTES = 64 * 1024 * 1024
 
 #: "auto" CoW also requires the window to be FILE-LOCAL: if the
 #: touched keys' candidate files (manifest stats, computed before any
@@ -1830,6 +1833,46 @@ def maintain_rollup(
                 f"group-local would read {len(pruned)}/{len(files)} "
                 f"source file(s) for {n_groups} touched group(s)"
             )
+        if choice == "refresh" and dims:
+            # predict the COMMIT shape too (r15): would the refresh take
+            # the CoW path, and how many ROLLUP files would it touch?
+            # Same inputs the real decision uses — rollup manifest stats
+            # + the delta's touched keys; no rollup data read (the
+            # pruned-read frame below is constructed lazily and only its
+            # candidate COUNTS are used here)
+            touched = (
+                src.row_changes(reflected, v_src)
+                .select(*[F.expr(d) for d in dims])
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            will_cow = cow if isinstance(cow, bool) else (
+                roll.visible_bytes(COW_REFRESH_MIN_BYTES)
+                >= COW_REFRESH_MIN_BYTES
+            )
+            n_cand = n_rfiles = None
+            if will_cow:
+                _df, n_cand, n_rfiles = _rollup_touched_read(
+                    spark, roll, touched
+                )
+                if cow == "auto" and n_rfiles > 1 and \
+                        n_cand > n_rfiles * COW_AUTO_MAX_CANDIDATE_FRACTION:
+                    will_cow = False
+            predicted = dict(predicted or {})
+            predicted["cow"] = will_cow
+            if n_cand is not None:
+                predicted["rollup_files_candidates"] = n_cand
+                predicted["rollup_files_total"] = n_rfiles
+                reasons.append(
+                    ("CoW commit: rewrite ~" if will_cow
+                     else "CoW stands down (spread window): candidates ")
+                    + f"{n_cand}/{n_rfiles} rollup file(s)"
+                )
+            else:
+                reasons.append(
+                    "classic overwrite commit (rollup below "
+                    f"{COW_REFRESH_MIN_BYTES >> 20} MiB or cow=False)"
+                )
         if vacuum_retain_last is not None:
             plan.append("vacuum")
             reasons.append(

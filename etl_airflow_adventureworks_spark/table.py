@@ -1460,6 +1460,13 @@ class VersionedTable:
         # touched files, empty updates): the manifest still publishes —
         # the new version/token must land even when the rowset didn't move
         if touched or updates.take(1):
+            if key_rows is not None:
+                # bounded window: the rewrite is touched-files-sized, so
+                # land ~one file per file it replaces instead of one per
+                # shuffle partition (+N tiny files per merge would
+                # fragment the layout the stats pruning depends on);
+                # over-cap windows keep natural write parallelism
+                new_data = new_data.coalesce(max(len(touched), 1))
             new_files = self._write_data_files(new_data, version)
         else:
             new_files = []

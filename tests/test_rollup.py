@@ -2597,3 +2597,53 @@ def test_cow_auto_policy_size_and_spread(spark, tmp_path, monkeypatch):
             "g long, x double"), mode="append")
         refresh_rollup(spark, src_p, roll_p, dims, measures)
         assert "cow" not in roll.manifest()["op"]
+
+
+def test_maintain_dry_run_predicts_cow_decision(spark, tmp_path, monkeypatch):
+    """r15: maintain_rollup --dry-run predicts the COMMIT shape too —
+    whether the refresh would take the CoW path and how many rollup
+    files it would touch — and the prediction matches what the real run
+    records."""
+    import warnings
+
+    import etl_airflow_adventureworks_spark.operators.rollup as R
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        maintain_rollup,
+    )
+
+    src_p, roll_p = str(tmp_path / "s"), str(tmp_path / "r")
+    dims = ["g"]
+    measures = {"n": ("count", None), "sx": ("sum", "x")}
+    rows = [(g, float(g)) for g in range(1, 101) for _ in range(3)]
+    src = VersionedTable(spark, src_p)
+    src.commit(spark.createDataFrame(rows, "g long, x double"),
+               stats_cols=["g"])
+    roll = VersionedTable(spark, roll_p)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, src_p, roll_p, dims, measures)
+        roll.optimize(cluster_by=["g"], min_files=4)
+        monkeypatch.setattr(R, "COW_REFRESH_MIN_BYTES", 1)
+
+        # file-local window: dry-run predicts CoW with a small candidate
+        # count, the real run commits CoW
+        src.commit(spark.createDataFrame([(6, 1.0)], "g long, x double"),
+                   mode="append")
+        rep = maintain_rollup(spark, src_p, roll_p, dims, measures,
+                              dry_run=True, rebuild_below_bytes=0)
+        assert rep["mode"] == "incremental"
+        assert rep["predicted"]["cow"] is True
+        assert rep["predicted"]["rollup_files_candidates"] <= 2
+        rep2 = maintain_rollup(spark, src_p, roll_p, dims, measures,
+                               rebuild_below_bytes=0)
+        assert rep2["actions"] == ["refresh"]
+        assert roll.manifest()["op"].get("cow") is True
+
+        # spread window: dry-run predicts the stand-down
+        src.commit(spark.createDataFrame(
+            [(5, 1.0), (30, 1.0), (55, 1.0), (80, 1.0)],
+            "g long, x double"), mode="append")
+        rep = maintain_rollup(spark, src_p, roll_p, dims, measures,
+                              dry_run=True, rebuild_below_bytes=0)
+        assert rep["predicted"]["cow"] is False
+        assert rep["predicted"]["rollup_files_candidates"] > 2

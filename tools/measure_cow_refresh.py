@@ -123,20 +123,26 @@ def measure_scale(spark, sf_dir: str, work: Path, measures) -> dict:
     n_files = len(rt.manifest()["files"])
     shutil.copytree(src, src_pristine)
 
-    # window shapes, both ~1% of entities + 2000 unseen appends:
+    # window shapes, both a FIXED ~2000 touched entities + 2000 unseen
+    # appends at EVERY scale — the flat-vs-linear claim is "refresh
+    # wall time flat in ROLLUP size for a fixed touched-group count",
+    # so the window must not grow with the corpus:
     #   contiguous — the clustered-maintenance case (prunes to ~1 file)
     #   spread     — worst case: every file contains a touched entity
+    w_frac = max(2000.0 / max(n_groups, 1), 1e-6)
     stats_row = spark.read.parquet(f"{src_pristine}/data/*").selectExpr(
         "max(event_id) AS hi",
-        "percentile_approx(event_id, array(0.40, 0.41), 10000) AS cuts",
+        f"percentile_approx(event_id, array(0.40, {0.40 + w_frac}),"
+        " 100000) AS cuts",
     ).first()
     hi = stats_row["hi"]
     cut0, cut1 = (int(c) for c in stats_row["cuts"])
+    stride = max(n_groups // 2000, 1)
     base = spark.read.parquet(f"{src_pristine}/data/*")
     windows = {
         "contiguous": base.filter(
             f"event_id >= {cut0} AND event_id < {cut1}"),
-        "spread": base.filter(f"event_id % 100 = 0"),
+        "spread": base.filter(f"event_id % {stride} = 0"),
     }
     out: dict = {
         "sf_dir": sf_dir,
