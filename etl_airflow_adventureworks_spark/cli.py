@@ -453,6 +453,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="copy-on-write commit for the refresh leg "
                     "(r15, see refresh-rollup --cow)")
 
+    mt = sub.add_parser(
+        "maintain-table",
+        help="one-call maintenance policy for a plain VersionedTable "
+        "(r15) — the generic peer of maintain-rollup/maintain-index: "
+        "manifest-only probes (clustered-layout overlap depth, "
+        "small-file fraction) decide whether to compact; the clustering "
+        "spec is read back from the newest optimize commit unless "
+        "overridden; --vacuum-retain adds the consumer-aware retention "
+        "sweep",
+    )
+    mt.add_argument("--table", required=True, help="VersionedTable root")
+    mt.add_argument("--cluster-by", default=None,
+                    help="comma-separated columns (overrides the "
+                    "recorded spec)")
+    mt.add_argument("--zorder", default=None,
+                    help="comma-separated columns (overrides the "
+                    "recorded spec)")
+    mt.add_argument("--dry-run", action="store_true")
+    mt.add_argument("--vacuum-retain", type=int, default=None, metavar="N")
+
     vr = sub.add_parser(
         "verify-replica",
         help="content-equality audit of a replica OF a rollup (r15): "
@@ -1072,6 +1092,24 @@ def main(argv: list[str] | None = None) -> int:
         verb = "would run" if args.dry_run else "ran"
         print(f"rollup {args.rollup}: {verb} "
               f"{rep['actions'] or ['nothing']} (mode {rep['mode']})")
+        for r in rep["reasons"]:
+            print(f"  - {r}")
+        return 0
+    if args.cmd == "maintain-table":
+        from .table import maintain_table
+
+        rep = maintain_table(
+            spark, args.table,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by
+            else None,
+            zorder=args.zorder.split(",") if args.zorder else None,
+            dry_run=args.dry_run,
+            vacuum_retain_last=args.vacuum_retain,
+        )
+        verb = "would run" if args.dry_run else "ran"
+        print(f"table {args.table}: {verb} {rep['actions'] or ['nothing']}"
+              f" (depth {rep['frag_depth']}/{rep['frag_floor']}, "
+              f"{rep['small_files']}/{rep['files']} small files)")
         for r in rep["reasons"]:
             print(f"  - {r}")
         return 0

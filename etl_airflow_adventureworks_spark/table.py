@@ -925,6 +925,14 @@ class VersionedTable:
                 .unionByName(ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
             )
             change_files = self._write_change_files(changes_df, version)
+        if n_batch <= _PRUNE_KEYS_COLLECT_MAX:
+            # bounded micro-batch (the streaming steady state): the
+            # rewrite is touched-files-sized, so land ~one file per file
+            # it replaces instead of one per partition of batch∪survivors
+            # — a per-merge +N tiny files would fragment the layout the
+            # stats pruning depends on (same discipline as merge_keyed);
+            # over-cap batches keep natural write parallelism
+            new_data = new_data.coalesce(max(len(touched), 1))
         new_files = self._write_data_files(new_data, version)
         stats = {f: old_stats[f] for f in carried if f in old_stats}
         stat_cols = sorted({c for ent in old_stats.values() for c in ent})
@@ -1098,6 +1106,14 @@ class VersionedTable:
                 .unionByName(dels.withColumn(CHANGE_TYPE_COL, F.lit("delete")))
             )
             change_files = self._write_change_files(changes_df, version)
+        if probe["n"] <= _PRUNE_KEYS_COLLECT_MAX:
+            # bounded CDC batch (the replication steady state): land ~one
+            # file per file the merge replaces instead of one per
+            # partition of upserts∪survivors — a per-sync +N tiny files
+            # would fragment the layout the stats pruning depends on
+            # (same discipline as merge_keyed / upsert); over-cap batches
+            # keep natural write parallelism
+            new_data = new_data.coalesce(max(len(touched), 1))
         new_files = self._write_data_files(new_data, version)
         stats = {f: old_stats[f] for f in carried if f in old_stats}
         stat_cols = sorted({c for ent in old_stats.values() for c in ent})
@@ -2003,11 +2019,23 @@ class VersionedTable:
                 ] or None
         else:
             df = df.coalesce(num_files)
+        # record the clustering spec (r15): maintain_table re-clusters a
+        # fragmented layout with the SAME spec without the caller having
+        # to know it — the layout is self-describing
+        op_info: dict = {"op": "optimize", "rowset_preserving": True}
+        if zorder:
+            op_info["zorder"] = list(zorder)
+        if cluster_by:
+            op_info["cluster_by"] = list(cluster_by)
+        if min_files:
+            op_info["min_files"] = min_files
+        if stats_cols:
+            op_info["stats_cols"] = list(stats_cols)
         return self.commit(
             df,
             mode="overwrite",
             stats_cols=stats_cols,
-            op_info={"op": "optimize", "rowset_preserving": True},
+            op_info=op_info,
             retry=False,  # snapshot-dependent: recompute via _occ_retry
         )
 
@@ -2756,7 +2784,20 @@ def stats_overlap_depth(man: dict, col: str) -> int:
 #: layout carries one of these op names; the clustering commits are the
 #: bootstrap build (op None / *_build) and `optimize`.
 _PATCH_OPS = {"cdc", "upsert", "delete", "neardup_index_append",
-              "schema_widen"}
+              "schema_widen", "merge_keyed", "replica_sync"}
+
+
+def _is_patch_op(op: dict) -> bool:
+    """Whether a manifest op PATCHES the layout rather than establish
+    one (r15): the named patch verbs, plus a rollup refresh that
+    committed through the CoW path (op ``rollup_refresh`` with
+    ``cow: True`` — touched files only; the classic refresh is a full
+    overwrite and genuinely re-lands the layout, so it is NOT a
+    patch)."""
+    name = op.get("op")
+    return name in _PATCH_OPS or (
+        name == "rollup_refresh" and bool(op.get("cow"))
+    )
 
 
 def clustered_baseline_depth(vt: "VersionedTable", col: str) -> int:
@@ -2773,7 +2814,7 @@ def clustered_baseline_depth(vt: "VersionedTable", col: str) -> int:
     vs = vt.versions()
     for v in reversed(vs):
         m = vt.manifest(v)
-        if ((m.get("op") or {}).get("op")) not in _PATCH_OPS:
+        if not _is_patch_op(m.get("op") or {}):
             return stats_overlap_depth(m, col)
     return stats_overlap_depth(vt.manifest(vs[0]), col)
 
@@ -3044,3 +3085,184 @@ def stream_upsert_to_versioned(
         .foreachBatch(merge)
         .start()
     )
+
+
+#: maintain_table's fragmentation tolerance (the same default as the
+#: IVF maintainer): a clustered layout may legitimately sit 1 patch
+#: file deep; compaction triggers only ABOVE max(this, the depth the
+#: last clustering itself had), so a hot key range that genuinely
+#: spans files never causes churn.
+TABLE_FRAG_DEPTH_MAX = 2
+
+#: maintain_table's small-file probe: a visible file under this size is
+#: "small"; compaction triggers when MOST files are small AND there are
+#: enough of them for the metadata overhead to matter. 16 MiB is an
+#: eighth of the optimize target (128 MiB) — comfortably past parquet
+#: row-group efficiency, far under anything a healthy large table
+#: produces.
+SMALL_FILE_BYTES = 16 * 1024 * 1024
+SMALL_FILE_MIN_COUNT = 8
+SMALL_FILE_MAX_FRACTION = 0.5
+
+
+def maintain_table(
+    spark: SparkSession,
+    path: str,
+    cluster_by: "list[str] | None" = None,
+    zorder: "list[str] | None" = None,
+    dry_run: bool = False,
+    frag_depth_max: int = TABLE_FRAG_DEPTH_MAX,
+    small_file_bytes: int = SMALL_FILE_BYTES,
+    vacuum_retain_last: "int | None" = None,
+) -> dict:
+    """ONE maintenance call for a plain ``VersionedTable`` (r15) — the
+    generic peer of ``maintain_rollup`` / ``maintain_neardup_index`` /
+    ``maintain_ivf_index``, closing the lifecycle gap those leave: a
+    SOURCE table (or replica) living under steady keyed merges needs
+    the same classify-then-act loop its derived artifacts get. Probes
+    are manifest/metadata-only (file stats endpoints + one size stat
+    per file — never a data read); the verbs are the existing
+    ``optimize`` / ``vacuum``.
+
+    Two independent compaction triggers:
+
+    - **fragmentation** (clustered layouts): ``stats_overlap_depth`` on
+      the leading clustering column exceeds ``max(frag_depth_max, the
+      depth the last clustering itself had)`` — repeated bounded merges
+      each land ~one range-straddling patch file (see SCALING.md
+      "Bounded merges no longer fragment"), so depth grows ~1 per sync
+      and pruning degrades toward scan-everything; re-clustering
+      restores it.
+    - **small files** (any layout): more than ``SMALL_FILE_MIN_COUNT``
+      visible files, most of them under ``small_file_bytes`` — the
+      append/trickle-ingest shape; compacting to the 128 MiB optimize
+      target restores scan efficiency.
+
+    The clustering spec is SELF-DESCRIBING: ``optimize`` records its
+    ``zorder``/``cluster_by``/``min_files``/``stats_cols`` in the
+    manifest op (r15), and this call re-clusters with the recorded spec
+    of the newest clustering commit unless the caller overrides it.
+    With neither a recorded nor an explicit spec, compaction is a plain
+    coalesce to target-sized files. ``vacuum_retain_last`` adds the
+    retention sweep AFTER any compaction, honoring the consumer
+    registry (``respect_consumers="auto"``). ``dry_run`` reports the
+    plan without executing. Returns ``{"actions", "reasons",
+    "frag_depth", "frag_floor", "files", "small_files", "dry_run"}``
+    (depth fields None when no clustered column is probeable)."""
+    if vacuum_retain_last is not None and vacuum_retain_last < 1:
+        raise ValueError(
+            f"maintain_table: vacuum_retain_last must be >= 1, got "
+            f"{vacuum_retain_last} (retain_last=0 would drop the "
+            "current version)"
+        )
+    if cluster_by and zorder:
+        raise ValueError("maintain_table: pass cluster_by OR zorder, "
+                         "not both")
+    vt = VersionedTable(spark, path)
+    man = vt.manifest()
+    if man is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+
+    # resolve the clustering spec: explicit args win; else the newest
+    # clustering commit's recorded spec (optimize, r15). The walk is
+    # the clustered_baseline_depth one — bounded by retained versions.
+    spec: dict = {}
+    if cluster_by:
+        spec = {"cluster_by": list(cluster_by)}
+    elif zorder:
+        spec = {"zorder": list(zorder)}
+    else:
+        for v in reversed(vt.versions()):
+            m = vt.manifest(v)
+            if m is None:
+                continue  # concurrent vacuum mid-walk
+            op = m.get("op") or {}
+            if _is_patch_op(op):
+                continue
+            if op.get("op") == "optimize":
+                spec = {
+                    k: op[k]
+                    for k in ("cluster_by", "zorder", "min_files",
+                              "stats_cols")
+                    if k in op
+                }
+            break  # first non-patch commit ends the walk, spec or not
+
+    lead = (spec.get("cluster_by") or spec.get("zorder") or [None])[0]
+    depth = floor = None
+    stats = man.get("stats") or {}
+    if lead is not None and any(lead in (e or {}) for e in stats.values()):
+        depth = stats_overlap_depth(man, lead)
+        floor = max(frag_depth_max, clustered_baseline_depth(vt, lead))
+
+    files = man["files"]
+    n_small = 0
+    for f in files:
+        if (
+            vt._fs.getFileStatus(
+                vt._HPath(f"{vt.path}/{f}")
+            ).getLen() < small_file_bytes
+        ):
+            n_small += 1
+
+    actions: list[str] = []
+    reasons: list[str] = []
+    compact = False
+    if depth is not None and depth > floor:
+        compact = True
+        reasons.append(
+            f"layout overlap depth {depth} > {floor} on {lead!r} (max of"
+            f" frag_depth_max and the last clustering's own depth) — "
+            "bounded merges have stacked range-straddling patch files"
+        )
+    if (
+        len(files) > SMALL_FILE_MIN_COUNT
+        and n_small / len(files) > SMALL_FILE_MAX_FRACTION
+    ):
+        compact = True
+        reasons.append(
+            f"{n_small}/{len(files)} visible files under "
+            f"{small_file_bytes >> 20} MiB — trickle-ingest shape; "
+            "compact to target-sized files"
+        )
+    if compact:
+        actions.append("compact")
+    if vacuum_retain_last is not None:
+        actions.append("vacuum")
+        reasons.append(
+            f"sweep versions to the newest {vacuum_retain_last} "
+            "(consumer registry honored)"
+        )
+    if not actions:
+        reasons.append("layout at its clustered shape; nothing to do")
+
+    out = {
+        "actions": actions, "reasons": reasons, "frag_depth": depth,
+        "frag_floor": floor, "files": len(files), "small_files": n_small,
+        "dry_run": dry_run,
+    }
+    if dry_run:
+        return out
+    if compact:
+        # never let a compaction DROP the stats the pruning depends on:
+        # absent a recorded/derivable spec column set, keep whatever
+        # columns the current manifest records stats for
+        stats_cols = spec.get("stats_cols")
+        if stats_cols is None and not spec:
+            kept = sorted({c for e in stats.values() for c in (e or {})})
+            stats_cols = kept or None
+        vt.optimize(
+            cluster_by=spec.get("cluster_by"),
+            zorder=spec.get("zorder"),
+            min_files=spec.get("min_files"),
+            stats_cols=stats_cols,
+        )
+        m2 = vt.manifest()
+        out["files"] = len(m2["files"])
+        if lead is not None:
+            out["frag_depth"] = stats_overlap_depth(m2, lead)
+    if vacuum_retain_last is not None:
+        out["swept"] = vt.vacuum(
+            retain_last=vacuum_retain_last, respect_consumers="auto"
+        )
+    return out

@@ -619,3 +619,32 @@ def test_vacuum_table_subcommand(spark, tmp_path, capsys):
     assert main(["vacuum-table", "--path", path]) == 0
     assert "deleted" in capsys.readouterr().out
     assert t.versions() == [2]
+
+
+def test_maintain_table_subcommand(spark, tmp_path, capsys):
+    """r15: the generic table-maintenance policy is CLI-reachable —
+    dry-run prints the plan, the real run compacts a trickle-ingested
+    layout and sweeps retention."""
+    from etl_airflow_adventureworks_spark.table import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 10).selectExpr("id AS k", "id AS v")
+             .coalesce(1), stats_cols=["k"])
+    for i in range(1, 10):
+        t.commit(
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id AS k", "id AS v").coalesce(1),
+            mode="append", stats_cols=["k"],
+        )
+    assert main(["maintain-table", "--table", t.path, "--dry-run"]) == 0
+    out = capsys.readouterr().out
+    assert "would run ['compact']" in out and "trickle-ingest" in out
+    assert len(t.manifest()["files"]) == 10  # dry run touched nothing
+    assert main(["maintain-table", "--table", t.path,
+                 "--vacuum-retain", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "ran ['compact', 'vacuum']" in out
+    assert len(t.manifest()["files"]) < 10
+    assert len(t.versions()) == 1
+    assert main(["maintain-table", "--table", t.path]) == 0
+    assert "ran ['nothing']" in capsys.readouterr().out

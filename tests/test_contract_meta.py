@@ -65,3 +65,40 @@ def test_bench_merge_records_min_and_median():
     assert out["queries_median"] == {"a": 1.5, "b": 4.0}
     assert out["value"] == 4.0
     assert out["passes"] == 2 and "min_over_2" in out["agg"]
+
+
+def test_bench_final_line_stays_tail_parseable(tmp_path, capsys):
+    """r15: the driver tail-captures a bounded stdout window — the r14
+    record's line outgrew it once queries_median landed and the round
+    record carried parsed:null. The final line must exclude the bulky
+    evidence (medians, host telemetry), point at the BENCH_DETAIL.json
+    sidecar instead, and stay well under the capture window even with
+    the full 41-query registry."""
+    import json
+
+    import bench
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": 20.0,
+        "unit": "sec",
+        "queries": {f"ext_query_name_{i:02d}": 0.1234 for i in range(41)},
+        "queries_median": {f"ext_query_name_{i:02d}": 0.2345
+                           for i in range(41)},
+        "host": [{"load1": 1.0, "load5": 2.0, "mem_avail_mb": 100_000,
+                  "steal_ticks": 5}] * 2,
+        "sf": 0.1, "cpus": 32, "reps": 3, "warmup": 1,
+        "agg": "min_over_2_fresh_jvm_passes_of_median3", "passes": 2,
+    }
+    bench._emit_final(dict(out), detail_dir=tmp_path)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) < 1900, len(line)
+    slim = json.loads(line)
+    assert "queries_median" not in slim and "host" not in slim
+    assert slim["queries"] == out["queries"]
+    assert slim["value"] == out["value"]
+    assert slim["detail"] == "BENCH_DETAIL.json"
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["queries_median"] == out["queries_median"]
+    assert detail["host"] == out["host"]
+    assert detail["protocol"]["agg"] == out["agg"]

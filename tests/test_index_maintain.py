@@ -187,7 +187,10 @@ def test_maintain_ivf_policy_paths(spark, tmp_path):
 def test_maintain_ivf_auto_compacts_fragmented_layout(spark, tmp_path):
     """Scattered sync patches straddle the cell range; the maintain call
     re-probes AFTER its sync and re-clusters, so one call both repairs
-    content and restores per-cell pruning."""
+    content and restores per-cell pruning. Since r15's bounded-batch
+    coalesce, ONE sync lands a single straddling patch file (depth ==
+    floor, no churn) — fragmentation accrues across syncs, so the
+    compact triggers on a later maintenance pass."""
     cpath, idx = str(tmp_path / "emb"), str(tmp_path / "ivf")
     cvt = VersionedTable(spark, cpath)
     cvt.commit(load_table(spark, SF_SMOKE, "embeddings"))
@@ -195,13 +198,20 @@ def test_maintain_ivf_auto_compacts_fragmented_layout(spark, tmp_path):
     # mutations spread across the id space -> the patch spans cells
     base_rep = maintain_ivf_index(spark, idx, dry_run=True)
     floor = base_rep["frag_floor"]  # the build's legitimate shape
-    cvt.upsert(
-        cvt.read().filter("vec_id % 40 = 3").withColumn(
-            "embedding", F.expr("transform(embedding, x -> float(-x))")
-        ),
-        key="vec_id",
-    )
-    rep = maintain_ivf_index(spark, idx)
+    rep = None
+    for i in range(floor + 1):  # each spread sync adds one straddling file
+        cvt.upsert(
+            cvt.read().filter(f"vec_id % 40 = {3 + i}").withColumn(
+                "embedding", F.expr("transform(embedding, x -> float(-x))")
+            ),
+            key="vec_id",
+        )
+        rep = maintain_ivf_index(spark, idx)
+        assert rep["actions"][0] == "sync"
+        if rep["actions"] == ["sync", "compact"]:
+            break
+        # pre-compact syncs must not churn the layout
+        assert rep["actions"] == ["sync"] and rep["frag_depth"] <= floor
     assert rep["actions"] == ["sync", "compact"]
     # restored to (at most) the clustered shape — never churns below it
     assert rep["frag_depth"] <= floor

@@ -2647,3 +2647,65 @@ def test_maintain_dry_run_predicts_cow_decision(spark, tmp_path, monkeypatch):
                               dry_run=True, rebuild_below_bytes=0)
         assert rep["predicted"]["cow"] is False
         assert rep["predicted"]["rollup_files_candidates"] > 2
+
+
+def test_maintain_table_compacts_cow_rollup_layout(spark, tmp_path,
+                                                   monkeypatch):
+    """r15: the CoW refresh is a PATCH, not a re-layout — maintain_table
+    must see through a run of cow-refresh commits to the optimize that
+    recorded the dims clustering (spec + baseline depth), re-cluster
+    once edge-group patch files stack past the floor, and the rollup
+    must keep refreshing incrementally across the compaction."""
+    import warnings
+
+    import etl_airflow_adventureworks_spark.operators.rollup as R
+    from etl_airflow_adventureworks_spark.table import maintain_table
+
+    src_p, roll_p = str(tmp_path / "s"), str(tmp_path / "r")
+    dims = ["g"]
+    measures = {"n": ("count", None), "sx": ("sum", "x")}
+    rows = [(g, float(g)) for g in range(1, 101) for _ in range(3)]
+    src = VersionedTable(spark, src_p)
+    src.commit(spark.createDataFrame(rows, "g long, x double"),
+               stats_cols=["g"])
+    roll = VersionedTable(spark, roll_p)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, src_p, roll_p, dims, measures)
+        roll.optimize(cluster_by=["g"], min_files=4)
+        monkeypatch.setattr(R, "COW_REFRESH_MIN_BYTES", 1)
+        rep0 = maintain_table(spark, roll_p, dry_run=True)
+        assert rep0["actions"] == []
+        floor = rep0["frag_floor"]
+
+        # edge-group inserts: each CoW refresh lands one patch file
+        # spanning [-i-1, 200+i] — outside every prior range, so they
+        # stack instead of consolidating
+        i = 0
+        while maintain_table(spark, roll_p, dry_run=True)["frag_depth"] \
+                <= floor:
+            src.commit(spark.createDataFrame(
+                [(-(i + 1), 1.0), (200 + i, 1.0)], "g long, x double"),
+                mode="append")
+            refresh_rollup(spark, src_p, roll_p, dims, measures)
+            assert roll.manifest()["op"].get("cow") is True
+            i += 1
+            assert i <= 6, "CoW patches never accrued"
+
+        rep = maintain_table(spark, roll_p)
+        assert rep["actions"] == ["compact"]
+        assert rep["frag_depth"] <= floor
+        man = roll.manifest()
+        assert man["op"].get("cluster_by") == ["g"]  # recorded spec
+        # the rollup still refreshes incrementally across the optimize
+        src.commit(spark.createDataFrame([(50, 2.0)], "g long, x double"),
+                   mode="append")
+        refresh_rollup(spark, src_p, roll_p, dims, measures)
+        from etl_airflow_adventureworks_spark.operators.rollup import (
+            finalize_rollup,
+        )
+
+        got = finalize_rollup(roll.read(), measures)
+        assert got.filter("g = 50").first()["sx"] == 50.0 * 3 + 2.0
+        assert got.filter("g = -1").first()["n"] == 1
+        assert got.count() == 100 + 2 * i

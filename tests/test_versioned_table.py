@@ -426,7 +426,12 @@ def test_optimize_zorder_is_atomic_and_prunable(spark, tmp_path):
     # skips it (zero row delta) instead of failing; a genuine overwrite
     # still trips the guard (tested below and in the delete/upsert tests)
     assert t.changes(1).count() == 0
-    assert t.manifest()["op"] == {"op": "optimize", "rowset_preserving": True}
+    assert t.manifest()["op"] == {
+        "op": "optimize", "rowset_preserving": True,
+        # r15: the clustering spec is self-describing (maintain_table
+        # re-clusters with it)
+        "zorder": ["user_id", "ts_us"], "stats_cols": ["user_id", "ts_us"],
+    }
 
 
 def test_changes_survive_optimize_and_read_only_the_delta(spark, tmp_path):
@@ -2035,3 +2040,125 @@ def test_candidate_files_joined_exact_above_collect_cap(spark, tmp_path):
     assert op["files_probed"] == 1 and op["files_rewritten"] == 1
     assert big.read().filter("k in (6, 7)").count() == 0  # removed
     assert big.read().filter("k = 5").first()["x"] == 555.0
+
+
+def test_bounded_merges_do_not_fragment_file_count(spark, tmp_path):
+    """r15: a bounded upsert / CDC batch lands ~one file per file it
+    replaces (coalesced), not one per partition of batch∪survivors —
+    repeated replica syncs must not fragment the layout the stats
+    pruning depends on. Before the fix each 2-row apply_cdc netted
+    +3 files on an 8-shuffle-partition session."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 10_000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k").sortWithinPartitions("k"),
+        stats_cols=["k"],
+    )
+    assert len(t.manifest()["files"]) == 4
+    for i in range(3):  # steady-state replication: update 1 + insert 1
+        batch = spark.createDataFrame(
+            [(5 + i, 99, "upsert"), (20_000 + i, 1, "upsert")],
+            "k long, v long, op string",
+        )
+        t.apply_cdc(batch, key="k")
+        assert len(t.manifest()["files"]) == 4, f"cdc sync {i} fragmented"
+    for i in range(3):
+        t.upsert(
+            spark.createDataFrame([(7 + i, 5), (30_000 + i, 5)],
+                                  "k long, v long"),
+            key="k",
+        )
+        assert len(t.manifest()["files"]) == 4, f"upsert {i} fragmented"
+    assert t.read().count() == 10_006
+    assert t.read().filter("k = 5").first()["v"] == 99
+
+
+def test_maintain_table_compacts_fragmented_clustered_layout(spark, tmp_path):
+    """r15: maintain_table — the generic policy peer of maintain_rollup
+    / maintain_*_index. Bounded keyed merges stack range-straddling
+    patch files; once the overlap depth clears the floor the call
+    re-clusters with the SPEC RECORDED by the last optimize (no caller
+    knowledge needed), and an at-shape layout is a no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_airflow_adventureworks_spark.table import maintain_table
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 8_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v")),
+        stats_cols=["k"],
+    )
+    t.optimize(cluster_by=["k"], min_files=4)
+    rep = maintain_table(spark, t.path, dry_run=True)
+    assert rep["actions"] == [] and rep["frag_depth"] == 1
+    floor = rep["frag_floor"]
+
+    # range-edge insert batches: each bounded merge lands ONE patch
+    # file straddling the whole layout (keys below min + above max),
+    # and later batches fall outside every prior patch's range, so the
+    # patches stack instead of consolidating — depth grows ~1/merge
+    i = 0
+    while maintain_table(spark, t.path, dry_run=True)["frag_depth"] \
+            <= floor:
+        t.upsert(
+            spark.createDataFrame(
+                [(-(i + 1), -1), (8_000 + i, -1)], "k long, v long"
+            ),
+            key="k",
+        )
+        i += 1
+        assert i <= 6, "fragmentation never accrued"
+    pre = maintain_table(spark, t.path, dry_run=True)
+    assert pre["actions"] == ["compact"] and pre["dry_run"]
+    assert len(t.manifest()["files"]) > 4  # dry run touched nothing? no-
+    # op on content: version advanced only by the upserts themselves
+
+    rep = maintain_table(spark, t.path)
+    assert rep["actions"] == ["compact"]
+    assert rep["frag_depth"] <= floor
+    man = t.manifest()
+    assert (man["op"] or {}).get("op") == "optimize"
+    assert man["op"].get("cluster_by") == ["k"]  # recorded spec reused
+    assert all("k" in (man["stats"].get(f) or {}) for f in man["files"])
+    assert t.read().filter("k >= 0 AND k < 8000").count() == 8_000
+    assert t.read().filter("k = -1").first()["v"] == -1  # inserts intact
+    # at-shape: immediately rerunning maintains nothing
+    assert maintain_table(spark, t.path)["actions"] == []
+
+
+def test_maintain_table_small_files_vacuum_and_validation(spark, tmp_path):
+    """r15: the small-file trigger compacts a trickle-ingested
+    (unclustered) table to target-sized files WITHOUT dropping its
+    recorded stats columns; the vacuum leg sweeps old versions; bad
+    args fail up front."""
+    import pytest
+
+    from etl_airflow_adventureworks_spark.table import maintain_table
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 10).selectExpr("id AS k", "id AS v")
+             .coalesce(1), stats_cols=["k"])
+    for i in range(1, 10):
+        t.commit(
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id AS k", "id AS v").coalesce(1),
+            mode="append", stats_cols=["k"],
+        )
+    assert len(t.manifest()["files"]) == 10
+    rep = maintain_table(spark, t.path, vacuum_retain_last=1)
+    assert rep["actions"] == ["compact", "vacuum"]
+    man = t.manifest()
+    assert len(man["files"]) < 10
+    # stats survived the spec-less compaction
+    assert all("k" in (man["stats"].get(f) or {}) for f in man["files"])
+    assert len(t.versions()) == 1 and rep["swept"] > 0
+    assert t.read().count() == 100
+
+    with pytest.raises(ValueError, match="vacuum_retain_last"):
+        maintain_table(spark, t.path, vacuum_retain_last=0)
+    with pytest.raises(ValueError, match="not both"):
+        maintain_table(spark, t.path, cluster_by=["k"], zorder=["v"])
