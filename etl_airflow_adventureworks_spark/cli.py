@@ -452,6 +452,9 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["auto", "true", "false"],
                     help="copy-on-write commit for the refresh leg "
                     "(r15, see refresh-rollup --cow)")
+    mr.add_argument("--no-layout", action="store_true",
+                    help="skip the rollup's own layout-health leg "
+                    "(maintain_table probe + compaction, r15)")
 
     mt = sub.add_parser(
         "maintain-table",
@@ -1088,6 +1091,7 @@ def main(argv: list[str] | None = None) -> int:
             monotone_dims=spec.get("monotone_dims"),
             vacuum_retain_last=args.vacuum_retain,
             cow={"auto": "auto", "true": True, "false": False}[args.cow],
+            maintain_layout=not args.no_layout,
         )
         verb = "would run" if args.dry_run else "ran"
         print(f"rollup {args.rollup}: {verb} "

@@ -1627,6 +1627,7 @@ def maintain_rollup(
     vacuum_retain_last: int | None = None,
     record_changes: "bool | str" = "auto",
     cow: "bool | str" = "auto",
+    maintain_layout: bool = True,
 ) -> dict:
     """ONE maintenance call for a rollup (r13, VERDICT r12 #3 — the
     policy peer of ``maintain_neardup_index`` / ``maintain_ivf_index``):
@@ -1664,7 +1665,15 @@ def maintain_rollup(
     — "auto" records when the rollup has registered consumers);
     ``cow`` to the copy-on-write commit path (r15 — "auto" switches to
     ``merge_keyed`` once the stored rollup exceeds the measured
-    break-even). ``dry_run=True``
+    break-even). ``maintain_layout`` (r15, default True) runs the
+    generic ``maintain_table`` probe on the ROLLUP's own file layout
+    after the content action — CoW refreshes are patches, so a
+    long-running CoW rollup accrues range-straddling patch files and
+    classic refreshes land shuffle-many small files; the probe is
+    manifest-only and compacts (re-clustering with the spec a prior
+    ``optimize`` recorded, when there is one) only past the same floors
+    ``maintain_table`` documents, closing the layout-health loop in the
+    same scheduled call. ``dry_run=True``
     returns the plan + reasons without touching anything; when the
     predicted mode is ``group_local`` it also runs the manifest-level
     pruning walk against the CURRENT delta window (change rows + per-
@@ -1873,6 +1882,16 @@ def maintain_rollup(
                     "classic overwrite commit (rollup below "
                     f"{COW_REFRESH_MIN_BYTES >> 20} MiB or cow=False)"
                 )
+        if maintain_layout and roll.manifest() is not None:
+            # layout leg prediction (r15): probes the PRE-refresh
+            # manifest — a refresh that would itself push the layout
+            # past the floor shows up on the NEXT call's plan
+            from ..table import maintain_table
+
+            lay = maintain_table(spark, rollup_path, dry_run=True)
+            if "compact" in lay["actions"]:
+                plan.append("compact")
+                reasons.extend(f"layout: {r}" for r in lay["reasons"])
         if vacuum_retain_last is not None:
             plan.append("vacuum")
             reasons.append(
@@ -1902,6 +1921,18 @@ def maintain_rollup(
     else:
         man = roll.manifest()
         v = man["version"] if man else None
+    if maintain_layout and roll.manifest() is not None:
+        # layout leg (r15): the rollup's own file layout — CoW patches
+        # stack, classic refreshes land shuffle-many small files; one
+        # manifest-only probe, compaction only past the documented
+        # floors (an at-shape layout is a no-op costing a stats walk)
+        from ..table import maintain_table
+
+        lay = maintain_table(spark, rollup_path)
+        if "compact" in lay["actions"]:
+            actions.append("compact")
+            reasons.extend(f"layout: {r}" for r in lay["reasons"])
+            v = roll.manifest()["version"]
     if vacuum_retain_last is not None:
         # respect_consumers="auto" (r14, ADVICE r13): the rollup can
         # have consumers of its OWN (a replica of the rollup

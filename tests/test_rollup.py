@@ -2709,3 +2709,69 @@ def test_maintain_table_compacts_cow_rollup_layout(spark, tmp_path,
         assert got.filter("g = 50").first()["sx"] == 50.0 * 3 + 2.0
         assert got.filter("g = -1").first()["n"] == 1
         assert got.count() == 100 + 2 * i
+
+
+def test_maintain_rollup_layout_leg_compacts_in_one_call(spark, tmp_path,
+                                                         monkeypatch):
+    """r15: maintain_rollup's layout leg — the same scheduled call that
+    refreshes a CoW rollup also notices its stacked patch files
+    (manifest-only probe) and re-clusters past the floor; dry-run
+    predicts the compact; maintain_layout=False opts out."""
+    import warnings
+
+    import etl_airflow_adventureworks_spark.operators.rollup as R
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        maintain_rollup,
+    )
+
+    src_p, roll_p = str(tmp_path / "s"), str(tmp_path / "r")
+    dims = ["g"]
+    measures = {"n": ("count", None), "sx": ("sum", "x")}
+    rows = [(g, float(g)) for g in range(1, 101) for _ in range(3)]
+    src = VersionedTable(spark, src_p)
+    src.commit(spark.createDataFrame(rows, "g long, x double"),
+               stats_cols=["g"])
+    roll = VersionedTable(spark, roll_p)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, src_p, roll_p, dims, measures)
+        roll.optimize(cluster_by=["g"], min_files=4)
+        monkeypatch.setattr(R, "COW_REFRESH_MIN_BYTES", 1)
+
+        # stack edge-group CoW patches until the NEXT call must compact
+        i = 0
+        while True:
+            src.commit(spark.createDataFrame(
+                [(-(i + 1), 1.0), (200 + i, 1.0)], "g long, x double"),
+                mode="append")
+            rep = maintain_rollup(spark, src_p, roll_p, dims, measures,
+                                  rebuild_below_bytes=0,
+                                  maintain_layout=False)
+            assert rep["actions"] == ["refresh"]  # opted out: no compact
+            i += 1
+            assert i <= 6, "CoW patches never accrued"
+            pred = maintain_rollup(spark, src_p, roll_p, dims, measures,
+                                   dry_run=True, rebuild_below_bytes=0)
+            if "compact" in pred["actions"]:
+                break
+        assert any(r.startswith("layout:") for r in pred["reasons"])
+
+        # one more source append so the real call has BOTH legs to run
+        src.commit(spark.createDataFrame([(50, 2.0)], "g long, x double"),
+                   mode="append")
+        rep = maintain_rollup(spark, src_p, roll_p, dims, measures,
+                              rebuild_below_bytes=0)
+        assert rep["actions"] == ["refresh", "compact"]
+        man = roll.manifest()
+        assert man["op"].get("cluster_by") == ["g"]  # recorded spec
+        from etl_airflow_adventureworks_spark.table import maintain_table
+
+        assert maintain_table(spark, roll_p, dry_run=True)["actions"] == []
+        # content intact across refresh+compact
+        from etl_airflow_adventureworks_spark.operators.rollup import (
+            finalize_rollup,
+        )
+
+        got = finalize_rollup(roll.read(), measures)
+        assert got.filter("g = 50").first()["sx"] == 50.0 * 3 + 2.0
+        assert got.count() == 100 + 2 * i
