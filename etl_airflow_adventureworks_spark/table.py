@@ -2023,6 +2023,24 @@ class VersionedTable:
         # fragmented layout with the SAME spec without the caller having
         # to know it — the layout is self-describing
         op_info: dict = {"op": "optimize", "rowset_preserving": True}
+        # carry the maintainer sync point (r15): an optimize preserves
+        # the logical rowset, so the replaced manifest's idempotency
+        # token (a rollup's rollup-of:vN, a replica's replica-of:vN, a
+        # stream's epoch) still describes this state exactly. Copying it
+        # into the op — NOT into the manifest token, which would trip
+        # commit()'s replay-skip — keeps the sync point resolvable even
+        # after vacuum sweeps the token-bearing manifest itself
+        # (pre-r15: compact + vacuum(retain_last=1) silently downgraded
+        # the next rollup refresh to a full rebuild).
+        prev = self.manifest()
+        prev_op = (prev.get("op") or {}) if prev else {}
+        carried_tok = (prev or {}).get("token") \
+            or prev_op.get("carried_token")
+        carried_src = prev_op.get("source") or prev_op.get("carried_source")
+        if carried_tok:
+            op_info["carried_token"] = carried_tok
+        if carried_src:
+            op_info["carried_source"] = carried_src
         if zorder:
             op_info["zorder"] = list(zorder)
         if cluster_by:
@@ -2869,8 +2887,23 @@ def latest_maintainer_manifest(
         token = man.get("token") or ""
         if any(token.startswith(p) for p in prefixes):
             return man
-        if not (man.get("op") or {}).get("rowset_preserving"):
+        op = man.get("op") or {}
+        if not op.get("rowset_preserving"):
             return man  # foreign content commit: caller fails loud
+        carried = op.get("carried_token") or ""
+        if any(carried.startswith(p) for p in prefixes):
+            # the rewrite carries the sync point it replaced (r15):
+            # resolve from the carry — equivalent to finding the token
+            # manifest itself, and still works after vacuum swept it.
+            # Present a view with the carried token/source in the spots
+            # callers read them from.
+            return {
+                **man,
+                "token": carried,
+                "op": {**op,
+                       "source": op.get("source")
+                       or op.get("carried_source")},
+            }
     return vt.manifest()  # all-preserving history with no token match
 
 
@@ -3148,7 +3181,10 @@ def maintain_table(
     registry (``respect_consumers="auto"``). ``dry_run`` reports the
     plan without executing. Returns ``{"actions", "reasons",
     "frag_depth", "frag_floor", "files", "small_files", "dry_run"}``
-    (depth fields None when no clustered column is probeable)."""
+    (depth fields None when no clustered column is probeable;
+    ``small_files`` is the count at the early stop — the sweep halts as
+    soon as the trigger's outcome is decided, so on large tables it is
+    a decision-exact lower bound, not a census)."""
     if vacuum_retain_last is not None and vacuum_retain_last < 1:
         raise ValueError(
             f"maintain_table: vacuum_retain_last must be >= 1, got "
@@ -3197,13 +3233,21 @@ def maintain_table(
 
     files = man["files"]
     n_small = 0
-    for f in files:
-        if (
-            vt._fs.getFileStatus(
-                vt._HPath(f"{vt.path}/{f}")
-            ).getLen() < small_file_bytes
-        ):
-            n_small += 1
+    if len(files) > SMALL_FILE_MIN_COUNT:
+        # one size stat per file, early-stopped once the trigger can no
+        # longer fire (a huge healthy table pays ~half its file count in
+        # metadata calls at worst, zero data reads)
+        need = int(len(files) * SMALL_FILE_MAX_FRACTION)
+        for seen, f in enumerate(files):
+            if (
+                vt._fs.getFileStatus(
+                    vt._HPath(f"{vt.path}/{f}")
+                ).getLen() < small_file_bytes
+            ):
+                n_small += 1
+            if n_small > need or \
+                    n_small + (len(files) - seen - 1) <= need:
+                break
 
     actions: list[str] = []
     reasons: list[str] = []

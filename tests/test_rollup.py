@@ -2775,3 +2775,56 @@ def test_maintain_rollup_layout_leg_compacts_in_one_call(spark, tmp_path,
         got = finalize_rollup(roll.read(), measures)
         assert got.filter("g = 50").first()["sx"] == 50.0 * 3 + 2.0
         assert got.count() == 100 + 2 * i
+
+
+def test_optimize_carries_sync_token_past_vacuum(spark, tmp_path,
+                                                 monkeypatch):
+    """r15: an optimize on a rollup (or replica) carries the replaced
+    manifest's maintainer token + source in its op, so compact +
+    vacuum(retain_last=1) — exactly what maintain_rollup's layout and
+    retention legs do together — no longer sweeps the sync point and
+    downgrades the next refresh to a full rebuild."""
+    import warnings
+
+    from etl_airflow_adventureworks_spark.operators.rollup import (
+        _reflected_version, maintain_rollup,
+    )
+    from etl_airflow_adventureworks_spark.table import replicate_table
+
+    src_p, roll_p = str(tmp_path / "s"), str(tmp_path / "r")
+    dims = ["g"]
+    measures = {"n": ("count", None), "sx": ("sum", "x")}
+    src = VersionedTable(spark, src_p)
+    src.commit(spark.createDataFrame(
+        [(g, float(g)) for g in range(1, 51)], "g long, x double"),
+        stats_cols=["g"])
+    roll = VersionedTable(spark, roll_p)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        refresh_rollup(spark, src_p, roll_p, dims, measures)
+        roll.optimize(cluster_by=["g"])
+        roll.vacuum(retain_last=1)  # sweeps the token-bearing manifest
+        assert roll.manifest().get("token") is None  # only the optimize
+        assert _reflected_version(roll, src_p) == 1  # carried, not lost
+        # double optimize: the carry propagates across chains
+        roll.optimize(cluster_by=["g"])
+        roll.vacuum(retain_last=1)
+        assert _reflected_version(roll, src_p) == 1
+        # the next maintenance call refreshes at delta cost — no rebuild
+        src.commit(spark.createDataFrame([(7, 1.0)], "g long, x double"),
+                   mode="append")
+        rep = maintain_rollup(spark, src_p, roll_p, dims, measures,
+                              rebuild_below_bytes=0)
+        assert rep["actions"] == ["refresh"] and rep["mode"] != "rebuild"
+
+    # replica twin: sync point survives compact + vacuum
+    repl_p = str(tmp_path / "repl")
+    replicate_table(spark, src_p, repl_p, key="g")
+    repl = VersionedTable(spark, repl_p)
+    repl.optimize(cluster_by=["g"])
+    repl.vacuum(retain_last=1)
+    src.commit(spark.createDataFrame([(1000, 2.0)], "g long, x double"),
+               mode="append")
+    replicate_table(spark, src_p, repl_p, key="g")  # delta sync, loud if
+    # the token had been lost ("not a replica table")
+    assert repl.read().count() == src.read().count()
