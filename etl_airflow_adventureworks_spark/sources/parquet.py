@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +69,20 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: per-session memo of LAZY scan handles (r16, guide §1.2/§7.3): every
+#: ``spark.read.parquet`` is driver-side work — a py4j round trip, a file
+#: listing, and a footer read for the schema (~80 ms/table measured) —
+#: repeated identically for every query that touches the same table. The
+#: memo stores the unexecuted DataFrame *plan*; every action on it still
+#: scans the parquet from disk (this is metadata caching, NOT result
+#: caching — nothing is persisted, ``.cache()`` is never called). Keyed
+#: weakly by the live SparkSession so a stopped session's entries are
+#: collected and a new session re-reads footers (schemas could differ).
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Parquet embeds the schema — no inference race.
 
@@ -79,11 +94,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    per_session = _SCAN_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         if events_ts_physical_type(sf_dir) == "timestamp[ns]":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    per_session[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
