@@ -178,7 +178,10 @@ def op_join_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "regionkey")
     geo = nation.join(F.broadcast(region), "regionkey", "left")
     return (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "inner")
+        # merge-pinned (r16): the header×detail join is fact×fact — see
+        # plans.kpis._sales for the measured rationale.
+        orders.hint("merge")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"], "inner")
         .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left")
         .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left")
         .join(F.broadcast(geo), customer["c_nationkey"] == geo["n_nationkey"], "left")

@@ -52,10 +52,21 @@ def _net(df: DataFrame) -> F.Column:
 
 def _sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ⋈ lineitem — the header×detail fact grain (op 17,
-    dags/etl_fato_vendas.py:30)."""
+    dags/etl_fato_vendas.py:30).
+
+    The join is pinned sort-merge (r16, guide §3.1): orders is the OTHER
+    fact-side table — at production scale it can never broadcast, so SMJ
+    (bucketed co-partition shuffle-free, tests/test_bucketing.py) is the
+    real plan. Un-hinted, the local bench's small files sat under the
+    auto-broadcast threshold and Spark built + shipped a 150k-row hash
+    relation per run AND pipelined the whole downstream agg into the
+    single-row-group scan task; pinning merge measured 1.69s → 0.94s
+    (kpi07 fresh-plan median) and removes the local/cluster plan split."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"], "inner")
+    return lineitem.hint("merge").join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"], "inner"
+    )
 
 
 # ---------------------------------------------------------------------------

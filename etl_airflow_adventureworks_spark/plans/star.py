@@ -311,7 +311,10 @@ def etl_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", surrogate_key("n_nationkey").alias("sk_localidade")
     )
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        # merge-pinned (r16): orders is fact-sided — never broadcastable at
+        # scale; see plans.kpis._sales for the measured rationale.
+        li.hint("merge")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
         .join(F.broadcast(dp), li["l_partkey"] == dp["p_partkey"], "left")
         .join(F.broadcast(dc), orders["o_custkey"] == dc["c_custkey"], "left")
         .join(F.broadcast(dv), li["l_suppkey"] == dv["s_suppkey"], "left")
