@@ -202,16 +202,24 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    # verify joins: FORCED sort-merge. The doc→shingle-array table is the
-    # one shape AQE mis-sizes: its broadcast decision uses compressed
-    # shuffle bytes, but a long-array payload deserializes 10-50× larger —
-    # measured at 100× data (500k docs), AQE saw a "small" side, tried to
-    # broadcast it, and OOM'd an 8 GB driver building a multi-GB relation.
-    # The merge hint removes that mid-scale cliff; both sides shuffle on
-    # the doc key, which is also the correct 100 TB plan.
+    # verify joins: FORCED shuffled-hash (r16; sort-merge r4-r15). The
+    # doc→shingle-array table is the one shape AQE mis-sizes: its broadcast
+    # decision uses compressed shuffle bytes, but a long-array payload
+    # deserializes 10-50× larger — measured at 100× data (500k docs), AQE
+    # saw a "small" side, tried to broadcast it, and OOM'd an 8 GB driver
+    # building a multi-GB relation. A hint must therefore stay. shuffle_hash
+    # beats merge here (guide §3.1): the pair side outnumbers the doc side
+    # candidates-to-docs (65:1 at sf0.1) and each pair row drags a shingle
+    # array after the first attach, so SMJ's sort of the pair side is the
+    # single most expensive operator in the query (~150 MB sorted twice);
+    # SHJ builds the hash table on the doc side — per-partition
+    # corpus/shuffle-partitions rows, bounded at scale — and streams the
+    # pair side unsorted. Measured 4.5 s → 2.4 s full-query with the
+    # window-df change; both sides still shuffle on the doc key (no
+    # broadcast anywhere — the mid-scale cliff stays closed).
     return (
-        cand.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -262,16 +270,22 @@ def ngram_prefix_candidates(
     common-before allowance, valid everywhere) runs pre-shuffle. Neither
     can lose a true pair; exactness still comes from the Jaccard verify."""
     inv = sh.select("doc_id", F.explode(F.array_compact("hh")).alias("h"))
-    df_rank = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # FORCED sort-merge on the df join. Round 3 left this unhinted ("AQE
-    # broadcasts while small, degrades gracefully at scale") — measured
-    # round 4, that story was wrong twice: AQE's broadcast was SLOWER even
-    # locally (the broadcast side is an aggregate that must finish and
-    # collect before the probe side starts: 4.1 s vs 3.3 s at sf0.1,
-    # 16.1 s vs 11.4 s at sf1), and at sf10 AQE still chose broadcast from
-    # compressed-size estimates and OOM'd the 8 GB driver building the
-    # deserialized relation. Both sides shuffle on h — the 100 TB plan.
-    ranked = inv.join(df_rank.hint("merge"), "h")
+    # Document frequency via a WINDOW over h (r16, guide §2.4) instead of
+    # the old groupBy(h)+join-back. History: round 3 left the df join
+    # unhinted, round 4 forced sort-merge after AQE's broadcast was slower
+    # locally AND OOM'd the driver at sf10 (broadcast side is an aggregate
+    # that must finish+collect before the probe starts). The window form
+    # strictly dominates both: ONE shuffle of the postings by h — the same
+    # exchange the join's probe side already paid — with no aggregate
+    # table, no second sort, no join at all (measured 1.9 s → 1.2 s
+    # candidate phase at sf0.1; full query 4.5 s → 3.0 s). At 100 TB the
+    # work per partition is a sorted count over that partition's postings,
+    # identical asymptotics to the old SMJ's partition sort.
+    from pyspark.sql import Window
+
+    ranked = inv.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     # prefix length |A| - ceil(t·|A|) + 1 over the rare-first (df, h) order,
     # built array-side: sort_array on (df, h) structs == the old window's
     # orderBy; array_compact is the explode-inlining barrier (see
@@ -447,16 +461,18 @@ def minhash_neardup_pairs(sh: DataFrame) -> DataFrame:
     )
     # exact-Jaccard verify on the hashed shingle sets (collision probability
     # ~|A||B|/2^32 — immaterial for the accept/reject decision). Forced
-    # sort-merge: the shingle-array side deserializes 10-50× its compressed
-    # shuffle size, so an AQE broadcast decision here is a mid-scale driver
-    # OOM (see ext_ngram_jaccard's verify-join note for the measurement).
+    # shuffled-hash (r16; sort-merge r4-r15): the shingle-array side
+    # deserializes 10-50× its compressed shuffle size, so an AQE broadcast
+    # decision here is a mid-scale driver OOM (see ext_ngram_jaccard's
+    # verify-join note for the measurement) — a hint must stay; SHJ builds
+    # on the bounded doc side and skips sorting the pair side entirely.
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        cand.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -99,8 +99,12 @@ def text_similarity_join(
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     out_r = right_id if right_id != left_id else f"{right_id}_r"
     return (
-        cand.join(sa.hint("merge"), "lk")
-        .join(sb.hint("merge"), "rk")
+        # shuffled-hash verify (r16): build on the bounded per-side doc
+        # tables, stream the pair side unsorted — same rationale and
+        # measurement as ext_ngram_jaccard's verify joins (no broadcast:
+        # the array side deserializes far above its compressed estimate).
+        cand.join(sa.hint("shuffle_hash"), "lk")
+        .join(sb.hint("shuffle_hash"), "rk")
         .filter(jac >= threshold)
         .select(
             F.col("lk.id").alias(left_id),
