@@ -14,6 +14,8 @@ production the source swaps to Kafka with identical downstream plans.
 from __future__ import annotations
 
 import itertools
+import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -377,6 +379,35 @@ def clear_stream_memo() -> None:
     _STREAM_MEMO.clear()
 
 
+#: target source bytes per stateful shuffle partition for the local
+#: equivalence harness (r16). Each stateful partition is a RocksDB
+#: instance that must be opened, committed and checkpointed EVERY
+#: micro-batch — with the session's 32 shuffle partitions over a 2 MB
+#: events file, state-store lifecycle was ~75% of the harness wall time
+#: (measured 6.2 s → 1.6 s per run at sf0.1 after sizing). Overridable
+#: per deployment via SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+_STATE_PARTITION_BYTES = 64 * 1024 * 1024
+
+
+def _harness_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+    """Scale-adaptive stateful-partition count for the equivalence harness:
+    ~one state store per 64 MiB of source (floor 4), capped at the
+    session's shuffle partitions. A constant 32 was tuned for neither
+    local mode (32 RocksDB opens for 2 MB of events) nor a cluster (a
+    real stream wants state partitions ~ executor cores, set via the
+    session conf this derives from). Non-local sources return None — the
+    session default stands, since file size isn't POSIX-visible there."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    try:
+        size = os.path.getsize(f"{sf_dir}/events.parquet")
+    except OSError:
+        return None
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(cap, math.ceil(size / _STATE_PARTITION_BYTES)))
+
+
 def _run_stream_memoized(
     spark: SparkSession, sf_dir: str, key: str, build
 ) -> DataFrame:
@@ -384,21 +415,61 @@ def _run_stream_memoized(
     hit = _STREAM_MEMO.get(memo_key)
     if hit is None:
         table = f"{key}_{next(_STREAM_UID)}"
-        run_to_memory(build(), table)
+        run_to_memory(
+            build(),
+            table,
+            state_partitions=_harness_state_partitions(spark, sf_dir),
+        )
         _STREAM_MEMO[memo_key] = (spark, table)
     else:
         _, table = hit
     return spark.table(table)
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> None:
     """Drive a streaming plan to completion over a static source: memory
-    sink + processAllAvailable (synchronous; test-only)."""
-    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    sink + processAllAvailable (synchronous; test-only).
+
+    ``state_partitions`` (r16) sizes the stateful shuffle for the run —
+    the conf is bound at query start, so it is set before ``start()`` and
+    restored after the drive completes. In complete mode the trailing
+    no-data micro-batch is also skipped: complete-mode output is a pure
+    function of final state, so the extra batch re-commits every state
+    store (one RocksDB checkpoint per partition) and can never change the
+    result. Append/update modes keep no-data batches — watermark-driven
+    eviction/emission there is the thing under test."""
+    spark = df.sparkSession
+    scoped: dict[str, str | None] = {}
+    if state_partitions is not None:
+        scoped["spark.sql.shuffle.partitions"] = str(state_partitions)
+    if output_mode == "complete":
+        scoped["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    old: dict[str, str | None] = {}
+    for k, v in scoped.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def session_state_per_batch(
