@@ -534,7 +534,7 @@ _GROUPING_SETS_SQL = """
            CAST(SUM({net}) AS DOUBLE) AS net_revenue,
            COUNT(*) AS n_lines
     FROM (
-      SELECT CAST(year(o_orderdate) AS BIGINT) AS ano,
+      SELECT {hint}CAST(year(o_orderdate) AS BIGINT) AS ano,
              CAST(quarter(o_orderdate) AS BIGINT) AS trimestre,
              o_orderpriority, l_extendedprice, l_discount
       FROM {li} JOIN {orders} ON l_orderkey = o_orderkey
@@ -546,12 +546,13 @@ _GROUPING_SETS_SQL = """
     " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))",
     li="{li}",
     orders="{orders}",
+    hint="{hint}",
 )
 
 
 @query(
     "ext_grouping_sets",
-    oracle=_GROUPING_SETS_SQL.format(li="lineitem", orders="orders"),
+    oracle=_GROUPING_SETS_SQL.format(li="lineitem", orders="orders", hint=""),
 )
 def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets suite — CUBE(ano, priority) ∪ the ROLLUP(ano, trimestre)
@@ -565,4 +566,14 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms, and the SQL surface a migrating reference user would write."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
-    return spark.sql(_GROUPING_SETS_SQL.format(li="gs_lineitem", orders="gs_orders"))
+    # merge-pinned fact×fact join (r16, Spark text only — the oracle keeps
+    # no hint): same rationale as plans.kpis._sales, and here the 5-way
+    # Expand multiplies the joined rows BEFORE the partial aggregate, so
+    # leaving the join broadcast pipelined a 5× expansion into the single
+    # split-starved scan task.
+    return spark.sql(
+        _GROUPING_SETS_SQL.format(
+            li="gs_lineitem", orders="gs_orders",
+            hint="/*+ MERGE(gs_lineitem) */ ",
+        )
+    )

@@ -387,14 +387,17 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver. Scores rounded to 6 before ranking so libm log differences
     can't flip cross-engine order; total order via the term tie-break.
 
-    Why merge, not broadcast, for the df table: distinct-term vocabulary
-    grows ~linearly with corpus size, so an explicit broadcast hint (which
-    bypasses AQE's size check) walks straight into the 8 GB broadcast hard
-    cap at scale — the same mid-scale cliff measured and removed from
-    ``ngram_prefix_candidates``'s df-table join (operators/dedup.py). Both
-    sides shuffle on term; tf needs that exchange anyway after its
-    (doc_id, term) aggregate. The 1-row corpus-count aggregate stays a
-    broadcast — it cannot grow.
+    Document frequency comes from a WINDOW over the tf aggregate (r16;
+    r3-r15 aggregated a separate df table and sort-merge-joined it back —
+    the no-broadcast rationale recorded then still holds: distinct-term
+    vocabulary grows ~linearly with the corpus, so a broadcast hint walks
+    into the 8 GB cap at scale). The tf aggregate already has EXACTLY one
+    row per (doc_id, term), so ``count(*) over (partition by term)`` IS
+    countDistinct(doc_id) per term — one window on the exchange the join's
+    probe side already paid, instead of a second scan+explode leg, a
+    countDistinct expand, and the join (7 exchanges → 4; 0.82 s → 0.55 s
+    at sf0.1). The 1-row corpus-count aggregate stays a broadcast — it
+    cannot grow.
 
     Fully lazy: the corpus size joins in as a 1-row broadcast aggregate
     (no driver-side .count() at plan-construction time — building the plan
@@ -404,10 +407,9 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.selectExpr("doc_id", f"explode({_TOK_SPARK}) AS term")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(df.hint("merge"), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

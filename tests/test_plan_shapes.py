@@ -108,36 +108,43 @@ def test_interleave_has_no_global_window(spark):
         assert "ASC" not in first and "DESC" not in first, plan
 
 
-def test_ngram_prefix_build_has_no_windows_and_no_broadcasts(spark):
+def test_ngram_prefix_build_single_h_exchange_and_no_broadcasts(spark):
     # round-2 defect (VERDICT item 1): the prefix build paid two doc_id
     # Window sorts and a full re-shuffle of the inverted index on the df
-    # join. The round-3+ form must show NO Window node (prefix is a groupBy
-    # into sorted arrays). Round 4 (late): EVERY join in the query is
-    # forced sort-merge — AQE's broadcast of the df table was slower even
-    # locally AND OOM'd an 8 GB driver at sf10 (compressed-size estimate
-    # vs multi-GB deserialized relation), so the plan must contain NO
-    # broadcast join at any scale.
+    # join. Round 16: document frequency is ONE window over h — the same
+    # exchange the old join's probe side paid, with no aggregate table
+    # and no join-back — so the optimized plan has exactly the two VERIFY
+    # joins and no per-doc_id window. The r4 broadcast ban stands (AQE's
+    # compressed-size estimate of the shingle-array side OOM'd an 8 GB
+    # driver at sf10): no broadcast join at any scale; the verify joins
+    # are shuffled-hash (r16 — builds on the bounded doc side, streams
+    # the candidate-pair side unsorted; sort-merge r4-r15).
     df = entrymod.queries()["ext_ngram_jaccard"](spark, SF_ORACLE)
     opt = optimized_of(df)
-    assert "Window" not in opt, opt
+    assert opt.count("Join") == 2, opt  # verify joins only — df is a window
+    assert "windowspecdefinition(doc_id" not in opt, opt  # the r2 defect
     df.count()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in final, final
-    assert "SortMergeJoin" in final, final
+    assert "ShuffledHashJoin" in final, final
 
 
-def test_tfidf_df_join_is_sort_merge_not_broadcast(spark):
+def test_tfidf_df_is_window_not_broadcast_join(spark):
     # round-5 (VERDICT r4 item 2): the df (document-frequency) table is one
     # row per DISTINCT TERM — it grows ~linearly with the corpus, so a forced
     # broadcast hint bypasses AQE's size check and hits the 8 GB broadcast
-    # cap at scale. The plan must sort-merge the tf⋈df join; the only
+    # cap at scale. Round 16: df is a count window over term on the tf
+    # aggregate (one row per (doc, term) ⇒ the window count IS
+    # countDistinct(doc_id)) — no term join remains to mis-plan; the only
     # broadcast allowed is the 1-row corpus-count crossJoin
     # (BroadcastNestedLoopJoin — cannot grow).
     df = entrymod.queries()["ext_tfidf_top_terms"](spark, SF_ORACLE)
     df.count()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in final, final
-    assert "SortMergeJoin" in final, final
+    assert "SortMergeJoin" not in final, final  # the term join is gone
+    assert "ShuffledHashJoin" not in final, final
+    assert final.count("Window") >= 2, final  # df window + top-3 ranking
 
 
 def test_ngram_naive_twin_size_joins_not_forced_broadcast(spark):
