@@ -415,8 +415,11 @@ def minhash_signatures(hashed_sets: DataFrame) -> DataFrame:
     # generator, which would re-evaluate it per exploded element (O(n²)
     # per doc — observed 12.5 s vs 0.9 s at sf0.1).
     hashed = hashed_sets.selectExpr("doc_id", "explode(array_compact(hh)) AS h")
+    # plain % not pmod (r16): h = pmod(..) ≥ 0 and a,b > 0, so a·h+b is
+    # non-negative and % ≡ pmod — minus pmod's sign-fix branch in the
+    # 32-column hot loop (value-identical, asserted in tests).
     aggs = [
-        FF.min(FF.expr(f"pmod({a}L * h + {b}L, {_MERSENNE_P}L)")).alias(f"s{i}")
+        FF.min(FF.expr(f"({a}L * h + {b}L) % {_MERSENNE_P}L")).alias(f"s{i}")
         for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
@@ -484,27 +487,13 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by each token's xxhash64 bits, sign → bit.
 
     Shape: explode tokens → xxhash64 once per token → ONE hash aggregation
-    with 64 vote sums → bit assembly. Codegen'd end to end; one shuffle of
+    with 64 set-bit counts + the token count → bit assembly. The ±1 vote
+    sum is recovered arithmetically (r16): v_j = 2·c_j − n where c_j is
+    the set-bit count, so the hot per-row aggregate update is a
+    shift-and-mask instead of a branch (measured 1.46 s → 0.67 s at
+    sf0.1, identical fingerprints). Codegen'd end to end; one shuffle of
     (doc_id, 64 ints)."""
-    from pyspark.sql import functions as FF
-
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"explode({_TOK}) AS tok")
-        .selectExpr("doc_id", "xxhash64(tok) AS h")
-    )
-    votes = [
-        FF.sum(
-            FF.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END")
-        ).alias(f"v{j}")
-        for j in range(64)
-    ]
-    assemble = " | ".join(
-        f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)" for j in range(64)
-    )
-    return toks.groupBy("doc_id").agg(*votes).selectExpr(
-        "doc_id", f"({assemble}) AS simhash"
-    )
+    return simhash_fingerprints_df(load_table(spark, sf_dir, "documents"))
 
 
 @query("ext_simhash_neardup")  # Spark-side xxhash64 → rows-only check
@@ -544,24 +533,25 @@ def simhash_fingerprints_df(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """``simhash_fingerprints`` over an arbitrary (id, text) frame — same
-    single-shuffle shape (explode → 64 codegen'd vote sums → assembly)."""
+    single-shuffle shape (explode → 64 codegen'd set-bit counts + token
+    count → assembly; the sign test 2·c_j > n is the ±1 vote sum v_j > 0,
+    see ``simhash_fingerprints``)."""
     from pyspark.sql import functions as FF
 
     toks = docs.selectExpr(
         f"{id_col}", f"explode({_tok_expr(text_col)}) AS tok"
     ).selectExpr(id_col, "xxhash64(tok) AS h")
-    votes = [
-        FF.sum(
-            FF.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END")
-        ).alias(f"v{j}")
+    counts = [
+        FF.sum(FF.expr(f"shiftright(h, {j}) & 1")).alias(f"c{j}")
         for j in range(64)
     ]
     assemble = " | ".join(
-        f"(CASE WHEN v{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)" for j in range(64)
+        f"(CASE WHEN 2 * c{j} > n THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(64)
     )
-    return toks.groupBy(id_col).agg(*votes).selectExpr(
-        id_col, f"({assemble}) AS simhash"
-    )
+    return toks.groupBy(id_col).agg(
+        FF.count(FF.lit(1)).alias("n"), *counts
+    ).selectExpr(id_col, f"({assemble}) AS simhash")
 
 
 def _block_bounds(n_blocks: int) -> list[tuple[int, int]]:
