@@ -1,0 +1,93 @@
+"""Focused tests for the round-16 optimization internals.
+
+Covers the two new pieces of machinery (the rest of the round's changes
+are plan-shape rewrites whose outputs are already pinned by the oracle
+parity suite and the result-identity twin tests):
+
+- the per-session lazy scan-handle memo in ``sources.parquet.load_table``
+  (plan caching, not result caching);
+- the scale-adaptive stateful-shuffle sizing of the streaming
+  equivalence harness (``streaming.events._harness_state_partitions``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import SparkSession
+
+from etl_airflow_adventureworks_spark.sources import load_table
+from etl_airflow_adventureworks_spark.sources.parquet import _SCAN_MEMO
+from etl_airflow_adventureworks_spark.streaming.events import (
+    _harness_state_partitions,
+)
+
+SF = "/root/testdata/sf0.001"
+SF2 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[2]")
+        .appName("r16-opt-tests")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_scan_memo_returns_same_lazy_handle(spark):
+    a = load_table(spark, SF, "lineitem")
+    b = load_table(spark, SF, "lineitem")
+    assert a is b  # the whole point: no repeated footer/listing work
+    # distinct per (sf_dir, table) — never cross-contaminated
+    assert load_table(spark, SF2, "lineitem") is not a
+    assert load_table(spark, SF, "orders") is not a
+
+
+def test_scan_memo_is_plan_cache_not_result_cache(spark):
+    df = load_table(spark, SF, "region")
+    n1 = df.count()
+    n2 = load_table(spark, SF, "region").count()  # re-executes the scan
+    assert n1 == n2 == 5
+    # nothing persisted: the memoized plan carries no cached storage level
+    assert not df.is_cached
+
+
+def test_scan_memo_keyed_by_live_session(spark):
+    before = load_table(spark, SF, "nation")
+    assert spark in _SCAN_MEMO and (SF, "nation") in _SCAN_MEMO[spark]
+    # a different session object gets its own entry (weak keying): simulate
+    # with newSession(), which shares the context but is a distinct key
+    s2 = spark.newSession()
+    other = load_table(s2, SF, "nation")
+    assert other is not before
+    assert load_table(spark, SF, "nation") is before
+
+
+def test_harness_state_partitions_scale_adaptive(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
+    # tiny local source → the floor (4), never the session's conf (8)
+    assert _harness_state_partitions(spark, SF) == 4
+    # env override wins outright
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
+    assert _harness_state_partitions(spark, SF) == 2
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    # non-local / missing source → None (the session default stands)
+    assert _harness_state_partitions(spark, "/nonexistent/dir") is None
+
+
+def test_harness_state_partitions_capped_at_session_conf(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
+    # a huge source can never exceed the session conf (the cluster knob)
+    import etl_airflow_adventureworks_spark.streaming.events as se
+
+    monkeypatch.setattr(
+        se.os.path, "getsize", lambda p: 10 * 1024 * 1024 * 1024
+    )
+    assert _harness_state_partitions(spark, SF) == 8
