@@ -12,11 +12,6 @@ parity suite and the result-identity twin tests):
 
 from __future__ import annotations
 
-import os
-
-import pytest
-from pyspark.sql import SparkSession
-
 from etl_airflow_adventureworks_spark.sources import load_table
 from etl_airflow_adventureworks_spark.sources.parquet import _SCAN_MEMO
 from etl_airflow_adventureworks_spark.streaming.events import (
@@ -27,18 +22,11 @@ SF = "/root/testdata/sf0.001"
 SF2 = "/root/testdata/sf0.01"
 
 
-@pytest.fixture(scope="module")
-def spark():
-    s = (
-        SparkSession.builder.master("local[2]")
-        .appName("r16-opt-tests")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    yield s
-    s.stop()
+# These tests use the suite-wide session-scoped ``spark`` fixture from
+# conftest.py (shuffle.partitions=8, which the sizing tests below assume).
+# Never build a module fixture with getOrCreate()+stop() here: getOrCreate()
+# returns the SHARED suite session and stopping it kills the SparkContext for
+# every test module that runs afterwards (round-16 verdict, item 1).
 
 
 def test_scan_memo_returns_same_lazy_handle(spark):
