@@ -72,10 +72,17 @@ def test_harness_state_partitions_scale_adaptive(spark, monkeypatch):
 
 def test_harness_state_partitions_capped_at_session_conf(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
-    # a huge source can never exceed the session conf (the cluster knob)
+    # a huge source can never exceed the session conf (the cluster knob).
+    # Pin the conf for the assertion — the shared suite session's value may
+    # have been changed by an earlier module — and restore it after.
     import etl_airflow_adventureworks_spark.streaming.events as se
 
     monkeypatch.setattr(
         se.os.path, "getsize", lambda p: 10 * 1024 * 1024 * 1024
     )
-    assert _harness_state_partitions(spark, SF) == 8
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        assert _harness_state_partitions(spark, SF) == 8
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
