@@ -202,24 +202,26 @@ def ext_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    # verify joins: FORCED shuffled-hash (r16; sort-merge r4-r15). The
-    # doc→shingle-array table is the one shape AQE mis-sizes: its broadcast
-    # decision uses compressed shuffle bytes, but a long-array payload
-    # deserializes 10-50× larger — measured at 100× data (500k docs), AQE
-    # saw a "small" side, tried to broadcast it, and OOM'd an 8 GB driver
-    # building a multi-GB relation. A hint must therefore stay. shuffle_hash
-    # beats merge here (guide §3.1): the pair side outnumbers the doc side
-    # candidates-to-docs (65:1 at sf0.1) and each pair row drags a shingle
-    # array after the first attach, so SMJ's sort of the pair side is the
-    # single most expensive operator in the query (~150 MB sorted twice);
-    # SHJ builds the hash table on the doc side — per-partition
-    # corpus/shuffle-partitions rows, bounded at scale — and streams the
-    # pair side unsorted. Measured 4.5 s → 2.4 s full-query with the
-    # window-df change; both sides still shuffle on the doc key (no
-    # broadcast anywhere — the mid-scale cliff stays closed).
+    # verify joins: FORCED sort-merge (r4-r15; shuffle_hash in r16 only —
+    # REVERTED r17). The doc→shingle-array table is the one shape AQE
+    # mis-sizes: its broadcast decision uses compressed shuffle bytes, but
+    # a long-array payload deserializes 10-50× larger — measured at 100×
+    # data (500k docs), AQE saw a "small" side, tried to broadcast it, and
+    # OOM'd an 8 GB driver building a multi-GB relation. A hint must
+    # therefore stay. r16's switch to shuffle_hash rested on a same-session
+    # win that did NOT survive controlled measurement: under the bench
+    # protocol SHJ is parity at sf0.1 (10 alternating fresh-JVM pairs,
+    # plans/r17/ab_unconfirmed_five.json + ab_dedup_three.json) and
+    # slightly SLOWER at 10×/100× data (SHJ/SMJ 1.29 at sf1, 1.06 at sf10
+    # — plans/r17/shj_vs_smj_sf{1,10}.json), so the hint went back to
+    # merge: SMJ degrades by SPILLING when a partition outgrows memory,
+    # while a hinted SHJ build cannot spill. The minhash verify below
+    # keeps SHJ — it DID measure faster there (see its note for the
+    # partition-sizing invariant). Both sides still shuffle on the doc key
+    # (no broadcast anywhere — the mid-scale cliff stays closed).
     return (
-        cand.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        cand.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
@@ -464,11 +466,23 @@ def minhash_neardup_pairs(sh: DataFrame) -> DataFrame:
     )
     # exact-Jaccard verify on the hashed shingle sets (collision probability
     # ~|A||B|/2^32 — immaterial for the accept/reject decision). Forced
-    # shuffled-hash (r16; sort-merge r4-r15): the shingle-array side
-    # deserializes 10-50× its compressed shuffle size, so an AQE broadcast
-    # decision here is a mid-scale driver OOM (see ext_ngram_jaccard's
-    # verify-join note for the measurement) — a hint must stay; SHJ builds
-    # on the bounded doc side and skips sorting the pair side entirely.
+    # shuffled-hash (r16, CONFIRMED r17; sort-merge r4-r15): the
+    # shingle-array side deserializes 10-50× its compressed shuffle size,
+    # so an AQE broadcast decision here is a mid-scale driver OOM (see
+    # ext_ngram_jaccard's verify-join note for the measurement) — a hint
+    # must stay; SHJ builds on the doc side and skips sorting the pair
+    # side. r17 re-measured SHJ-vs-SMJ per the r4 protocol
+    # (plans/r17/shj_vs_smj_sf{1,10}.json): SHJ/SMJ 0.95 at sf1, 0.88 at
+    # sf10, with the build side at 7.4 MB max per partition at 500k docs
+    # over 32 partitions. INVARIANT a hinted SHJ build relies on (it
+    # cannot spill): per-partition build bytes = |docs|·~450 B /
+    # shuffle-partitions, so shuffle partitions must scale with the
+    # corpus. They do under any sane sizing: the PAIR side — which is what
+    # partition-count tuning targets, since it outnumbers docs 65:1 here —
+    # grows at least linearly with docs, so partitions sized for pairs
+    # (~128 MB-1 GB each, guide §2.2) keep the doc-side build far below a
+    # task's memory budget. A deployment that pins a small constant
+    # partition count on a growing corpus must revert this hint to merge.
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -99,12 +99,15 @@ def text_similarity_join(
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     out_r = right_id if right_id != left_id else f"{right_id}_r"
     return (
-        # shuffled-hash verify (r16): build on the bounded per-side doc
-        # tables, stream the pair side unsorted — same rationale and
-        # measurement as ext_ngram_jaccard's verify joins (no broadcast:
-        # the array side deserializes far above its compressed estimate).
-        cand.join(sa.hint("shuffle_hash"), "lk")
-        .join(sb.hint("shuffle_hash"), "rk")
+        # sort-merge verify (r4-r15; shuffle_hash in r16 only — REVERTED
+        # r17 with ext_ngram_jaccard's verify joins, same measurement:
+        # SHJ parity at sf0.1, 1.29/1.06 at sf1/sf10). This is a LIBRARY
+        # entry point over arbitrary corpora — the caller controls the
+        # corpus/partition ratio, so the spill-safe strategy is the only
+        # defensible default here (ADVICE r16). No broadcast ever: the
+        # array side deserializes far above its compressed estimate.
+        cand.join(sa.hint("merge"), "lk")
+        .join(sb.hint("merge"), "rk")
         .filter(jac >= threshold)
         .select(
             F.col("lk.id").alias(left_id),

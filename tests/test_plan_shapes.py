@@ -117,8 +117,10 @@ def test_ngram_prefix_build_single_h_exchange_and_no_broadcasts(spark):
     # joins and no per-doc_id window. The r4 broadcast ban stands (AQE's
     # compressed-size estimate of the shingle-array side OOM'd an 8 GB
     # driver at sf10): no broadcast join at any scale; the verify joins
-    # are shuffled-hash (r16 — builds on the bounded doc side, streams
-    # the candidate-pair side unsorted; sort-merge r4-r15).
+    # are sort-merge again (r17 — the r16 shuffle_hash switch measured
+    # parity at sf0.1 and 1.29/1.06 at sf1/sf10, and SMJ spills instead
+    # of OOMing; see dedup.py's verify-join note. The minhash verify is
+    # the one that KEEPS shuffle_hash — measured faster at scale there).
     df = entrymod.queries()["ext_ngram_jaccard"](spark, SF_ORACLE)
     opt = optimized_of(df)
     assert opt.count("Join") == 2, opt  # verify joins only — df is a window
@@ -126,7 +128,7 @@ def test_ngram_prefix_build_single_h_exchange_and_no_broadcasts(spark):
     df.count()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in final, final
-    assert "ShuffledHashJoin" in final, final
+    assert "SortMergeJoin" in final, final
 
 
 def test_tfidf_df_is_window_not_broadcast_join(spark):

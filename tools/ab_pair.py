@@ -25,6 +25,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def run_once(tree: Path, queries: str) -> dict[str, float]:
     env = {
         "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
@@ -60,12 +67,15 @@ def main() -> None:
         )
     try:
         runs: dict[str, list[dict[str, float]]] = {"A": [], "B": []}
+        loads: list[float | None] = []  # load1 before each run (r17:
+        # quiet-window evidence travels WITH the record, VERDICT r16 #3)
         for i in range(pairs):
             for tag in ("A", "B"):
+                loads.append(_load1())
                 q = run_once(trees[tag], queries)
                 runs[tag].append(q)
-                print(f"[ab] pair {i + 1} {tag}: {json.dumps(q)}",
-                      file=sys.stderr)
+                print(f"[ab] pair {i + 1} {tag} (load1 {loads[-1]}): "
+                      f"{json.dumps(q)}", file=sys.stderr)
         summary = {}
         for name in queries.split(","):
             a = [r[name] for r in runs["A"]]
@@ -77,11 +87,17 @@ def main() -> None:
                 "B_over_A": round(
                     statistics.median(b) / statistics.median(a), 3
                 ),
+                # the PAIRED statistic: median of per-pair ratios — robust
+                # to a host-drift window hitting both sides of some pairs
+                "pairwise_median": round(statistics.median(
+                    bi / ai for ai, bi in zip(a, b)
+                ), 3),
             }
         rec = {
             "protocol": f"alternating fresh-JVM, {pairs} pairs, "
                         "bench warmup+median-of-3 per run",
             "checkouts": {"A": rev_a, "B": rev_b},
+            "load1_before_each_run": loads,
             "queries": summary,
         }
         if out_path:
