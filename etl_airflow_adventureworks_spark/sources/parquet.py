@@ -75,12 +75,40 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 #: repeated identically for every query that touches the same table. The
 #: memo stores the unexecuted DataFrame *plan*; every action on it still
 #: scans the parquet from disk (this is metadata caching, NOT result
-#: caching — nothing is persisted, ``.cache()`` is never called). Keyed
-#: weakly by the live SparkSession so a stopped session's entries are
-#: collected and a new session re-reads footers (schemas could differ).
-_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+#: caching — nothing is persisted, ``.cache()`` is never called).
+#:
+#: Lifecycle (r17, ADVICE r16): the r16 WeakKeyDictionary never actually
+#: freed anything — each memoized DataFrame strongly references its
+#: SparkSession, so the weak key stayed reachable through its own value.
+#: The memo is now a plain dict keyed by ``id(session)`` holding the
+#: session alongside its entries; ``load_table`` sweeps entries whose
+#: session has been STOPPED (a stopped session can never serve a scan
+#: again) the first time it sees a new session, and
+#: ``invalidate_scan_memo`` evicts by directory for callers that
+#: overwrite a table in place (VERDICT r16 #4/#7). Entries of a stopped
+#: session therefore live only until the next session's first load —
+#: bounded by construction, instead of "until interpreter exit".
+_SCAN_MEMO: dict[int, tuple[SparkSession, dict[tuple[str, str], DataFrame]]] = {}
+
+
+def _session_live(spark: SparkSession) -> bool:
+    sc = getattr(spark, "_sc", None)
+    return sc is not None and getattr(sc, "_jsc", None) is not None
+
+
+def invalidate_scan_memo(sf_dir: str | None = None) -> None:
+    """Evict memoized scan handles for ``sf_dir`` (every session), or ALL
+    handles when called without arguments. Required when a table directory
+    is overwritten in place and re-read through ``load_table`` within the
+    same session — the memoized plan would otherwise serve the old file
+    listing. Writers that target a warehouse dir (sinks.write_table) call
+    this themselves."""
+    for sid, (_, entries) in list(_SCAN_MEMO.items()):
+        if sf_dir is None:
+            entries.clear()
+        else:
+            for key in [k for k in entries if k[0] == sf_dir]:
+                del entries[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -94,7 +122,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    per_session = _SCAN_MEMO.setdefault(spark, {})
+    sid = id(spark)
+    hit = _SCAN_MEMO.get(sid)
+    if hit is None:
+        # first sighting of this session: drop stopped sessions' entries
+        # (their py4j handles are dead weight and can never be served)
+        for dead in [s for s, (sess, _) in _SCAN_MEMO.items()
+                     if not _session_live(sess)]:
+            del _SCAN_MEMO[dead]
+        per_session: dict[tuple[str, str], DataFrame] = {}
+        _SCAN_MEMO[sid] = (spark, per_session)
+    else:
+        per_session = hit[1]
     key = (sf_dir, name)
     cached = per_session.get(key)
     if cached is not None:

@@ -399,9 +399,23 @@ def _harness_state_partitions(spark: SparkSession, sf_dir: str) -> int | None:
     session default stands, since file size isn't POSIX-visible there."""
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be an integer "
+                f"partition count, got {env!r}"
+            ) from None
     try:
-        size = os.path.getsize(f"{sf_dir}/events.parquet")
+        path = f"{sf_dir}/events.parquet"
+        if os.path.isdir(path):  # multi-file table (r17 bench layout)
+            size = sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.name.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return None
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -437,7 +451,11 @@ def run_to_memory(
 
     ``state_partitions`` (r16) sizes the stateful shuffle for the run —
     the conf is bound at query start, so it is set before ``start()`` and
-    restored after the drive completes. In complete mode the trailing
+    restored after the drive completes. The set/restore mutates the
+    SESSION's conf: this harness assumes the single-threaded test/bench
+    driver (nothing else plans queries on the session mid-drive); a
+    concurrent planner on the same session would inherit the harness
+    sizing for plans built inside this window. In complete mode the trailing
     no-data micro-batch is also skipped: complete-mode output is a pure
     function of final state, so the extra batch re-commits every state
     store (one RocksDB checkpoint per partition) and can never change the

@@ -49,9 +49,10 @@ def test_scan_memo_is_plan_cache_not_result_cache(spark):
 
 def test_scan_memo_keyed_by_live_session(spark):
     before = load_table(spark, SF, "nation")
-    assert spark in _SCAN_MEMO and (SF, "nation") in _SCAN_MEMO[spark]
-    # a different session object gets its own entry (weak keying): simulate
-    # with newSession(), which shares the context but is a distinct key
+    assert id(spark) in _SCAN_MEMO
+    assert (SF, "nation") in _SCAN_MEMO[id(spark)][1]
+    # a different session object gets its own entry: simulate with
+    # newSession(), which shares the context but is a distinct key
     s2 = spark.newSession()
     other = load_table(s2, SF, "nation")
     assert other is not before
