@@ -365,8 +365,9 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution + profile suite in one declared query over ONE scan
-    source: an equi-width histogram (12 × 50k top-clamped buckets — floor
+    """Distribution + profile suite in one declared query over one scan
+    source (TWO physical passes since r17 — see the in-body note): an
+    equi-width histogram (12 × 50k top-clamped buckets — floor
     division, identical IEEE ops both engines) unioned with exact
     interpolated per-group percentiles (both engines sort + linearly
     interpolate; pinned at 4 decimals) and — since the round-7 fold
@@ -391,56 +392,84 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v4"),
         F.lit(None).cast("double").alias("v5"),
     ]
-    hist = (
-        orders.groupBy(
-            F.expr("CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT)").alias("bucket")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.lit("hist").alias("stat"),
-            F.col("bucket").cast("string").alias("k"),
-            F.col("n").cast("double").alias("v1"),
-            F.lit(None).cast("double").alias("v2"),
-            *nulls3,
-        )
+    # r17 (guide §2.4/§6, VERDICT r16 #6): the four sections used to issue
+    # FOUR independent scans of orders. They now share two:
+    #  - hist + pct group the same source by different keys, so GROUPING
+    #    SETS ((bucket), (priority)) computes both group families in one
+    #    scan + one aggregation — each set's rows are exactly the
+    #    standalone groupBy's (incl. NULL-key groups; spark_grouping_id
+    #    disambiguates a NULL bucket VALUE from "bucket not in this set"),
+    #    so the declared result is unchanged for ANY input;
+    #  - rhist + profile are both single-row global aggregates, folded
+    #    into one agg whose row is expanded to the 13 output rows.
+    # No persist/cache anywhere: each action still scans parquet twice.
+    base = orders.select(
+        F.expr(
+            "CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT)"
+        ).alias("bucket"),
+        "o_orderpriority",
+        "o_totalprice",
     )
-    pct = (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        )
-        .select(
-            F.lit("pct").alias("stat"),
-            F.col("o_orderpriority").alias("k"),
-            F.col("p50").alias("v1"),
-            F.col("p90").alias("v2"),
-            *nulls3,
-        )
+    both = base.groupingSets(
+        [["bucket"], ["o_orderpriority"]], "bucket", "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.grouping_id().alias("gid"),
+    )
+    # gid bits follow the grouping column order (bucket, o_orderpriority):
+    # set (bucket) -> 0b01 = 1, set (o_orderpriority) -> 0b10 = 2
+    hist = both.filter(F.col("gid") == 1).select(
+        F.lit("hist").alias("stat"),
+        F.col("bucket").cast("string").alias("k"),
+        F.col("n").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        *nulls3,
+    )
+    pct = both.filter(F.col("gid") == 2).select(
+        F.lit("pct").alias("stat"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("p50").alias("v1"),
+        F.col("p90").alias("v2"),
+        *nulls3,
     )
     from .rollup import _histogram_agg
 
-    rhist = (
-        orders.agg(_histogram_agg(("o_totalprice", 50000.0, 450000.0, 8)).alias("h"))
-        .select(F.posexplode("h").alias("i", "n"))
-        .select(
-            F.lit("rhist").alias("stat"),
-            F.col("i").cast("string").alias("k"),
-            F.col("n").cast("double").alias("v1"),
-            F.lit(None).cast("double").alias("v2"),
-            *nulls3,
+    prof_cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        _histogram_agg(("o_totalprice", 50000.0, 450000.0, 8)).alias("rh"),
+    ]
+    for c in prof_cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    null_d = "CAST(NULL AS DOUBLE)"
+    prof_structs = ", ".join(
+        f"named_struct('stat', 'profile', 'k', '{c}',"
+        f" 'v1', CAST(n_rows AS DOUBLE), 'v2', CAST({c}__null AS DOUBLE),"
+        f" 'v3', CAST({c}__distinct AS DOUBLE), 'v4', {c}__min,"
+        f" 'v5', {c}__max)"
+        for c in prof_cols
+    )
+    tail = (
+        orders.agg(*aggs)
+        .selectExpr(
+            "explode(concat("
+            " transform(rh, (n, i) -> named_struct("
+            "   'stat', 'rhist', 'k', CAST(i AS STRING),"
+            f"  'v1', CAST(n AS DOUBLE), 'v2', {null_d},"
+            f"  'v3', {null_d}, 'v4', {null_d}, 'v5', {null_d})),"
+            f" array({prof_structs})"
+            ")) AS r"
         )
+        .select("r.*")
     )
-    profile = _profile_frame(orders).select(
-        F.lit("profile").alias("stat"),
-        F.col("col").alias("k"),
-        F.col("n_rows").cast("double").alias("v1"),
-        F.col("n_null").cast("double").alias("v2"),
-        F.col("n_distinct").cast("double").alias("v3"),
-        F.col("min_val").alias("v4"),
-        F.col("max_val").alias("v5"),
-    )
-    return hist.unionByName(pct).unionByName(rhist).unionByName(profile)
+    return hist.unionByName(pct).unionByName(tail)
 
 
 def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
