@@ -419,19 +419,23 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().alias("gid"),
     )
     # gid bits follow the grouping column order (bucket, o_orderpriority):
-    # set (bucket) -> 0b01 = 1, set (o_orderpriority) -> 0b10 = 2
-    hist = both.filter(F.col("gid") == 1).select(
-        F.lit("hist").alias("stat"),
-        F.col("bucket").cast("string").alias("k"),
-        F.col("n").cast("double").alias("v1"),
-        F.lit(None).cast("double").alias("v2"),
-        *nulls3,
-    )
-    pct = both.filter(F.col("gid") == 2).select(
-        F.lit("pct").alias("stat"),
-        F.col("o_orderpriority").alias("k"),
-        F.col("p50").alias("v1"),
-        F.col("p90").alias("v2"),
+    # set (bucket) -> 0b01 = 1, set (o_orderpriority) -> 0b10 = 2. Both
+    # sections project from the SAME branch with gid conditionals — two
+    # filtered branches would prune different columns, making their
+    # aggregates non-identical so ReuseExchange cannot dedupe them, and
+    # the grouping-sets pass would run (and scan) twice.
+    is_hist = F.col("gid") == 1
+    head = both.select(
+        F.when(is_hist, F.lit("hist")).otherwise(F.lit("pct")).alias("stat"),
+        F.when(is_hist, F.col("bucket").cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("k"),
+        F.when(is_hist, F.col("n").cast("double"))
+        .otherwise(F.col("p50"))
+        .alias("v1"),
+        F.when(is_hist, F.lit(None).cast("double"))
+        .otherwise(F.col("p90"))
+        .alias("v2"),
         *nulls3,
     )
     from .rollup import _histogram_agg
@@ -469,7 +473,7 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r.*")
     )
-    return hist.unionByName(pct).unionByName(tail)
+    return head.unionByName(tail)
 
 
 def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

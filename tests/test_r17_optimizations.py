@@ -5,6 +5,9 @@
   overwrite + re-read must see the fresh listing);
 - minhash ``%``-for-``pmod`` identity (ADVICE r16): one signature column
   computed both ways over the fixture corpus must be value-identical.
+- distribution-suite scan fold: the suite's four audit legs over orders
+  must plan as exactly TWO parquet scans (grouping-sets branch + global
+  profile branch), not four.
 """
 
 from __future__ import annotations
@@ -55,6 +58,18 @@ def test_stopped_session_entries_swept(spark):
     _SCAN_MEMO.pop(id(spark), None)
     load_table(spark, SF, "region")
     assert -1 not in _SCAN_MEMO
+
+
+def test_distribution_suite_plans_two_scans(spark):
+    """VERDICT r16 #6: hist+pct share one GROUPING SETS scan and
+    rhist+profile share one global-aggregate scan — 2 scans total, with no
+    persist (every rep recomputes from parquet)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ext_distribution_suite"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
+    assert "InMemoryTableScan" not in plan
 
 
 def test_minhash_mod_matches_pmod(spark):
