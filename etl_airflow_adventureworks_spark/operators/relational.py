@@ -366,7 +366,7 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution + profile suite in one declared query over one scan
-    source (TWO physical passes since r17 — see the in-body note): an
+    source (THREE physical passes since r17 — see the in-body note): an
     equi-width histogram (12 × 50k top-clamped buckets — floor
     division, identical IEEE ops both engines) unioned with exact
     interpolated per-group percentiles (both engines sort + linearly
@@ -393,50 +393,43 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v5"),
     ]
     # r17 (guide §2.4/§6, VERDICT r16 #6): the four sections used to issue
-    # FOUR independent scans of orders. They now share two:
-    #  - hist + pct group the same source by different keys, so GROUPING
-    #    SETS ((bucket), (priority)) computes both group families in one
-    #    scan + one aggregation — each set's rows are exactly the
-    #    standalone groupBy's (incl. NULL-key groups; spark_grouping_id
-    #    disambiguates a NULL bucket VALUE from "bucket not in this set"),
-    #    so the declared result is unchanged for ANY input;
-    #  - rhist + profile are both single-row global aggregates, folded
-    #    into one agg whose row is expanded to the 13 output rows.
-    # No persist/cache anywhere: each action still scans parquet twice.
-    base = orders.select(
-        F.expr(
-            "CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT)"
-        ).alias("bucket"),
-        "o_orderpriority",
-        "o_totalprice",
+    # FOUR independent scans of orders; rhist + profile are both
+    # single-row global aggregates, folded into one agg whose row is
+    # expanded to the 13 output rows — three scans total. hist + pct were
+    # ALSO folded (GROUPING SETS over both group families), but that was
+    # REVERTED after a 5-pair fresh-JVM A/B measured it ~10% SLOWER
+    # (plans/r17/ab_distribution_suite.json): Expand duplicates every row
+    # once per grouping set and feeds every aggregate to every set, so the
+    # exact-percentile buffers (which collect all values per group) get
+    # built for the bucket groups only to be discarded — the saved scan
+    # costs more than it buys at any scale where the scan is column-pruned.
+    # No persist/cache anywhere: each action still scans parquet.
+    hist = (
+        orders.groupBy(
+            F.expr("CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT)").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("hist").alias("stat"),
+            F.col("bucket").cast("string").alias("k"),
+            F.col("n").cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+            *nulls3,
+        )
     )
-    both = base.groupingSets(
-        [["bucket"], ["o_orderpriority"]], "bucket", "o_orderpriority"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.grouping_id().alias("gid"),
-    )
-    # gid bits follow the grouping column order (bucket, o_orderpriority):
-    # set (bucket) -> 0b01 = 1, set (o_orderpriority) -> 0b10 = 2. Both
-    # sections project from the SAME branch with gid conditionals — two
-    # filtered branches would prune different columns, making their
-    # aggregates non-identical so ReuseExchange cannot dedupe them, and
-    # the grouping-sets pass would run (and scan) twice.
-    is_hist = F.col("gid") == 1
-    head = both.select(
-        F.when(is_hist, F.lit("hist")).otherwise(F.lit("pct")).alias("stat"),
-        F.when(is_hist, F.col("bucket").cast("string"))
-        .otherwise(F.col("o_orderpriority"))
-        .alias("k"),
-        F.when(is_hist, F.col("n").cast("double"))
-        .otherwise(F.col("p50"))
-        .alias("v1"),
-        F.when(is_hist, F.lit(None).cast("double"))
-        .otherwise(F.col("p90"))
-        .alias("v2"),
-        *nulls3,
+    pct = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+        .select(
+            F.lit("pct").alias("stat"),
+            F.col("o_orderpriority").alias("k"),
+            F.col("p50").alias("v1"),
+            F.col("p90").alias("v2"),
+            *nulls3,
+        )
     )
     from .rollup import _histogram_agg
 
@@ -473,7 +466,7 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r.*")
     )
-    return head.unionByName(tail)
+    return hist.unionByName(pct).unionByName(tail)
 
 
 def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
