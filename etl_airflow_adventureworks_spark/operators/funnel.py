@@ -319,35 +319,93 @@ def ext_event_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver's oracle hashes the values of ALL columns, so a drift in
     any absorbed column-set breaks this row (fold-strictness rule).
-    Plan: the pivot is one shuffle; each funnel hop is one filtered
-    map-side-combined aggregate + a summary-sized join; the final joins
-    are per-user summaries joined on the same key. No event array is
-    ever collected — a hot user costs aggregate combines only."""
+
+    Plan (r17, VERDICT r16 #9 — guide §2.4/§1.2): THREE scans of events
+    and one raw join, down from five scans and ~15 exchanges. The old
+    shape ran ``event_funnel_pivot_frame`` + ``dual_window_funnel`` side
+    by side: one pivot scan, one step-1 scan, and PER HOP a fresh
+    type-filtered scan joined to the accumulated summary, re-aggregated,
+    and left-joined back. Now the two hops share ONE 3-column scan of
+    click/purchase events joined once to the step-1 summary; hop 2 is a
+    groupBy over that joined stream, hop 3 another groupBy gated by hop
+    2's output re-attached via a summary join, and hop 2's columns ride
+    hop 3's aggregate so the final assembly is a single left join. (A
+    2-scan form that computed t_1 inside the pivot aggregate was built
+    and rejected: the pivot subtree is consumed with two different
+    prunings — full columns for the final join, (user_id, t_1) for the
+    hop gate — so Catalyst plans TWO pivot aggregations and the plan
+    came out at 5 scans.) Every per-hop quantity is a conditional MIN:
+    partial aggregation combines map-side, a hot user costs aggregate
+    combines, never an indivisible task (an AQE-skew-split join
+    partition partial-aggregates per split and merges — same bound as
+    before), and no event array or per-user window is anywhere in the
+    plan (plan test pins 3 scans, no Window, no collect_list). Equality
+    with the old assembly is pinned on a planted corpus with a hot key,
+    gate ties, repeats and missing step types
+    (tests/test_funnel.py::test_suite_restructure_matches_old_assembly)."""
+    return event_analytics_suite_frame(load_table(spark, sf_dir, "events"))
+
+
+def event_analytics_suite_frame(ev: DataFrame) -> DataFrame:
+    """The suite plan on a frame (split out so planted-corpus tests can
+    pin equality with the pivot ⟕ dual_window_funnel assembly)."""
     from .sessionize import event_funnel_pivot_frame
 
-    ev = load_table(spark, sf_dir, "events")
-    pivot = event_funnel_pivot_frame(ev)
-    fun = dual_window_funnel(
-        ev, "user_id", "ts", "event_type", FUNNEL_STEPS,
-        within_total_seconds=TOTAL_WINDOW_SECONDS,
-    ).select(
-        "user_id",
-        "t_1",
-        "t_2",
-        "t_3",
-        F.col("steps_completed").cast("long").alias("steps_completed"),
-        F.col("steps_completed_total").cast("long").alias(
-            "steps_completed_total"
-        ),
+    base = event_funnel_pivot_frame(ev)
+    total_us = TOTAL_WINDOW_SECONDS * 1_000_000
+    us = F.col("__us")
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_1"))
     )
-    return (
-        pivot.join(fun, "user_id", "left")
-        .withColumn(
-            "steps_completed",
-            F.coalesce("steps_completed", F.lit(0).cast("long")),
+    step = ev.filter(F.col("event_type").isin(list(FUNNEL_STEPS[1:]))).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("__us")
+    )
+    rows = step.join(t1, "user_id")
+    in_total = us <= F.col("t_1") + total_us
+    is2 = F.col("event_type") == FUNNEL_STEPS[1]
+    h2 = rows.groupBy("user_id").agg(
+        F.min(F.when(is2 & (us >= F.col("t_1")), us)).alias("t_2"),
+        F.min(F.when(is2 & (us >= F.col("t_1")) & in_total, us)).alias("tt_2"),
+    )
+    is3 = F.col("event_type") == FUNNEL_STEPS[2]
+    fun = (
+        rows.join(h2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(is3 & (us >= F.col("t_2")), us)).alias("t_3"),
+            F.min(F.when(is3 & (us >= F.col("tt_2")) & in_total, us)).alias(
+                "tt_3"
+            ),
+            F.first("t_2").alias("t_2"),
+            F.first("tt_2").alias("tt_2"),
         )
-        .withColumn(
-            "steps_completed_total",
-            F.coalesce("steps_completed_total", F.lit(0).cast("long")),
+    )
+
+    def nn(c: str):
+        return F.when(F.col(c).isNotNull(), 1).otherwise(0)
+
+    return (
+        base.join(t1, "user_id", "left")
+        .join(fun, "user_id", "left")
+        .select(
+            "user_id",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            "n_signup",
+            "n_error",
+            "purchase_value",
+            "t_1",
+            "t_2",
+            "t_3",
+            (nn("t_1") + nn("t_2") + nn("t_3")).cast("long").alias(
+                "steps_completed"
+            ),
+            F.when(F.col("t_1").isNull(), F.lit(0))
+            .otherwise(F.lit(1) + nn("tt_2") + nn("tt_3"))
+            .cast("long")
+            .alias("steps_completed_total"),
         )
     )

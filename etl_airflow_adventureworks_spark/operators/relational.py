@@ -365,9 +365,8 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution + profile suite in one declared query over one scan
-    source (THREE physical passes since r17 — see the in-body note): an
-    equi-width histogram (12 × 50k top-clamped buckets — floor
+    """Distribution + profile suite in one declared query over ONE scan
+    source: an equi-width histogram (12 × 50k top-clamped buckets — floor
     division, identical IEEE ops both engines) unioned with exact
     interpolated per-group percentiles (both engines sort + linearly
     interpolate; pinned at 4 decimals) and — since the round-7 fold
@@ -392,18 +391,16 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v4"),
         F.lit(None).cast("double").alias("v5"),
     ]
-    # r17 (guide §2.4/§6, VERDICT r16 #6): the four sections used to issue
-    # FOUR independent scans of orders; rhist + profile are both
-    # single-row global aggregates, folded into one agg whose row is
-    # expanded to the 13 output rows — three scans total. hist + pct were
-    # ALSO folded (GROUPING SETS over both group families), but that was
-    # REVERTED after a 5-pair fresh-JVM A/B measured it ~10% SLOWER
-    # (plans/r17/ab_distribution_suite.json): Expand duplicates every row
-    # once per grouping set and feeds every aggregate to every set, so the
-    # exact-percentile buffers (which collect all values per group) get
-    # built for the bucket groups only to be discarded — the saved scan
-    # costs more than it buys at any scale where the scan is column-pruned.
-    # No persist/cache anywhere: each action still scans parquet.
+    # The four sections deliberately keep FOUR dedicated (column-pruned)
+    # scans. r17 measured both fold candidates (VERDICT r16 #6) and
+    # reverted them: a GROUPING SETS fold of hist+pct ran ~10% slower
+    # (Expand feeds the value-buffering exact-percentile aggregate to the
+    # bucket groups), and merging rhist into the profile aggregate made
+    # its 10 filtered sums ride the multi-countDistinct Expand (4× rows)
+    # for more than the saved scan — 5-pair fresh-JVM A/Bs in
+    # plans/r17/ab_distribution_suite{,_final}.json. A persist would fold
+    # the scans for real but re-serves cached results across bench reps
+    # through the CacheManager — result caching, banned.
     hist = (
         orders.groupBy(
             F.expr("CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT)").alias("bucket")
@@ -433,40 +430,27 @@ def ext_distribution_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .rollup import _histogram_agg
 
-    prof_cols = ["o_custkey", "o_totalprice", "o_orderkey"]
-    aggs = [
-        F.count(F.lit(1)).alias("n_rows"),
-        _histogram_agg(("o_totalprice", 50000.0, 450000.0, 8)).alias("rh"),
-    ]
-    for c in prof_cols:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("double").alias(f"{c}__min"),
-            F.max(c).cast("double").alias(f"{c}__max"),
-        ]
-    null_d = "CAST(NULL AS DOUBLE)"
-    prof_structs = ", ".join(
-        f"named_struct('stat', 'profile', 'k', '{c}',"
-        f" 'v1', CAST(n_rows AS DOUBLE), 'v2', CAST({c}__null AS DOUBLE),"
-        f" 'v3', CAST({c}__distinct AS DOUBLE), 'v4', {c}__min,"
-        f" 'v5', {c}__max)"
-        for c in prof_cols
-    )
-    tail = (
-        orders.agg(*aggs)
-        .selectExpr(
-            "explode(concat("
-            " transform(rh, (n, i) -> named_struct("
-            "   'stat', 'rhist', 'k', CAST(i AS STRING),"
-            f"  'v1', CAST(n AS DOUBLE), 'v2', {null_d},"
-            f"  'v3', {null_d}, 'v4', {null_d}, 'v5', {null_d})),"
-            f" array({prof_structs})"
-            ")) AS r"
+    rhist = (
+        orders.agg(_histogram_agg(("o_totalprice", 50000.0, 450000.0, 8)).alias("h"))
+        .select(F.posexplode("h").alias("i", "n"))
+        .select(
+            F.lit("rhist").alias("stat"),
+            F.col("i").cast("string").alias("k"),
+            F.col("n").cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+            *nulls3,
         )
-        .select("r.*")
     )
-    return hist.unionByName(pct).unionByName(tail)
+    profile = _profile_frame(orders).select(
+        F.lit("profile").alias("stat"),
+        F.col("col").alias("k"),
+        F.col("n_rows").cast("double").alias("v1"),
+        F.col("n_null").cast("double").alias("v2"),
+        F.col("n_distinct").cast("double").alias("v3"),
+        F.col("min_val").alias("v4"),
+        F.col("max_val").alias("v5"),
+    )
+    return hist.unionByName(pct).unionByName(rhist).unionByName(profile)
 
 
 def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

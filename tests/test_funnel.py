@@ -228,6 +228,92 @@ def test_event_analytics_suite_plan_is_python_and_array_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Cartesian" not in plan
     assert "collect_list" not in plan  # no per-key event arrays
+    # r17 restructure (VERDICT r16 #9): three DISTINCT scans of events —
+    # the pivot, the step-1 view minimum, and ONE shared click/purchase
+    # pass for both hops (the old shape had a fresh scan per hop) — and
+    # no per-user Window (hot keys stay aggregate-combine bounded). The
+    # printed tree repeats shared subtrees per use; distinct scan
+    # signatures are the invariant (exchange reuse dedupes execution
+    # under sort-merge; local AQE broadcasts trade that for zero
+    # exchanges under step).
+    import re
+
+    sigs = set(re.findall(r"PushedFilters: .*?, ReadSchema: \S+", plan))
+    assert len(sigs) == 3
+    assert "Window" not in plan
+
+
+def test_suite_restructure_matches_old_assembly(spark):
+    """r17: the 2-scan suite must be row-identical to the pre-r17
+    assembly (pivot frame ⟕ dual_window_funnel + coalesce) on a planted
+    corpus exercising: a hot key, exact timestamp ties on hop gates,
+    repeated step events, clicks before the first view, users missing
+    each step type, a purchase-only user, NULL values, and events
+    outside the 72 h total window."""
+    from etl_airflow_adventureworks_spark.operators.funnel import (
+        FUNNEL_STEPS,
+        TOTAL_WINDOW_SECONDS,
+        dual_window_funnel,
+        event_analytics_suite_frame,
+    )
+    from etl_airflow_adventureworks_spark.operators.sessionize import (
+        event_funnel_pivot_frame,
+    )
+
+    H = 3_600_000_000  # 1h in micros
+    rows = []
+    # u1: canonical completer with ties (click AT t_1, purchase AT click)
+    rows += [(1, "view", 10 * H, 1.5), (1, "click", 10 * H, None),
+             (1, "purchase", 10 * H, 9.99)]
+    # u2: click BEFORE first view (ignored), completes later; second
+    # purchase earlier than the gated one but before the click
+    rows += [(2, "click", 1 * H, None), (2, "view", 5 * H, None),
+             (2, "purchase", 6 * H, 1.0), (2, "click", 7 * H, None),
+             (2, "purchase", 8 * H, 2.0)]
+    # u3: completes unbounded but purchase lands OUTSIDE the 72 h total
+    # window anchored at t_1
+    rows += [(3, "view", 0, None), (3, "click", 2 * H, None),
+             (3, "purchase", 80 * H, 3.0)]
+    # u4: views only; u5: purchase only (no view, no click); u6: signup/
+    # error noise only
+    rows += [(4, "view", 1 * H, None), (4, "view", 2 * H, None)]
+    rows += [(5, "purchase", 1 * H, 5.0)]
+    rows += [(6, "signup", 1 * H, None), (6, "error", 2 * H, None)]
+    # u7: HOT key — many repeated step events around the gates
+    for i in range(500):
+        rows.append((7, "view", (i % 10) * H, None))
+        rows.append((7, "click", (5 + i % 90) * H, 0.25))
+        rows.append((7, "purchase", (70 + i % 10) * H, 0.5))
+    ev = (
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, us long, value double"
+        )
+        .withColumn("ts", F.timestamp_micros("us"))
+        .drop("us")
+    )
+    new = event_analytics_suite_frame(ev)
+    old_fun = dual_window_funnel(
+        ev, "user_id", "ts", "event_type", FUNNEL_STEPS,
+        within_total_seconds=TOTAL_WINDOW_SECONDS,
+    ).select(
+        "user_id", "t_1", "t_2", "t_3",
+        F.col("steps_completed").cast("long").alias("steps_completed"),
+        F.col("steps_completed_total").cast("long").alias(
+            "steps_completed_total"),
+    )
+    old = (
+        event_funnel_pivot_frame(ev)
+        .join(old_fun, "user_id", "left")
+        .withColumn("steps_completed",
+                    F.coalesce("steps_completed", F.lit(0).cast("long")))
+        .withColumn("steps_completed_total",
+                    F.coalesce("steps_completed_total",
+                               F.lit(0).cast("long")))
+    )
+    assert new.schema == old.select(*new.columns).schema
+    got = {tuple(r) for r in new.collect()}
+    want = {tuple(r) for r in old.select(*new.columns).collect()}
+    assert got == want and len(got) == 7
 
 
 def test_suite_total_window_column_discriminates_and_matches_twin(spark):

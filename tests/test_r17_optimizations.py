@@ -5,11 +5,10 @@
   overwrite + re-read must see the fresh listing);
 - minhash ``%``-for-``pmod`` identity (ADVICE r16): one signature column
   computed both ways over the fixture corpus must be value-identical.
-- distribution-suite scan fold: the suite's four audit legs over orders
-  must plan as exactly THREE parquet scans (hist, pct, and the folded
-  rhist+profile global aggregate), not four — and no further: the
-  hist+pct GROUPING SETS fold measured slower (Expand feeds the exact-
-  percentile buffers to the bucket groups) and was reverted.
+- distribution-suite scan posture: the suite keeps four dedicated
+  column-pruned scans and NO persist — both r17 fold candidates
+  (GROUPING SETS for hist+pct; rhist riding the profile aggregate)
+  measured slower under paired fresh-JVM A/Bs and were reverted.
 """
 
 from __future__ import annotations
@@ -62,17 +61,18 @@ def test_stopped_session_entries_swept(spark):
     assert -1 not in _SCAN_MEMO
 
 
-def test_distribution_suite_plans_three_scans(spark):
-    """VERDICT r16 #6: rhist+profile share one global-aggregate scan
-    (4 scans → 3), with no persist (every rep recomputes from parquet).
-    hist+pct stay dedicated aggregates: the GROUPING SETS fold to 2 scans
-    measured ~10% slower (plans/r17/ab_distribution_suite.json) because
-    Expand builds exact-percentile buffers for the bucket groups."""
+def test_distribution_suite_plans_four_scans_no_cache(spark):
+    """VERDICT r16 #6 measured and REJECTED: both scan folds ran slower
+    (plans/r17/ab_distribution_suite{,_final}.json — Expand feeds the
+    exact-percentile buffers / the 10 histogram sums to grouping-set
+    duplicated rows for more than a column-pruned 150k-row scan costs).
+    Pin the deliberate shape: four dedicated scans, no persist (every
+    rep recomputes from parquet)."""
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()["ext_distribution_suite"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") == 3
+    assert plan.count("Scan parquet") == 4
     assert "InMemoryTableScan" not in plan
 
 
