@@ -97,8 +97,10 @@ def test_bench_final_line_stays_tail_parseable(tmp_path, capsys):
     assert "queries_median" not in slim and "host" not in slim
     assert slim["queries"] == out["queries"]
     assert slim["value"] == out["value"]
-    assert slim["detail"] == "BENCH_DETAIL.json"
-    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    # r17 (VERDICT r16 #8): the sidecar is round-stamped so a round's
+    # records never overwrite the previous round's
+    assert re.fullmatch(r"BENCH_DETAIL(_r\d+)?\.json", slim["detail"])
+    detail = json.loads((tmp_path / slim["detail"]).read_text())
     assert detail["queries_median"] == out["queries_median"]
     assert detail["host"] == out["host"]
     assert detail["protocol"]["agg"] == out["agg"]
