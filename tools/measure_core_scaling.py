@@ -54,6 +54,15 @@ def main() -> None:
     out_path = sys.argv[4] if len(sys.argv) > 4 else None
     runs = []
     for cpus in cpus_list:
+        # quiet-window wait (bounded): the previous run's dying JVM keeps
+        # load1 elevated for ~a minute, which would bias whichever config
+        # runs second
+        import time
+
+        for _ in range(24):
+            if os.getloadavg()[0] < 1.0:
+                break
+            time.sleep(10)
         load1 = round(os.getloadavg()[0], 2)
         steal0 = _steal_ticks()
         rec = run_bench(sf_dir, cpus, queries)
